@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Training-data-pipeline text operators over `documents`: exact dedup,
+  * n-gram Jaccard similarity, quality scoring, language-ID, token stats,
+  * fingerprinting. MinHash/SimHash live in [[graft.dedup]] (they need
+  * engine-specific hashing, so their queries are rows-only checked; the
+  * exact-math operators here all have DuckDB oracles).
+  *
+  * Scale notes: everything keys by doc or by (blockKey, shingle) — no
+  * all-pairs comparison is ever materialized without a blocking key, so the
+  * pair space stays bounded at 100 TB (LSH banding or source-blocking first,
+  * exact verification after).
+  */
+object TextOps {
+
+  // ---------------------------------------------------------------- q41
+  /** Exact dedup via content hash (md5) with keep-first semantics:
+    * representative = min doc_id per hash. The groupBy shuffles on the
+    * hash — uniform by construction, skew-free at any scale. */
+  val q41DedupExact = Q(
+    "q41_dedup_exact",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id")),
+    Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id,
+      count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY keep_id"""))
+
+  // ---------------------------------------------------------------- q42
+  /** Per-document token statistics: token count, char count, mean token
+    * length (exact int sums; division is bigint/bigint → double, identical
+    * across engines). */
+  val q42TokenStats = Q(
+    "q42_token_stats",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("sum_tok_len"),
+        countDistinct(col("tok")).as("n_distinct"))
+      .withColumn("mean_tok_len", col("sum_tok_len") / col("n_tokens"))
+      .withColumn("ttr", col("n_distinct") / col("n_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_chars, count(*) AS n_tokens,
+      sum(length(tok)) AS sum_tok_len, count(DISTINCT tok) AS n_distinct,
+      sum(length(tok)) / count(*) AS mean_tok_len,
+      count(DISTINCT tok) / count(*) AS ttr
+      FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+        FROM documents) t WHERE tok <> ''
+      GROUP BY doc_id, n_chars ORDER BY doc_id"""))
+
+  /** Shared stopword list for quality scoring and language-ID. */
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  // ---------------------------------------------------------------- q43
+  /** Quality scoring: stopword ratio, mean word length, short-doc flag —
+    * the heuristic filters an LLM-data pipeline runs before training.
+    * Score arithmetic is int/int divisions only → cross-engine exact. */
+  val q43QualityScore = Q(
+    "q43_quality_score",
+    (s, d) => {
+      val stopSet = Stopwords.map(lit): Seq[Column]
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L))
+            .as("n_stop"))
+        .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+        .withColumn("quality",
+          when(col("n_tokens") < 20, lit("low"))
+            .when(col("stop_ratio") > lit(0.2), lit("low"))
+            .otherwise(lit("ok")))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, n_chars, count(*) AS n_tokens,
+      sum(CASE WHEN tok IN (${Stopwords.map("'" + _ + "'").mkString(",")})
+        THEN 1 ELSE 0 END) AS n_stop,
+      sum(CASE WHEN tok IN (${Stopwords.map("'" + _ + "'").mkString(",")})
+        THEN 1 ELSE 0 END) / count(*) AS stop_ratio,
+      CASE WHEN count(*) < 20 THEN 'low'
+           WHEN sum(CASE WHEN tok IN
+             (${Stopwords.map("'" + _ + "'").mkString(",")})
+             THEN 1 ELSE 0 END) / count(*) > 0.2 THEN 'low'
+           ELSE 'ok' END AS quality
+      FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+        FROM documents) t WHERE tok <> ''
+      GROUP BY doc_id, n_chars ORDER BY doc_id"""))
+
+  /** Marker vocabularies for the n-gram/marker-word language-ID heuristic. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("der", "und", "customer", "join"),
+    "fr" -> Seq("le", "et", "scan", "data"),
+    "es" -> Seq("el", "y", "agg", "merge"))
+
+  // ---------------------------------------------------------------- q44
+  /** Language identification by marker-token voting (n-gram heuristic):
+    * argmax over per-language marker hit counts, deterministic tiebreak on
+    * language code; confusion-matrix output vs the labeled `lang`. */
+  val q44LangId = Q(
+    "q44_langid",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+      val markerSums = LangMarkers.map { case (l, ms) =>
+        sum(when(col("tok").isin(ms: _*), 1L).otherwise(0L)).as(s"s_$l")
+      }
+      val scores = toks.groupBy(col("doc_id"), col("lang"))
+        .agg(markerSums.head, markerSums.tail: _*)
+      // argmax via greatest + case chain, ties broken by language order
+      val best = LangMarkers.foldRight(lit("und"): Column) {
+        case ((l, _), acc) =>
+          when(col(s"s_$l") === greatest(LangMarkers.map(m =>
+            col(s"s_${m._1}")): _*) && col(s"s_$l") > 0, lit(l))
+            .otherwise(acc)
+      }
+      scores.withColumn("predicted", best)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("predicted"))
+    }, {
+      def inList(ms: Seq[String]) = ms.map("'" + _ + "'").mkString(",")
+      val sums = LangMarkers.map { case (l, ms) =>
+        s"sum(CASE WHEN tok IN (${inList(ms)}) THEN 1 ELSE 0 END) AS s_$l"
+      }.mkString(", ")
+      val grt = LangMarkers.map(m => s"s_${m._1}").mkString("greatest(", ",", ")")
+      val caseChain = LangMarkers.map { case (l, _) =>
+        s"WHEN s_$l = $grt AND s_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      Some(s"""SELECT lang, predicted, count(*) AS n_docs FROM (
+        SELECT doc_id, lang, CASE $caseChain ELSE 'und' END AS predicted
+        FROM (SELECT doc_id, lang, $sums
+          FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents) a GROUP BY doc_id, lang) b) c
+        GROUP BY lang, predicted ORDER BY lang, predicted""")
+    })
+
+  // ---------------------------------------------------------------- q45
+  /** Exact n-gram (3-shingle) Jaccard near-dup within a blocking key
+    * (source): |A∩B| via equi-join on (source, shingle), |A|,|B| via
+    * per-doc distinct counts — never an unblocked cross join. Integer set
+    * sizes → exact cross-engine jaccard. */
+  val q45NgramJaccard = Q(
+    "q45_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+      val grams = sh.alias("t0")
+        .join(sh.alias("t1"),
+          col("t0.doc_id") === col("t1.doc_id") &&
+          col("t1.pos") === col("t0.pos") + 1)
+        .join(sh.alias("t2"),
+          col("t0.doc_id") === col("t2.doc_id") &&
+          col("t2.pos") === col("t0.pos") + 2)
+        .select(col("t0.doc_id").as("doc_id"), col("t0.source").as("source"),
+          concat_ws(" ", col("t0.tok"), col("t1.tok"), col("t2.tok"))
+            .as("gram"))
+        .distinct()
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = grams.alias("a")
+        .join(grams.alias("b"),
+          col("a.source") === col("b.source") &&
+          col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          col("i") / (col("sa.sz") + col("sb.sz") - col("i")))
+        .filter(col("jaccard") >= 0.03)
+        .select(col("doc_a"), col("doc_b"), col("i").as("n_common"),
+          col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH toks AS (
+        SELECT * FROM (
+          SELECT doc_id, source,
+            unnest(string_split(text, ' ')) AS tok,
+            unnest(range(len(string_split(text, ' ')))) AS pos
+          FROM documents) z
+        WHERE tok <> ''),
+      grams AS (
+        SELECT DISTINCT t0.doc_id, t0.source,
+          t0.tok || ' ' || t1.tok || ' ' || t2.tok AS gram
+        FROM toks t0
+        JOIN toks t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t0.doc_id = t2.doc_id AND t2.pos = t0.pos + 2),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.source = b.source
+          AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, i AS n_common,
+        i / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE i / (sa.sz + sb.sz - i) >= 0.03
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[Q] = Seq(
+    q41DedupExact, q42TokenStats, q43QualityScore, q44LangId, q45NgramJaccard)
+}
