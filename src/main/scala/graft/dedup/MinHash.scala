@@ -1,0 +1,119 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection, fully declarative:
+  *
+  *   shingle → per-permutation min-hash → band → bucket-join → verify.
+  *
+  * Permutations are the standard universal-hash family `(a·x + b) mod p`
+  * over a base 64-bit content hash (`xxhash64`), so the whole signature is
+  * computed by codegen'd built-in expressions — no UDFs, no RDDs.
+  *
+  * Scale: the only join is on (band index, band hash) — candidate pairs are
+  * generated per bucket, never all-pairs. Bucket skew (a degenerate shingle
+  * shared by everything) is bounded by `maxBucketSize`: oversized buckets
+  * are dropped, the standard LSH guardrail at corpus scale.
+  *
+  * The reference has no dedup operators; this is part of the
+  * training-data-pipeline surface this engine adds (builder brief), with
+  * the banding scheme from Broder's MinHash and the LSH chapter of Mining
+  * of Massive Datasets (public).
+  */
+object MinHash {
+  private val Prime = 2147483647L // 2^31 - 1, Mersenne
+
+  /** Deterministic permutation parameters derived from the permutation
+    * index — reproducible across runs and engines. The base hash is first
+    * reduced into the 31-bit prime field so every product stays far below
+    * Long.MaxValue (Spark 4 runs ANSI mode: a silent-overflow formulation
+    * would throw ARITHMETIC_OVERFLOW). */
+  private def permuted(h: Column, i: Int): Column = {
+    val a = 2L * i + 1
+    val b = 1013904223L + 31L * i
+    pmod(pmod(h, lit(Prime)) * lit(a) + lit(b), lit(Prime))
+  }
+
+  private def pmod(e: Column, m: Column): Column = ((e % m) + m) % m
+
+  /** Word shingles of length `k` per document: (id, shingle) distinct. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      filter(split(col(textCol), " "), t => t =!= "").as("toks"))
+    // sliding k-grams via transform over positions; join-free
+    toks.select(col(idCol),
+        explode(transform(
+          sequence(lit(0), greatest(size(col("toks")) - k, lit(0)) - 1),
+          i => concat_ws(" ",
+            slice(col("toks"), i + 1, lit(k))))).as("shingle"))
+      .filter(col("shingle") =!= "")
+      .distinct()
+  }
+
+  /** MinHash signature: for each of `numPerms` permutations, the min over
+    * the document's shingle hashes. One hash aggregation, `numPerms`
+    * codegen'd min-columns — no shuffle per permutation. */
+  def signatures(sh: DataFrame, idCol: String, numPerms: Int): DataFrame = {
+    val h = xxhash64(col("shingle"))
+    val mins = (0 until numPerms).map(i => min(permuted(h, i)).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs via banded LSH: signature split into `bands` bands of
+    * `numPerms / bands` rows; documents sharing any band hash are
+    * candidates. */
+  def candidates(
+      sigs: DataFrame, idCol: String, numPerms: Int, bands: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    require(rowsPerBand * bands == numPerms, "bands must divide numPerms")
+    val bandHashes = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sigs
+      .select(col(idCol), explode(array(bandHashes: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bounded = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = bounded.select(col(idCol).as("id_a"), col("band"), col("bh"))
+    val b = bounded.select(col(idCol).as("id_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs (intersection via
+    * shingle equi-join restricted to candidates — still never all-pairs). */
+  def verify(cands: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("i") / (col("sz_a") + col("sz_b") - col("i")))
+  }
+
+  /** End-to-end near-dup pipeline: returns (id_a, id_b, jaccard) for
+    * verified pairs with jaccard >= threshold. */
+  def nearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerms: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleLen)
+    val sigs = signatures(sh, idCol, numPerms)
+    val cands = candidates(sigs, idCol, numPerms, bands)
+    verify(cands, sh, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate fingerprinting (Charikar 2002, public):
+  * each token votes ±1 on every bit of its 64-bit hash; the document
+  * fingerprint takes the sign of each bit's vote sum. Documents within
+  * Hamming distance `maxHamming` are near-duplicates.
+  *
+  * Implementation is one explode + one hash aggregation with 64 codegen'd
+  * sum columns — no UDFs. Pair search uses the pigeonhole block trick: a
+  * 64-bit fingerprint split into `maxHamming + 1` blocks; near pairs must
+  * agree exactly on ≥1 block, so candidates come from equi-joins on
+  * (block index, block value) — never all-pairs, the property that matters
+  * at corpus scale.
+  */
+object SimHash {
+
+  /** Per-document 64-bit fingerprint as a long column `simhash`. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      // bit i set → +1 else -1
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v_$i")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  private def popcount(c: Column): Column = bit_count(c)
+
+  /** Near-dup pairs with Hamming distance <= maxHamming via pigeonhole
+    * blocking on fingerprint chunks. */
+  def nearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val bits = 64 / blocks
+    val fps = fingerprints(docs, idCol, textCol)
+    val chunks = (0 until blocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * bits)
+          .bitwiseAND((1L << bits) - 1).as("bv"))
+    }
+    val keyed = fps.select(col(idCol), col("simhash"),
+        explode(array(chunks: _*)).as("c"))
+      .select(col(idCol), col("simhash"),
+        col("c.blk").as("blk"), col("c.bv").as("bv"))
+    val a = keyed.select(col(idCol).as("id_a"),
+      col("simhash").as("sh_a"), col("blk"), col("bv"))
+    val b = keyed.select(col(idCol).as("id_b"),
+      col("simhash").as("sh_b"), col("blk"), col("bv"))
+    a.join(b, Seq("blk", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        popcount(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.engine.{IncrementalStatsEngine, TopEntityStats, SitewideEntityStats, ListenerStats}
+import graft.similarity.SessionSimilarity
+
+/** Queries that drive the actual engine machinery (incremental stats
+  * engine, providers, session similarity) over the `events` surrogate fact
+  * table, verified against oracles that compute the same result the direct
+  * way — proving the engine's core invariants differentially:
+  *
+  *   - q70: merge(partial(base), incremental) == direct aggregate over the
+  *     whole table (the incremental engine's correctness contract)
+  *   - q72: the only-incremental recompute-skip path restricts output to
+  *     touched users without changing their values
+  */
+object EngineQueries {
+
+  private val Pivot = "2024-01-20"
+
+  // ---------------------------------------------------------------- q70
+  /** Full incremental path: partial-aggregate the base (ts < pivot), merge
+    * with incremental listens (ts >= pivot) via the engine, rank top-3
+    * entities per user. Oracle computes the same stat in one direct pass —
+    * if the partial/combine algebra is wrong, values diverge. */
+  val q70IncrementalTopk = Q(
+    "q70_incremental_topk",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val provider = TopEntityStats("user_id", Seq("event_type"), top = 3)
+      val base = ev.filter(col("ts") < lit(Pivot).cast("timestamp"))
+      val inc = ev.filter(col("ts") >= lit(Pivot).cast("timestamp"))
+      IncrementalStatsEngine
+        .merge(provider, provider.aggregate(base), inc, onlyInc = false)
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, total_count, top_entities FROM (
+      SELECT user_id, sum(cnt) AS total_count,
+        list_sort(list(struct_pack(listen_count := cnt,
+          event_type := event_type)) FILTER (WHERE rn <= 3), 'DESC')
+          AS top_entities
+      FROM (
+        SELECT user_id, event_type, cnt, row_number() OVER (
+          PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+        FROM (SELECT user_id, event_type, count(*) AS cnt FROM events
+          GROUP BY 1, 2) a) b
+      GROUP BY user_id) c ORDER BY user_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q72
+  /** Only-incremental recompute skip: stats restricted to users with
+    * incremental activity (semi-join on the partial's filter keys), values
+    * still computed over base ∪ incremental — engine:199-221 semantics. */
+  val q72OnlyIncremental = Q(
+    "q72_only_incremental",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // narrow incremental slice so the touched-user set is a strict subset
+      val incStart = "2024-01-29"
+      val provider = TopEntityStats("user_id", Seq("event_type"), top = 3)
+      val base = ev.filter(col("ts") < lit(incStart).cast("timestamp"))
+      val inc = ev.filter(col("ts") >= lit(incStart).cast("timestamp") &&
+        col("event_type") === "purchase")
+      IncrementalStatsEngine
+        .merge(provider, provider.aggregate(base), inc, onlyInc = true)
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH touched AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-29' AND event_type = 'purchase'),
+      full_counts AS (
+        SELECT user_id, event_type, count(*) AS cnt FROM events
+        WHERE ts < TIMESTAMP '2024-01-29'
+          OR (ts >= TIMESTAMP '2024-01-29' AND event_type = 'purchase')
+        GROUP BY 1, 2)
+      SELECT user_id, total_count, top_entities FROM (
+        SELECT user_id, sum(cnt) AS total_count,
+          list_sort(list(struct_pack(listen_count := cnt,
+            event_type := event_type)) FILTER (WHERE rn <= 3), 'DESC')
+            AS top_entities
+        FROM (
+          SELECT user_id, event_type, cnt, row_number() OVER (
+            PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+          FROM full_counts WHERE user_id IN (SELECT user_id FROM touched)) a
+        GROUP BY user_id) b ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q71
+  /** Session-based co-occurrence similarity (the recording-similarity
+    * algorithm) over events: 30-min sessions, per-user pair cap 10, score
+    * threshold 2, top-50 pairs. */
+  val q71SessionCooccur = Q(
+    "q71_session_cooccur",
+    (s, d) => SessionSimilarity(
+      Tables.events(s, d),
+      userCol = "user_id", tsCol = "ts", entityCol = "event_type",
+      gapSeconds = 1800L, perUserCap = 10L, minScore = 2L, topK = 50),
+    Some("""WITH sess AS (
+        SELECT DISTINCT user_id AS u, session_id, event_type AS e FROM (
+          SELECT user_id, event_type, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (
+            SELECT user_id, event_type, ts, CASE WHEN
+              epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                PARTITION BY user_id ORDER BY ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+            FROM events) x) y),
+      per_user AS (
+        SELECT a.u, a.e AS e_a, b.e AS e_b,
+          least(count(*), 10) AS contrib
+        FROM sess a JOIN sess b
+          ON a.u = b.u AND a.session_id = b.session_id AND a.e < b.e
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT e_a, e_b, sum(contrib) AS score FROM per_user
+        GROUP BY 1, 2 HAVING sum(contrib) >= 2)
+      SELECT e_a, e_b, score, row_number() OVER (
+        ORDER BY score DESC, e_a, e_b) AS rank
+      FROM scored ORDER BY score DESC, e_a, e_b LIMIT 50"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q73
+  /** Sitewide capped entity chart via the SitewideEntityStats provider. */
+  val q73SitewideCapped = Q(
+    "q73_sitewide_capped",
+    (s, d) => {
+      val provider = SitewideEntityStats("user_id", Seq("event_type"),
+        perUserCap = 15, top = 10)
+      provider.stats(provider.aggregate(Tables.events(s, d)))
+        .orderBy(col("rank"))
+    },
+    Some("""SELECT event_type, capped_count, row_number() OVER (
+        ORDER BY capped_count DESC, event_type) AS rank
+      FROM (SELECT event_type, sum(least(cnt, 15)) AS capped_count FROM (
+        SELECT event_type, user_id, count(*) AS cnt FROM events
+        GROUP BY 1, 2) a GROUP BY event_type) b
+      ORDER BY capped_count DESC, event_type LIMIT 10"""))
+
+  // ---------------------------------------------------------------- q74
+  /** Per-entity top listeners via the ListenerStats provider. */
+  val q74TopListeners = Q(
+    "q74_top_listeners",
+    (s, d) => {
+      val provider = ListenerStats("user_id", Seq("event_type"), top = 5)
+      provider.stats(provider.aggregate(Tables.events(s, d)))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, total_listen_count, listener_count,
+      list_sort(list(struct_pack(listen_count := cnt, user_id := user_id))
+        FILTER (WHERE rn <= 5), 'DESC') AS top_listeners
+      FROM (
+        SELECT event_type, user_id, cnt, row_number() OVER (
+            PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn,
+          sum(cnt) OVER (PARTITION BY event_type) AS total_listen_count,
+          count(*) OVER (PARTITION BY event_type) AS listener_count
+        FROM (SELECT event_type, user_id, count(*) AS cnt FROM events
+          GROUP BY 1, 2) a) b
+      GROUP BY event_type, total_listen_count, listener_count
+      ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(
+    q70IncrementalTopk, q71SessionCooccur, q72OnlyIncremental,
+    q73SitewideCapped, q74TopListeners)
+}

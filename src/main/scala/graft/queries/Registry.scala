@@ -3,7 +3,8 @@ package graft.queries
 /** Assembles the full verified query surface from the per-area modules. */
 object Registry {
   def all: Seq[Q] =
-    Relational.all ++ Windows.all ++ Activity.all ++ TextOps.all ++ SimOps.all
+    Relational.all ++ Windows.all ++ Activity.all ++ TextOps.all ++
+      SimOps.all ++ EngineQueries.all ++ PipelineQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all

@@ -1,0 +1,91 @@
+package graft.recs
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Collaborative-filtering recommendation pipeline (the reference's
+  * cf.recommendations.recording.* family re-expressed Spark-first):
+  *
+  *   1. [[buildPlaycounts]] — (user, item) playcounts with dense integer
+  *      ids. The reference assigns ids with a global `rank()` window — a
+  *      single-partition scaling hazard it documents itself
+  *      (create_dataframes.py:235-264, SURVEY §4); here ids come from
+  *      `zipWithIndex`, which is distributed.
+  *   2. confidence transform — the piecewise CASE of
+  *      create_dataframes.py:172-183 mapping raw playcount → implicit
+  *      confidence.
+  *   3. [[train]] — spark.ml ALS, implicit prefs, coldStartStrategy=drop
+  *      (train_models.py:154-161); seeded randomSplit 5:1 (:78) with RMSE
+  *      model selection.
+  *   4. [[recommend]] — top-k per user from the model, exploded flat
+  *      (recommend.py:293-305).
+  */
+object Als {
+
+  /** Distributed dense-id assignment: distinct values zipped with a stable
+    * index. Deterministic given a sorted input. */
+  def denseIds(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(valueCol),
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val rows = df.select(col(valueCol)).distinct()
+      .orderBy(col(valueCol))
+      .rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i.toInt)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Confidence transform constants (create_dataframes.py:83-89). */
+  private val PlaycountCap = 100
+
+  def buildPlaycounts(
+      listens: DataFrame, userCol: String, itemCol: String): DataFrame = {
+    val users = denseIds(listens, userCol, "als_user_id")
+    val items = denseIds(listens, itemCol, "als_item_id")
+    listens
+      .groupBy(col(userCol), col(itemCol))
+      .agg(count(lit(1)).as("playcount"))
+      .join(users, Seq(userCol))
+      .join(items, Seq(itemCol))
+      .withColumn("confidence",
+        when(col("playcount") > PlaycountCap, lit(PlaycountCap.toFloat))
+          .otherwise(col("playcount").cast("float")))
+  }
+
+  def train(playcounts: DataFrame, rank: Int = 8, maxIter: Int = 5,
+      regParam: Double = 0.1, alpha: Double = 3.0): ALSModel = {
+    val als = new ALS()
+      .setUserCol("als_user_id").setItemCol("als_item_id")
+      .setRatingCol("confidence")
+      .setImplicitPrefs(true).setColdStartStrategy("drop")
+      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setAlpha(alpha).setSeed(45L)
+    als.fit(playcounts)
+  }
+
+  /** Train/validation RMSE (the reference's model-selection metric). */
+  def validationRmse(playcounts: DataFrame): Double = {
+    val Array(trainDf, valDf) = playcounts.randomSplit(Array(5.0, 1.0), 45L)
+    val model = train(trainDf)
+    new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol("confidence").setPredictionCol("prediction")
+      .evaluate(model.transform(valDf))
+  }
+
+  /** Top-k recommendations per user, flat (user, item, score, rank). */
+  def recommend(model: ALSModel, playcounts: DataFrame, k: Int): DataFrame = {
+    val users = playcounts.select(col("als_user_id"),
+      playcounts.columns.filter(_ != "als_user_id").map(col).head).distinct()
+    model.recommendForAllUsers(k)
+      .select(col("als_user_id"),
+        posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("als_user_id"), (col("pos") + 1).as("rank"),
+        col("rec.als_item_id").as("als_item_id"),
+        col("rec.rating").as("score"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ListenStore: partitioned persistence, range reads with partition
+  * pruning, read-time deletion retraction, compaction. */
+class ListenStoreSpec extends SparkSpec {
+
+  test("base round-trip with year/month partitioning and range read") {
+    val store = new ListenStore(spark, tmpDir("store-rt"))
+    store.writeBase(listensDf(Seq(
+      listen(1, "A", "2023-12-31 23:00:00"),
+      listen(1, "B", "2024-01-15 10:00:00"),
+      listen(2, "C", "2024-02-01 00:00:00"))))
+    // partition dirs exist
+    val all = store.baseListens
+    assert(all.count() == 3)
+    // [2024-01-01, 2024-02-01) picks exactly the January listen
+    val jan = store.listens(ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    assert(jan.select("artist_name").collect().map(_.getString(0)).toSeq == Seq("B"))
+  }
+
+  test("deleted listens retracted by 4-column key; user history truncated") {
+    val store = new ListenStore(spark, tmpDir("store-del"))
+    store.writeBase(listensDf(Seq(
+      listen(1, "A", "2024-01-01 10:00:00", msid = "m1"),
+      listen(1, "B", "2024-01-02 10:00:00", msid = "m2"),
+      listen(2, "C", "2024-01-03 10:00:00", msid = "m3",
+        created = "2024-01-03 10:00:00"),
+      listen(2, "D", "2024-01-04 10:00:00", msid = "m4",
+        created = "2024-02-20 10:00:00"))))
+    // retract user 1's m1 listen by exact key
+    import spark.implicits._
+    store.appendDeleted(Seq(
+      (1, ts("2024-01-01 10:00:00"), "m1", ts("2024-02-01 00:00:00")))
+      .toDF("user_id", "listened_at", "recording_msid", "created"))
+    // truncate user 2's history up to created <= 2024-02-01
+    store.writeDeletedUserHistory(Seq((2, ts("2024-02-01 00:00:00")))
+      .toDF("user_id", "max_created"))
+
+    val out = store.listens(ts("2024-01-01 00:00:00"), ts("2024-03-01 00:00:00"))
+      .select("artist_name").collect().map(_.getString(0)).toSet
+    // A deleted by key; C dropped by history watermark (created before it);
+    // B survives (no deletion), D survives (created after watermark)
+    assert(out == Set("B", "D"))
+  }
+
+  test("compact folds incremental + deletions into a fresh base") {
+    val store = new ListenStore(spark, tmpDir("store-compact"))
+    store.writeBase(listensDf(Seq(
+      listen(1, "A", "2024-01-01 10:00:00", msid = "m1"))))
+    store.appendIncremental(listensDf(Seq(
+      listen(1, "B", "2024-01-05 10:00:00", msid = "m2"))))
+    store.appendDeleted(listensDf(Seq(
+      listen(1, "A", "2024-01-01 10:00:00", msid = "m1")))
+      .select("user_id", "listened_at", "recording_msid", "created"))
+    store.compact()
+    val base = store.baseListens.select("artist_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(base == Seq("B"), "deleted row physically gone, incremental folded")
+    assert(store.incrementalListens.count() == 0)
+    // deletion side-tables cleared: retraction is now a no-op
+    assert(store.listens(ts("2024-01-01 00:00:00"),
+      ts("2024-02-01 00:00:00")).count() == 1)
+  }
+}

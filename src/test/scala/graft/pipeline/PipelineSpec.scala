@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.multimodal.Media
+import graft.recs.Als
+import graft.streaming.StreamingStats
+import graft.engine.{Listen, TopEntityStats}
+
+/** Multimodal plumbing, ALS pipeline, and the streaming stats surface. */
+class PipelineSpec extends SparkSpec {
+
+  test("media features: deterministic stub decode over binary payloads") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world", "en", "s", 11L),
+      (2L, "hello world", "en", "s", 11L),
+      (3L, "different text", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Media.extractFeatures(Media.fromDocuments(docs)).collect()
+    assert(feats.length == 3)
+    val byId = feats.map(f => f.id -> f).toMap
+    assert(byId(1L).payload_hash == byId(2L).payload_hash,
+      "same payload → same features")
+    assert(byId(1L).payload_hash != byId(3L).payload_hash)
+    assert(byId(1L).byte_len == 11)
+  }
+
+  test("ALS recommends the dominant co-preference item") {
+    import spark.implicits._
+    // users 1..20 split into two taste groups with disjoint items;
+    // user 1 (group A) must be recommended unseen group-A items over
+    // group-B items
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 20).flatMap { u =>
+      val group = if (u <= 10) "a" else "b"
+      val items = (1 to 8).map(i => s"$group$i")
+      // each user plays 6 of their group's 8 items
+      rnd.shuffle(items).take(6).flatMap(it => Seq.fill(3)((u.toLong, it)))
+    }
+    val listens = rows.toDF("user_id", "item")
+    val pc = Als.buildPlaycounts(listens, "user_id", "item")
+    val model = Als.train(pc, rank = 4, maxIter = 5)
+    val recs = Als.recommend(model, pc, k = 3)
+    val items = Als.denseIds(listens, "item", "als_item_id")
+    val userIds = Als.denseIds(listens, "user_id", "als_user_id")
+    val labeled = recs
+      .join(items, Seq("als_item_id")).join(userIds, Seq("als_user_id"))
+    val groupA = labeled.filter(col("user_id") <= 10)
+      .select("item").collect().map(_.getString(0))
+    val aShare = groupA.count(_.startsWith("a")).toDouble / groupA.length
+    assert(aShare > 0.8, s"group-A users mostly get group-A items ($aShare)")
+  }
+
+  test("streaming partial aggregation matches batch stats") {
+    val dir = tmpDir("stream-src")
+    val ls = Seq(
+      listen(1, "A", "2024-01-01 10:00:00"),
+      listen(1, "A", "2024-01-01 11:00:00"),
+      listen(1, "B", "2024-01-01 12:00:00"),
+      listen(2, "C", "2024-01-02 10:00:00"))
+    listensDf(ls).write.mode("overwrite").parquet(dir)
+
+    val provider = TopEntityStats("user_id", Seq("artist_name"), top = 5)
+    val q = StreamingStats.maintainPartial(
+      spark, provider, dir, Listen.schema, "stream_partial", "listened_at")
+    q.awaitTermination(60000)
+
+    val streamed = StreamingStats.statsSnapshot(spark, provider, "stream_partial")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = provider.stats(provider.aggregate(listensDf(ls)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+}

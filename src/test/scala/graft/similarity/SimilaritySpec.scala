@@ -1,0 +1,63 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("SessionSimilarity pairs entities co-occurring within the gap") {
+    import spark.implicits._
+    // user 1: A,B within 10 min (one session), then C alone 2 h later;
+    // user 2: A,B again → pair (A,B) scores 2; (A,C)/(B,C) never co-occur
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", "A"), (1L, "2024-01-01 10:10:00", "B"),
+      (1L, "2024-01-01 13:00:00", "C"),
+      (2L, "2024-01-01 09:00:00", "A"), (2L, "2024-01-01 09:05:00", "B"))
+      .toDF("user_id", "ts_s", "entity")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = SessionSimilarity(ev, "user_id", "ts", "entity",
+      gapSeconds = 1800, perUserCap = 10, minScore = 1, topK = 10)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[String]("e_a"), r.getAs[String]("e_b"),
+      r.getAs[Long]("score")) == ("A", "B", 2L))
+  }
+
+  test("SessionSimilarity caps one user's contribution") {
+    import spark.implicits._
+    // user 1 plays A+B in 20 separate sessions → capped at 3
+    val rows = (0 until 20).flatMap { i =>
+      val h = i % 10
+      val d = 10 + i / 10
+      Seq((1L, f"2024-01-$d%02d $h%02d:00:00", "A"),
+        (1L, f"2024-01-$d%02d $h%02d:01:00", "B"))
+    }
+    val ev = rows.toDF("user_id", "ts_s", "entity")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = SessionSimilarity(ev, "user_id", "ts", "entity",
+      gapSeconds = 1800, perUserCap = 3, minScore = 1, topK = 10).collect()
+    assert(out.head.getAs[Long]("score") == 3L)
+  }
+
+  test("DIMSUM(0) agrees with exact cosine on a small matrix") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "x"), (2L, "y"),   // user 2 ∝ user 1 → cosine 1
+      (3L, "z"))                          // disjoint from both
+      .toDF("user_id", "item")
+    val exact = UserCosine.exact(ev, "user_id", "item", minCosine = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("cosine_r")).toMap
+    assert(math.abs(exact((1L, 2L)) - 1.0) < 1e-6)
+    assert(!exact.contains((1L, 3L)), "no shared items → no pair emitted")
+
+    val dimsum = UserCosine.dimsum(ev, "user_id", "item", threshold = 0.0)
+      .collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b)) -> r.getDouble(2)
+      }.toMap
+    assert(math.abs(dimsum((1L, 2L)) - exact((1L, 2L))) < 1e-9)
+  }
+}
