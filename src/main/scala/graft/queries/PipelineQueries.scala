@@ -25,7 +25,7 @@ object PipelineQueries {
     "q46_minhash_neardup",
     (s, d) => MinHash.nearDuplicates(
         Tables.documents(s, d), "doc_id", "text",
-        shingleLen = 2, numPerms = 32, bands = 16, threshold = 0.02)
+        shingleLen = 3, numPerms = 32, bands = 8, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b")),
     oracle = None,
     bench = true)
@@ -92,7 +92,7 @@ object PipelineQueries {
         .select(col("o_custkey"), col("l_partkey"))
       val pc = Als.buildPlaycounts(purchases, "o_custkey", "l_partkey")
       val model = Als.train(pc, rank = 8, maxIter = 5)
-      Als.recommend(model, pc, k = 5)
+      Als.recommend(model, pc.filter(col("als_user_id") < 500), k = 5)
         .orderBy(col("als_user_id"), col("rank"))
     },
     oracle = None)

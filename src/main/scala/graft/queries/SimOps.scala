@@ -4,34 +4,36 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.GraftFunctions
 
 /** Embedding similarity search over `embeddings` (64-dim float vectors):
   * brute-force cosine top-k as the exactness baseline, IVF-style
   * cluster-probed ANN as the scale path, and blocked near-dup pairing.
   *
   * Cross-engine determinism: every cosine is computed with the same formula
-  * — a sequential left-fold dot product over elements cast to double
-  * (`zip_with` + `aggregate` in Spark ≡ `list_dot_product` on `DOUBLE[]` in
-  * DuckDB; float→double casts are exact, float×float products fit double
-  * exactly, and both engines accumulate in index order).
+  * — an index-order dot product accumulated in double over elements cast to
+  * double ([[graft.functions.FloatVectorDot]], a codegen'd native Catalyst
+  * expression ≡ `list_dot_product` on `DOUBLE[]` in DuckDB; float→double
+  * casts are exact, float×float products fit double exactly, both engines
+  * accumulate in index order).
   *
-  * Scale notes: the brute-force query broadcasts the (tiny) query set and
-  * streams candidates — one pass, no shuffle until top-k. The IVF variant
-  * bounds candidate generation by cluster assignment (a broadcast join on
-  * centroid id), the pattern that survives 100 TB where all-pairs does not.
+  * Scale notes: squared norms are computed ONCE per vector in a projection
+  * — never per pair. The brute-force query broadcasts the (tiny) query set
+  * and streams candidates; the IVF variant bounds candidate generation by
+  * cluster assignment, the pattern that survives 100 TB where all-pairs
+  * does not.
   */
 object SimOps {
 
-  /** Sequential-fold dot product of two array<float> columns in double. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** (vec_id, embedding, n2) with the squared norm precomputed. */
+  private def withNorms(e: DataFrame, extra: String*): DataFrame =
+    e.select((Seq("vec_id", "embedding") ++ extra).map(col) :+
+      GraftFunctions.vecDot(col("embedding"), col("embedding")).as("n2"): _*)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  private def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
+    dotCol / sqrt(n2a * n2b)
 
-  /** DuckDB-side mirror of [[cosine]]. */
+  /** DuckDB-side mirror of the cosine formula. */
   private def sqlCosine(a: String, b: String): String =
     s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
 
@@ -41,14 +43,19 @@ object SimOps {
   val q50AnnBruteforce = Q(
     "q50_ann_bruteforce",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
+      GraftFunctions.register(s)
+      val e = withNorms(Tables.embeddings(s, d))
       val queries = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val cands = e.select(col("vec_id").as("vid"), col("embedding").as("cv"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("n2").as("qn2"))
+      val cands = e.select(col("vec_id").as("vid"),
+        col("embedding").as("cv"), col("n2").as("cn2"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vid"))
       broadcast(queries).join(cands, col("qid") =!= col("vid"))
-        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("cos", cosine(
+          GraftFunctions.vecDot(col("qv"), col("cv")),
+          col("qn2"), col("cn2")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("vid"),
@@ -78,33 +85,39 @@ object SimOps {
   val q51AnnIvf = Q(
     "q51_ann_ivf",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
+      GraftFunctions.register(s)
+      val e = withNorms(Tables.embeddings(s, d))
       val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      def assign(src: DataFrame, vecCol: String, outCol: String, topN: Int) = {
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          col("n2").as("cn2"))
+      def assign(src: DataFrame, topN: Int) = {
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("cid"))
         src.crossJoin(broadcast(cents))
-          .withColumn("ccos", cosine(col(vecCol), col("cv")))
+          .withColumn("ccos", cosine(
+            GraftFunctions.vecDot(col("embedding"), col("cv")),
+            col("n2"), col("cn2")))
           .withColumn("crank", row_number().over(w))
           .filter(col("crank") <= topN)
-          .select(src("vec_id"), col(vecCol), col("cid").as(outCol))
+          .select(src("vec_id"), src("embedding"), src("n2"),
+            col("cid").as("cluster"))
       }
-      val assigned = assign(
-        e.select(col("vec_id"), col("embedding")), "embedding", "cluster", 1)
-      val probes = assign(
-        e.filter(col("vec_id") < 8).select(col("vec_id"), col("embedding")),
-        "embedding", "cluster", 2)
+      val assigned = assign(e, 1)
+      val probes = assign(e.filter(col("vec_id") < 8), 2)
         .withColumnRenamed("vec_id", "qid")
         .withColumnRenamed("embedding", "qv")
+        .withColumnRenamed("n2", "qn2")
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vid"))
       probes.join(
           assigned.withColumnRenamed("vec_id", "vid")
-            .withColumnRenamed("embedding", "cv"),
+            .withColumnRenamed("embedding", "cv")
+            .withColumnRenamed("n2", "cn2"),
           Seq("cluster"))
         .filter(col("qid") =!= col("vid"))
-        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("cos", cosine(
+          GraftFunctions.vecDot(col("qv"), col("cv")),
+          col("qn2"), col("cn2")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("vid"),
@@ -144,14 +157,16 @@ object SimOps {
   val q52EmbedNeardup = Q(
     "q52_embed_neardup",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"))
+      GraftFunctions.register(s)
+      val e = withNorms(Tables.embeddings(s, d), "label")
       val a = e.alias("a")
       val b = e.alias("b")
       a.join(b,
           col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+        .withColumn("cos", cosine(
+          GraftFunctions.vecDot(col("a.embedding"), col("b.embedding")),
+          col("a.n2"), col("b.n2")))
         .filter(col("cos") >= 0.25)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           col("a.label").as("label"), round(col("cos"), 6).as("cos_r"))

@@ -77,15 +77,15 @@ object Als {
       .evaluate(model.transform(valDf))
   }
 
-  /** Top-k recommendations per user, flat (user, item, score, rank). */
-  def recommend(model: ALSModel, playcounts: DataFrame, k: Int): DataFrame = {
-    val users = playcounts.select(col("als_user_id"),
-      playcounts.columns.filter(_ != "als_user_id").map(col).head).distinct()
-    model.recommendForAllUsers(k)
+  /** Top-k recommendations for a user subset, flat (user, rank, item,
+    * score) — the reference recommends per requested user batch
+    * (`recommendForUserSubset`, recommend.py:293), not for the full user
+    * universe; scoring all users × all items is the quadratic trap. */
+  def recommend(model: ALSModel, users: DataFrame, k: Int): DataFrame =
+    model.recommendForUserSubset(users.select(col("als_user_id")).distinct(), k)
       .select(col("als_user_id"),
         posexplode(col("recommendations")).as(Seq("pos", "rec")))
       .select(col("als_user_id"), (col("pos") + 1).as("rank"),
         col("rec.als_item_id").as("als_item_id"),
         col("rec.rating").as("score"))
-  }
 }
