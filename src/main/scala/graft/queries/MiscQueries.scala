@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.engine.StatsRange
+import graft.popularity.Popularity
+
+/** Remaining inventory coverage: data-anchored stats ranges, popularity
+  * datasets, country rollups (artist-map shape), seeded random sampling
+  * (W10), custom-comparator array_sort (O4). */
+object MiscQueries {
+
+  // ---------------------------------------------------------------- q75
+  /** Data-anchored "week" stats range: the window is the previous complete
+    * Mon–Sun week relative to max(ts) IN THE DATA (StatsRange semantics) —
+    * computed driver-side from a scalar agg, then applied as a pushed-down
+    * range filter. */
+  val q75RangeWeek = Q(
+    "q75_range_week",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val (from, to) = StatsRange.window("week", maxTs)
+      ev.filter(col("ts") >= lit(from) && col("ts") < lit(to))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("listen_count"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH mx AS (SELECT date_trunc('week', max(ts)) AS mon FROM events)
+      SELECT user_id, count(*) AS listen_count,
+        count(DISTINCT event_type) AS n_types
+      FROM events, mx
+      WHERE ts >= mon - INTERVAL 7 DAY AND ts < mon
+      GROUP BY user_id ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q76
+  /** Entity popularity (total listens + exact unique listeners). */
+  val q76Popularity = Q(
+    "q76_popularity",
+    (s, d) => Popularity.entity(Tables.events(s, d), "user_id",
+        Seq("event_type"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS total_listen_count,
+      count(DISTINCT user_id) AS total_user_count
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q77
+  /** Per-group popularity top-k (per-artist popularity shape): each
+    * supplier's top-3 parts by purchase count with distinct-buyer counts. */
+  val q77PopularityPerGroup = Q(
+    "q77_popularity_per_group",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), col("l_partkey"), col("o_custkey"))
+      Popularity.perGroup(li, "o_custkey",
+          Seq("l_suppkey"), Seq("l_partkey"), top = 3)
+        .orderBy(col("l_suppkey"), col("rank"))
+    },
+    Some("""SELECT l_suppkey, l_partkey, total_listen_count,
+      total_user_count, rank FROM (
+      SELECT l_suppkey, l_partkey, count(*) AS total_listen_count,
+        count(DISTINCT o_custkey) AS total_user_count,
+        row_number() OVER (PARTITION BY l_suppkey
+          ORDER BY count(*) DESC, l_partkey) AS rank
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_suppkey, l_partkey) t
+      WHERE rank <= 3 ORDER BY l_suppkey, rank"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q78
+  /** Country rollup — the artist-map shape (listeners per country via the
+    * country dimension): distinct buyers and order counts per nation and
+    * region. */
+  val q78CountryMap = Q(
+    "q78_country_map",
+    (s, d) => Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name")),
+    Some("""SELECT r_name, n_name, count(DISTINCT o_custkey) AS n_buyers,
+      count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  // ---------------------------------------------------------------- q79
+  /** Seeded random sampling (W10 — ORDER BY RANDOM() made testable):
+    * 2 events per user by rank over rand(seed). Deterministic within
+    * Spark for a fixed seed and partitioning, but RNG streams are not
+    * portable across engines → rows-only check; the per-user row-count
+    * contract is asserted in spec. */
+  val q79SeededSample = Q(
+    "q79_seeded_sample",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(rand(42L))
+      Tables.events(s, d)
+        .repartition(col("user_id")) // pin RNG-to-partition assignment
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("user_id"))
+    },
+    oracle = None)
+
+  // ---------------------------------------------------------------- q82
+  /** Custom-comparator array_sort (O4): nested results ordered by
+    * (count desc, name asc) via a comparator lambda, emitted as strings.
+    * The oracle realizes the same ordering through a sort-key struct. */
+  val q82ComparatorSort = Q(
+    "q82_comparator_sort",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("cnt"), col("event_type"))).as("xs"))
+      .select(col("user_id"),
+        transform(
+          array_sort(col("xs"), (l, r) =>
+            when(l("cnt") > r("cnt"), -1).when(l("cnt") < r("cnt"), 1)
+              .when(l("event_type") < r("event_type"), -1)
+              .when(l("event_type") > r("event_type"), 1)
+              .otherwise(0)),
+          x => concat_ws("=", x("event_type"), x("cnt"))).as("ranked"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+      list_transform(
+        list_sort(list(struct_pack(nc := -cnt, et := event_type))),
+        x -> concat_ws('=', x.et, -x.nc)) AS ranked
+      FROM (SELECT user_id, event_type, count(*) AS cnt FROM events
+        GROUP BY 1, 2) t GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(
+    q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
+    q79SeededSample, q82ComparatorSort)
+}

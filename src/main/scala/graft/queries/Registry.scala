@@ -4,7 +4,8 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     Relational.all ++ Windows.all ++ Activity.all ++ TextOps.all ++
-      SimOps.all ++ EngineQueries.all ++ PipelineQueries.all
+      SimOps.all ++ EngineQueries.all ++ PipelineQueries.all ++
+      MiscQueries.all ++ EdgeQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all

@@ -49,6 +49,15 @@ class PipelineSpec extends SparkSpec {
       .select("item").collect().map(_.getString(0))
     val aShare = groupA.count(_.startsWith("a")).toDouble / groupA.length
     assert(aShare > 0.8, s"group-A users mostly get group-A items ($aShare)")
+
+    // model persistence round-trip (reference persists ALSModel in HDFS
+    // between the train and recommend requests)
+    val dir = tmpDir("als-model")
+    model.write.overwrite().save(dir)
+    val reloaded = org.apache.spark.ml.recommendation.ALSModel.load(dir)
+    val again = Als.recommend(reloaded, pc, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == recs.collect().map(_.toString).sorted.toSeq)
   }
 
   test("streaming partial aggregation matches batch stats") {
