@@ -159,7 +159,40 @@ object EngineQueries {
       GROUP BY event_type, total_listen_count, listener_count
       ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q87
+  /** Listening-activity grid via the engine's ListeningActivity module:
+    * this_month range anchored at max(ts) in the data, one bucket per day,
+    * silent (user, day) cells zero-filled. */
+  val q87ListeningActivity = Q(
+    "q87_listening_activity",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      graft.engine.ListeningActivity
+        .compute(ev, "user_id", "ts", "this_month", maxTs)
+        .orderBy(col("user_id"), col("bucket_start"))
+    },
+    Some("""WITH mx AS (SELECT max(ts) AS m FROM events),
+      grid AS (
+        SELECT DISTINCT date_trunc('day', g.g)::TIMESTAMP AS bucket_start
+        FROM mx, unnest(generate_series(
+          date_trunc('month', m), m + INTERVAL 1 SECOND,
+          INTERVAL 1 DAY)) AS g(g)
+        WHERE g.g < m + INTERVAL 1 SECOND),
+      users AS (SELECT DISTINCT user_id FROM events),
+      counts AS (
+        SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS bucket_start,
+          count(*) AS n
+        FROM events, mx
+        WHERE ts >= date_trunc('month', m) AND ts < m + INTERVAL 1 SECOND
+        GROUP BY 1, 2)
+      SELECT u.user_id, g.bucket_start, coalesce(c.n, 0) AS listen_count
+      FROM users u CROSS JOIN grid g
+      LEFT JOIN counts c
+        ON u.user_id = c.user_id AND g.bucket_start = c.bucket_start
+      ORDER BY u.user_id, g.bucket_start"""))
+
   val all: Seq[Q] = Seq(
     q70IncrementalTopk, q71SessionCooccur, q72OnlyIncremental,
-    q73SitewideCapped, q74TopListeners)
+    q73SitewideCapped, q74TopListeners, q87ListeningActivity)
 }
