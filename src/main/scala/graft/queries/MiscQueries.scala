@@ -139,7 +139,27 @@ object MiscQueries {
       FROM (SELECT user_id, event_type, count(*) AS cnt FROM events
         GROUP BY 1, 2) t GROUP BY user_id ORDER BY user_id"""))
 
+  // ---------------------------------------------------------------- q88
+  /** Periodic-jams playlist (troi semantics): per-user top entities minus
+    * hated ones (anti join on synthetic feedback derived from the data),
+    * seeded shuffle, capped. Seeded-random → rows-only check; semantics
+    * proved with planted fixtures in PlaylistsSpec. */
+  val q88PeriodicJams = Q(
+    "q88_periodic_jams",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // synthetic feedback: a user who ever hit an error "hates" errors
+      val feedback = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_type"), lit(-1).as("score"))
+        .distinct()
+      graft.playlists.Playlists.periodicJams(
+          ev, feedback, "user_id", "event_type",
+          maxPerPlaylist = 2, seed = 42L)
+        .orderBy(col("user_id"), col("position"))
+    },
+    oracle = None)
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
-    q79SeededSample, q82ComparatorSort)
+    q79SeededSample, q82ComparatorSort, q88PeriodicJams)
 }
