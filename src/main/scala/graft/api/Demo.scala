@@ -1,0 +1,50 @@
+package graft.api
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import graft.engine._
+
+/** End-to-end example of the engine's request path — the reference's
+  * RabbitMQ consumer loop distilled to its data flow: listens land in the
+  * store, a stat request is dispatched by name, the result streams out as
+  * chunked messages. Run: `sbt "runMain graft.api.Demo [workDir]"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-demo").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def l(u: Int, artist: String, at: String): Listen = Listen(
+      Timestamp.valueOf(at), Timestamp.valueOf("2024-02-01 00:00:00"), u,
+      "msid-demo", artist, Some(1L), None, None, "rec", Some("rmbid"),
+      Some(Seq("mbid-1")))
+
+    // 1. ingest: base dump + an incremental batch
+    val store = new ListenStore(spark, s"$work/store")
+    store.writeBase(Seq(
+      l(1, "Radiohead", "2024-01-10 10:00:00"),
+      l(1, "Radiohead", "2024-01-11 10:00:00"),
+      l(1, "Bjork", "2024-01-12 10:00:00"),
+      l(2, "Bjork", "2024-01-13 10:00:00")).toDS().toDF())
+    store.appendIncremental(Seq(
+      l(2, "Portishead", "2024-01-20 10:00:00")).toDS().toDF())
+
+    // 2. dispatch a stat request by name (query_map semantics)
+    val dispatch = new Dispatch(spark, store,
+      new IncrementalStatsEngine(spark, s"$work/stats"))
+    val result = dispatch.handle(dispatch.StatRequest(
+      "stats.user.entity", entity = "artists", statsRange = "all_time"))
+
+    // 3. stream the result as chunked messages (spark_reader semantics)
+    Messages.chunked(result.orderBy("user_id"), "user_artists_v1",
+      chunkSize = 1).foreach(m => println(s"MSG: $m"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.api
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Request dispatch — the engine's API surface, mirroring the reference's
+  * query_map.py:45-96 (name → handler) and request_queries.json (name →
+  * params): a stat request names a query family, an entity, and a stats
+  * range; the handler resolves the range against the data's high-water
+  * mark and runs the matching provider through the incremental engine.
+  */
+final class Dispatch(spark: SparkSession, store: ListenStore, engine: IncrementalStatsEngine) {
+
+  /** A parsed stat request (the JSON request body's fields). */
+  final case class StatRequest(
+      query: String, entity: String = "artists",
+      statsRange: String = "all_time", onlyInc: Boolean = false)
+
+  private def entityProvider(entity: String, top: Int): StatsProvider =
+    entity match {
+      case "artists" => UserArtistStats(top)
+      case other => TopEntityStats("user_id", Seq(other), top)
+    }
+
+  private def anchor(): Timestamp = {
+    val row = store.baseListens.unionByName(store.incrementalListens)
+      .agg(max(col("listened_at"))).collect()(0)
+    Option(row.getTimestamp(0))
+      .getOrElse(new Timestamp(System.currentTimeMillis()))
+  }
+
+  /** Resolve and run a request; returns the result frame. */
+  def handle(req: StatRequest): DataFrame = {
+    val (from, to) = StatsRange.window(req.statsRange, anchor())
+    req.query match {
+      case "stats.user.entity" =>
+        engine.run(s"user_${req.entity}_${req.statsRange}",
+          entityProvider(req.entity, top = 1000), store, from, to, req.onlyInc)
+      case "stats.user.daily_activity" =>
+        engine.run(s"daily_activity_${req.statsRange}",
+          DailyActivityStats("user_id", "listened_at"), store, from, to)
+      case "stats.user.listening_activity" =>
+        ListeningActivity.compute(
+          store.listens(from, to), "user_id", "listened_at",
+          req.statsRange, anchor())
+      case "stats.sitewide.entity" =>
+        engine.run(s"sitewide_${req.entity}_${req.statsRange}",
+          SitewideEntityStats("user_id", Seq(req.entity)), store, from, to)
+      case "stats.listener.entity" =>
+        engine.run(s"listener_${req.entity}_${req.statsRange}",
+          ListenerStats("user_id", Seq(req.entity)), store, from, to)
+      case other =>
+        throw new IllegalArgumentException(s"unknown query: $other")
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stat families that enrich listens through a dimension cache before
+  * aggregating — the genre/era activity pattern (reference
+  * stats/incremental/user/genre_activity.py, era_activity.py): caches are
+  * parquet snapshots imported from the metadata database (see
+  * graft.ingest.JdbcCache), joined by mbid at aggregation time.
+  *
+  * Scale: caches are entity-keyed and orders of magnitude smaller than the
+  * fact table — broadcast when they fit (genre cache), shuffle-hash
+  * otherwise; the join key (recording/release mbid) is uniform, so no
+  * skew handling is needed. The cache join lives INSIDE aggregate(), so
+  * the partial/combine algebra still holds as long as the cache snapshot
+  * is fixed for a stat run (the reference pins cache imports the same way).
+  */
+object CacheJoinedStats {
+
+  /** Per-user genre listening: join the (recording_mbid, genre) cache —
+    * inner join, so unmapped/untagged listens drop out (the reference's
+    * genre stats behave the same) — then top-k genres per user. */
+  final case class GenreActivity(genreCache: DataFrame, top: Int = 20)
+    extends StatsProvider {
+    override def filterKeys: Seq[String] = Seq("user_id")
+
+    override def aggregate(listens: DataFrame): DataFrame =
+      listens
+        .join(broadcast(genreCache.select(col("recording_mbid"), col("genre"))),
+          Seq("recording_mbid"))
+        .groupBy(col("user_id"), col("genre"))
+        .agg(count(lit(1)).as("listen_count"))
+
+    override def combine(partials: DataFrame): DataFrame =
+      partials.groupBy(col("user_id"), col("genre"))
+        .agg(sum(col("listen_count")).as("listen_count"))
+
+    override def stats(partial: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("listen_count").desc, col("genre"))
+      partial.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= top)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("listen_count"), col("genre"))),
+          asc = false).as("genres"))
+    }
+  }
+
+  /** Per-user era activity: left join the release cache for the release
+    * year — LEFT, so listens with no release mapping are retained under a
+    * null year (the explode_outer-keeps-unmapped semantic) — then listen
+    * counts per (user, year). */
+  final case class EraActivity(releaseCache: DataFrame)
+    extends StatsProvider {
+    override def filterKeys: Seq[String] = Seq("user_id")
+
+    override def aggregate(listens: DataFrame): DataFrame =
+      listens
+        .join(broadcast(releaseCache.select(col("release_mbid"),
+          col("first_release_date_year"))),
+          Seq("release_mbid"), "left")
+        .groupBy(col("user_id"),
+          col("first_release_date_year").as("year"))
+        .agg(count(lit(1)).as("listen_count"))
+
+    override def combine(partials: DataFrame): DataFrame =
+      partials.groupBy(col("user_id"), col("year"))
+        .agg(sum(col("listen_count")).as("listen_count"))
+
+    override def stats(partial: DataFrame): DataFrame = partial
+  }
+
+  /** Artist origin map: listener counts per country through the
+    * artist→country cache (reference stats/user/artist_map.py shape). */
+  final case class ArtistMap(countryCache: DataFrame)
+    extends StatsProvider {
+    override def filterKeys: Seq[String] = Seq("user_id")
+
+    override def aggregate(listens: DataFrame): DataFrame =
+      listens
+        .select(col("user_id"),
+          explode_outer(col("artist_credit_mbids")).as("artist_mbid"))
+        .join(broadcast(countryCache.select(col("artist_mbid"),
+          col("country_code"))),
+          Seq("artist_mbid"))
+        .groupBy(col("user_id"), col("country_code"))
+        .agg(count(lit(1)).as("listen_count"))
+
+    override def combine(partials: DataFrame): DataFrame =
+      partials.groupBy(col("user_id"), col("country_code"))
+        .agg(sum(col("listen_count")).as("listen_count"))
+
+    override def stats(partial: DataFrame): DataFrame = partial
+  }
+}

@@ -192,7 +192,41 @@ object EngineQueries {
         ON u.user_id = c.user_id AND g.bucket_start = c.bucket_start
       ORDER BY u.user_id, g.bucket_start"""))
 
+  // ---------------------------------------------------------------- q89
+  /** Cache-joined genre activity via CacheJoinedStats.GenreActivity: the
+    * part table plays the dimension cache (partkey → brand ≙ recording →
+    * genre), lineitem ⋈ orders plays the listens. Broadcast cache join
+    * inside aggregate, top-5 nested per user. */
+  val q89GenreActivity = Q(
+    "q89_genre_activity",
+    (s, d) => {
+      val listens = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_partkey").as("recording_mbid"))
+      val cache = Tables.part(s, d)
+        .select(col("p_partkey").as("recording_mbid"),
+          col("p_brand").as("genre"))
+      val p = graft.engine.CacheJoinedStats.GenreActivity(cache, top = 5)
+      p.stats(p.combine(p.aggregate(listens)))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, list_sort(
+        list(struct_pack(listen_count := cnt, genre := genre))
+          FILTER (WHERE rn <= 5), 'DESC') AS genres
+      FROM (
+        SELECT user_id, genre, cnt, row_number() OVER (
+          PARTITION BY user_id ORDER BY cnt DESC, genre) AS rn
+        FROM (
+          SELECT o_custkey AS user_id, p_brand AS genre, count(*) AS cnt
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2) a) b
+      GROUP BY user_id ORDER BY user_id"""),
+    bench = true)
+
   val all: Seq[Q] = Seq(
     q70IncrementalTopk, q71SessionCooccur, q72OnlyIncremental,
-    q73SitewideCapped, q74TopListeners, q87ListeningActivity)
+    q73SitewideCapped, q74TopListeners, q87ListeningActivity,
+    q89GenreActivity)
 }

@@ -1,0 +1,63 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.engine._
+
+class ApiSpec extends SparkSpec {
+
+  private def freshStoreWith(ls: Seq[graft.engine.Listen]): ListenStore = {
+    val store = new ListenStore(spark, tmpDir("api-store"))
+    store.writeBase(listensDf(ls))
+    store
+  }
+
+  test("dispatch stats.user.entity end-to-end through engine + store") {
+    val store = freshStoreWith(Seq(
+      listen(1, "Radiohead", "2024-01-10 10:00:00", Some(Seq("m1"))),
+      listen(1, "Radiohead", "2024-01-11 10:00:00", Some(Seq("m1"))),
+      listen(1, "Bjork", "2024-01-12 10:00:00", Some(Seq("m2"))),
+      listen(2, "Bjork", "2024-01-13 10:00:00", Some(Seq("m2")))))
+    val dispatch = new Dispatch(spark, store,
+      new IncrementalStatsEngine(spark, tmpDir("api-work")))
+    val out = dispatch.handle(dispatch.StatRequest(
+      "stats.user.entity", entity = "artists", statsRange = "all_time"))
+    val rows = out.orderBy(col("user_id")).collect()
+    assert(rows.length == 2)
+    val u1Top = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(u1Top.head.getAs[String]("artist_name") == "Radiohead")
+    assert(u1Top.head.getAs[Long]("listen_count") == 2)
+  }
+
+  test("dispatch rejects unknown query names") {
+    val store = freshStoreWith(Seq(listen(1, "A", "2024-01-10 10:00:00")))
+    val dispatch = new Dispatch(spark, store,
+      new IncrementalStatsEngine(spark, tmpDir("api-work2")))
+    intercept[IllegalArgumentException](
+      dispatch.handle(dispatch.StatRequest("stats.nope")))
+  }
+
+  test("chunked message emission brackets data and respects chunk size") {
+    import spark.implicits._
+    val df = (1 to 7).map(i => (i, s"row$i")).toDF("id", "v").orderBy("id")
+    val msgs = Messages.chunked(df, "stats_db", chunkSize = 3).toSeq
+    assert(msgs.head == Messages.DataStart("stats_db"))
+    assert(msgs.last == Messages.DataEnd("stats_db"))
+    val chunks = msgs.collect { case c: Messages.DataChunk => c.rows.size }
+    assert(chunks == Seq(3, 3, 1))
+  }
+
+  test("ChunkedRunner equals unchunked run for associative providers") {
+    val ls = (1 to 50).map(i => listen(i % 7, s"Artist${i % 5}",
+      f"2024-01-${i % 28 + 1}%02d 10:00:00"))
+    val provider = TopEntityStats("user_id", Seq("artist_name"), top = 3)
+    val chunked = ChunkedRunner.run(spark, listensDf(ls), provider,
+      chunkPredicates = Seq(
+        col("user_id") < 3, col("user_id") >= 3 && col("user_id") < 5,
+        col("user_id") >= 5),
+      workDir = tmpDir("chunked"))
+    val direct = provider.stats(provider.aggregate(listensDf(ls)))
+    assert(chunked.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq)
+  }
+}
