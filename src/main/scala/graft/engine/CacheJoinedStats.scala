@@ -72,6 +72,32 @@ object CacheJoinedStats {
     override def stats(partial: DataFrame): DataFrame = partial
   }
 
+  /** Total listening time per user: track lengths from the
+    * recording-length cache, missing metadata defaulting to 180 s — the
+    * reference's default-track-length constant (similarity/recording/
+    * common.py:17, year_in_music/listening_time.py:22; BASELINE.md). */
+  final case class ListeningTime(recordingLengthCache: DataFrame)
+    extends StatsProvider {
+    override def filterKeys: Seq[String] = Seq("user_id")
+
+    override def aggregate(listens: DataFrame): DataFrame =
+      listens
+        .join(broadcast(recordingLengthCache.select(col("recording_mbid"),
+          col("length"))),
+          Seq("recording_mbid"), "left")
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(col("length") / 1000, lit(180L)).cast("long"))
+          .as("listening_time_s"),
+          count(lit(1)).as("listen_count"))
+
+    override def combine(partials: DataFrame): DataFrame =
+      partials.groupBy(col("user_id"))
+        .agg(sum(col("listening_time_s")).as("listening_time_s"),
+          sum(col("listen_count")).as("listen_count"))
+
+    override def stats(partial: DataFrame): DataFrame = partial
+  }
+
   /** Artist origin map: listener counts per country through the
     * artist→country cache (reference stats/user/artist_map.py shape). */
   final case class ArtistMap(countryCache: DataFrame)

@@ -225,8 +225,35 @@ object EngineQueries {
       GROUP BY user_id ORDER BY user_id"""),
     bench = true)
 
+  // ---------------------------------------------------------------- q90
+  /** Listening time with the 180 s default-length constant: the length
+    * cache (part table, deliberately missing 10% of keys) left-joined
+    * inside the provider; uncached tracks fall back to the default. */
+  val q90ListeningTime = Q(
+    "q90_listening_time",
+    (s, d) => {
+      val listens = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_partkey").as("recording_mbid"))
+      val cache = Tables.part(s, d)
+        .filter(col("p_partkey") % 10 =!= 0) // 10% of tracks uncached
+        .select(col("p_partkey").as("recording_mbid"),
+          (col("p_size") * 1000L).cast("long").as("length"))
+      val p = graft.engine.CacheJoinedStats.ListeningTime(cache)
+      p.stats(p.combine(p.aggregate(listens)))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT o_custkey AS user_id,
+      sum(cast(coalesce(length / 1000, 180) as bigint)) AS listening_time_s,
+      count(*) AS listen_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN (SELECT p_partkey, cast(p_size * 1000 as bigint) AS length
+        FROM part WHERE p_partkey % 10 <> 0) c ON l_partkey = p_partkey
+      GROUP BY o_custkey ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     q70IncrementalTopk, q71SessionCooccur, q72OnlyIncremental,
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
-    q89GenreActivity)
+    q89GenreActivity, q90ListeningTime)
 }

@@ -38,6 +38,17 @@ class CacheJoinedStatsSpec extends SparkSpec {
     assert(byYear(None) == 1, "unmapped listen retained under null year")
   }
 
+  test("ListeningTime defaults missing track length to 180s") {
+    val ls = listensDf(Seq(
+      listen(1, "A", "2024-01-01 10:00:00").copy(recording_mbid = Some("known")),
+      listen(1, "B", "2024-01-02 10:00:00").copy(recording_mbid = Some("unknown"))))
+    val cache = Seq(("known", 240000L)).toDF("recording_mbid", "length")
+    val p = CacheJoinedStats.ListeningTime(cache)
+    val row = p.stats(p.combine(p.aggregate(ls))).collect().head
+    assert(row.getAs[Long]("listening_time_s") == 240 + 180)
+    assert(row.getAs[Long]("listen_count") == 2)
+  }
+
   test("ArtistMap rolls up by artist country") {
     val cache = Seq(("ma", "GBR"), ("mb", "ISL")).toDF("artist_mbid", "country_code")
     val p = CacheJoinedStats.ArtistMap(cache)
