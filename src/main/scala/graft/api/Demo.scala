@@ -45,6 +45,12 @@ object Demo {
     // 3. stream the result as chunked messages (spark_reader semantics)
     Messages.chunked(result.orderBy("user_id"), "user_artists_v1",
       chunkSize = 1).foreach(m => println(s"MSG: $m"))
+
+    // 4. other request families share the same dispatch surface
+    val pop = dispatch.handle(dispatch.StatRequest(
+      "popularity.entity", entity = "artist_name"))
+    pop.orderBy("artist_name").collect()
+      .foreach(r => println(s"POP: $r"))
     spark.stop()
   }
 }

@@ -31,9 +31,13 @@ final class Dispatch(spark: SparkSession, store: ListenStore, engine: Incrementa
       .getOrElse(new Timestamp(System.currentTimeMillis()))
   }
 
-  /** Resolve and run a request; returns the result frame. */
+  /** Resolve and run a request; returns the result frame. Families mirror
+    * query_map.py: stats.* run through the incremental engine with cached
+    * partials; popularity/similarity/playlist jobs run directly over the
+    * windowed listens (as the reference's non-stats jobs do). */
   def handle(req: StatRequest): DataFrame = {
     val (from, to) = StatsRange.window(req.statsRange, anchor())
+    def windowed: DataFrame = store.listens(from, to)
     req.query match {
       case "stats.user.entity" =>
         engine.run(s"user_${req.entity}_${req.statsRange}",
@@ -43,14 +47,35 @@ final class Dispatch(spark: SparkSession, store: ListenStore, engine: Incrementa
           DailyActivityStats("user_id", "listened_at"), store, from, to)
       case "stats.user.listening_activity" =>
         ListeningActivity.compute(
-          store.listens(from, to), "user_id", "listened_at",
-          req.statsRange, anchor())
+          windowed, "user_id", "listened_at", req.statsRange, anchor())
       case "stats.sitewide.entity" =>
         engine.run(s"sitewide_${req.entity}_${req.statsRange}",
           SitewideEntityStats("user_id", Seq(req.entity)), store, from, to)
       case "stats.listener.entity" =>
         engine.run(s"listener_${req.entity}_${req.statsRange}",
           ListenerStats("user_id", Seq(req.entity)), store, from, to)
+      case "popularity.entity" =>
+        graft.popularity.Popularity.entity(
+          windowed, "user_id", Seq(req.entity))
+      case "similarity.sessions" =>
+        graft.similarity.SessionSimilarity(
+          windowed, "user_id", "listened_at", req.entity,
+          gapSeconds = 1800L, perUserCap = 10L, minScore = 2L, topK = 1000)
+      case "playlists.periodic_jams" =>
+        // feedback table optional in this environment: empty frame stands
+        // in when no feedback store is configured
+        val emptyFeedback = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField(req.entity,
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("score",
+              org.apache.spark.sql.types.IntegerType))))
+        graft.playlists.Playlists.periodicJams(
+          windowed, emptyFeedback, "user_id", req.entity,
+          maxPerPlaylist = 50, seed = 42L)
       case other =>
         throw new IllegalArgumentException(s"unknown query: $other")
     }

@@ -29,6 +29,27 @@ class ApiSpec extends SparkSpec {
     assert(u1Top.head.getAs[Long]("listen_count") == 2)
   }
 
+  test("dispatch popularity and similarity families over the store") {
+    val store = freshStoreWith(Seq(
+      listen(1, "A", "2024-01-10 10:00:00"),
+      listen(1, "B", "2024-01-10 10:05:00"), // same session as A
+      listen(2, "A", "2024-01-11 10:00:00"),
+      listen(2, "B", "2024-01-11 10:10:00")))
+    val dispatch = new Dispatch(spark, store,
+      new IncrementalStatsEngine(spark, tmpDir("api-work3")))
+    val pop = dispatch.handle(dispatch.StatRequest(
+      "popularity.entity", entity = "artist_name"))
+    assert(pop.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap == Map("A" -> 2L, "B" -> 2L))
+    val sim = dispatch.handle(dispatch.StatRequest(
+      "similarity.sessions", entity = "artist_name"))
+    val top = sim.collect().head
+    assert((top.getString(0), top.getString(1), top.getLong(2)) == ("A", "B", 2L))
+    val jam = dispatch.handle(dispatch.StatRequest(
+      "playlists.periodic_jams", entity = "artist_name"))
+    assert(jam.count() == 4, "2 users x 2 entities, nothing hated")
+  }
+
   test("dispatch rejects unknown query names") {
     val store = freshStoreWith(Seq(listen(1, "A", "2024-01-10 10:00:00")))
     val dispatch = new Dispatch(spark, store,
