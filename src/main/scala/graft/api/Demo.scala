@@ -51,6 +51,14 @@ object Demo {
       "popularity.entity", entity = "artist_name"))
     pop.orderBy("artist_name").collect()
       .foreach(r => println(s"POP: $r"))
+
+    // 5. playlist request honoring stored feedback: user 1 hates Bjork
+    store.writeFeedback(Seq((1, "Bjork", -1))
+      .toDF("user_id", "artist_name", "score"))
+    val jam = dispatch.handle(dispatch.StatRequest(
+      "playlists.periodic_jams", entity = "artist_name"))
+    jam.orderBy("user_id", "position").collect()
+      .foreach(r => println(s"JAM: $r"))
     spark.stop()
   }
 }

@@ -62,19 +62,16 @@ final class Dispatch(spark: SparkSession, store: ListenStore, engine: Incrementa
           windowed, "user_id", "listened_at", req.entity,
           gapSeconds = 1800L, perUserCap = 10L, minScore = 2L, topK = 1000)
       case "playlists.periodic_jams" =>
-        // feedback table optional in this environment: empty frame stands
-        // in when no feedback store is configured
-        val emptyFeedback = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField(req.entity,
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("score",
-              org.apache.spark.sql.types.IntegerType))))
+        // feedback comes from the store's cache; empty when never written
+        val feedbackSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField(req.entity,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.IntegerType)))
         graft.playlists.Playlists.periodicJams(
-          windowed, emptyFeedback, "user_id", req.entity,
+          windowed, store.feedback(feedbackSchema), "user_id", req.entity,
           maxPerPlaylist = 50, seed = 42L)
       case other =>
         throw new IllegalArgumentException(s"unknown query: $other")

@@ -28,6 +28,7 @@ final class ListenStore(spark: SparkSession, root: String) {
   private val incPath = s"$root/incremental"
   private val deletedPath = s"$root/deleted-listens"
   private val deletedHistoryPath = s"$root/deleted-user-listen-history"
+  private val feedbackPath = s"$root/recording-feedback"
 
   private def exists(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -56,6 +57,15 @@ final class ListenStore(spark: SparkSession, root: String) {
 
   def writeDeletedUserHistory(history: DataFrame): Unit =
     history.repartition(1).write.mode("overwrite").parquet(deletedHistoryPath)
+
+  /** Recording feedback cache (user_id, entity, score; score -1 = hated —
+    * reference data/postgres/feedback.py:15-18), consumed by playlist
+    * generation. */
+  def writeFeedback(feedback: DataFrame): Unit =
+    feedback.repartition(1).write.mode("overwrite").parquet(feedbackPath)
+
+  def feedback(schema: org.apache.spark.sql.types.StructType): DataFrame =
+    readOrEmpty(feedbackPath, schema)
 
   private def readOrEmpty(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (exists(path)) spark.read.schema(schema).parquet(path)

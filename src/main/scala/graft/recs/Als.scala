@@ -77,6 +77,37 @@ object Als {
       .evaluate(model.transform(valDf))
   }
 
+  /** Grid-searched training with 2-fold cross-validation, parallelism 3,
+    * RMSE selection — the reference's model-selection harness
+    * (train_models.py:163-179: ParamGridBuilder over rank/regParam/alpha,
+    * CrossValidator numFolds=2 parallelism=3, RegressionEvaluator RMSE). */
+  def trainWithGrid(
+      playcounts: DataFrame,
+      ranks: Seq[Int] = Seq(4, 8),
+      regParams: Seq[Double] = Seq(0.1, 1.0),
+      alphas: Seq[Double] = Seq(3.0)): ALSModel = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val als = new ALS()
+      .setUserCol("als_user_id").setItemCol("als_item_id")
+      .setRatingCol("confidence")
+      .setImplicitPrefs(true).setColdStartStrategy("drop")
+      .setMaxIter(5).setSeed(45L)
+    val grid = new ParamGridBuilder()
+      .addGrid(als.rank, ranks)
+      .addGrid(als.regParam, regParams)
+      .addGrid(als.alpha, alphas)
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(als)
+      .setEvaluator(new RegressionEvaluator().setMetricName("rmse")
+        .setLabelCol("confidence").setPredictionCol("prediction"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(2)
+      .setParallelism(3)
+      .setSeed(45L)
+    cv.fit(playcounts).bestModel.asInstanceOf[ALSModel]
+  }
+
   /** Top-k recommendations for a user subset, flat (user, rank, item,
     * score) — the reference recommends per requested user batch
     * (`recommendForUserSubset`, recommend.py:293), not for the full user

@@ -48,6 +48,15 @@ class ApiSpec extends SparkSpec {
     val jam = dispatch.handle(dispatch.StatRequest(
       "playlists.periodic_jams", entity = "artist_name"))
     assert(jam.count() == 4, "2 users x 2 entities, nothing hated")
+
+    // write feedback to the store: user 1 hates B -> excluded from jam
+    import spark.implicits._
+    store.writeFeedback(Seq((1, "B", -1)).toDF("user_id", "artist_name", "score"))
+    val jam2 = dispatch.handle(dispatch.StatRequest(
+      "playlists.periodic_jams", entity = "artist_name"))
+    val u1 = jam2.filter(org.apache.spark.sql.functions.col("user_id") === 1)
+      .select("artist_name").collect().map(_.getString(0)).toSet
+    assert(u1 == Set("A"), "hated entity excluded via store feedback")
   }
 
   test("dispatch rejects unknown query names") {

@@ -60,6 +60,18 @@ class PipelineSpec extends SparkSpec {
     assert(again == recs.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("ALS grid search selects a model via 2-fold CV") {
+    import spark.implicits._
+    val rows = (1 to 12).flatMap { u =>
+      (1 to 4).map(i => (u.toLong, s"it${(u + i) % 6}"))
+    }
+    val pc = Als.buildPlaycounts(rows.toDF("user_id", "item"), "user_id", "item")
+    val model = Als.trainWithGrid(pc,
+      ranks = Seq(2, 4), regParams = Seq(0.1), alphas = Seq(3.0))
+    assert(Seq(2, 4).contains(model.rank))
+    assert(model.transform(pc).count() > 0)
+  }
+
   test("streaming partial aggregation matches batch stats") {
     val dir = tmpDir("stream-src")
     val ls = Seq(
