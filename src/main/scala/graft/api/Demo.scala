@@ -32,7 +32,10 @@ object Demo {
       l(1, "Radiohead", "2024-01-10 10:00:00"),
       l(1, "Radiohead", "2024-01-11 10:00:00"),
       l(1, "Bjork", "2024-01-12 10:00:00"),
-      l(2, "Bjork", "2024-01-13 10:00:00")).toDS().toDF())
+      l(2, "Bjork", "2024-01-13 10:00:00"),
+      l(2, "Garage Band", "2024-01-14 10:00:00")
+        .copy(recording_mbid = None, recording_name = "demo tape")
+    ).toDS().toDF())
     store.appendIncremental(Seq(
       l(2, "Portishead", "2024-01-20 10:00:00")).toDS().toDF())
 
@@ -59,6 +62,10 @@ object Demo {
       "playlists.periodic_jams", entity = "artist_name"))
     jam.orderBy("user_id", "position").collect()
       .foreach(r => println(s"JAM: $r"))
+
+    // 6. unmapped-listens dataset (missing MusicBrainz data)
+    dispatch.handle(dispatch.StatRequest("datasets.missing_mb_data"))
+      .collect().foreach(r => println(s"UNMAPPED: $r"))
     spark.stop()
   }
 }

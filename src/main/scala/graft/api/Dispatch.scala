@@ -54,6 +54,8 @@ final class Dispatch(spark: SparkSession, store: ListenStore, engine: Incrementa
       case "stats.listener.entity" =>
         engine.run(s"listener_${req.entity}_${req.statsRange}",
           ListenerStats("user_id", Seq(req.entity)), store, from, to)
+      case "datasets.missing_mb_data" =>
+        MissingMbData(windowed)
       case "popularity.entity" =>
         graft.popularity.Popularity.entity(
           windowed, "user_id", Seq(req.entity))

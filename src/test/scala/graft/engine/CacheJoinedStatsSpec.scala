@@ -49,6 +49,20 @@ class CacheJoinedStatsSpec extends SparkSpec {
     assert(row.getAs[Long]("listen_count") == 2)
   }
 
+  test("MissingMbData surfaces only unmapped listens, ranked per user") {
+    val ls = listensDf(Seq(
+      listen(1, "A", "2024-01-01 10:00:00").copy(recording_mbid = None,
+        recording_name = "unmapped song"),
+      listen(1, "A", "2024-01-02 10:00:00").copy(recording_mbid = None,
+        recording_name = "unmapped song"),
+      listen(1, "B", "2024-01-03 10:00:00"))) // mapped -> excluded
+    val out = MissingMbData(ls).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("recording_name") == "unmapped song")
+    assert(out.head.getAs[Long]("listen_count") == 2)
+    assert(out.head.getAs[Int]("rank") == 1)
+  }
+
   test("ArtistMap rolls up by artist country") {
     val cache = Seq(("ma", "GBR"), ("mb", "ISL")).toDF("artist_mbid", "country_code")
     val p = CacheJoinedStats.ArtistMap(cache)
