@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.engine.{IncrementalStatsEngine, TopEntityStats, SitewideEntityStats, ListenerStats}
@@ -252,8 +253,78 @@ object EngineQueries {
         FROM part WHERE p_partkey % 10 <> 0) c ON l_partkey = p_partkey
       GROUP BY o_custkey ORDER BY user_id"""))
 
+  // ---------------------------------------------------------------- q91
+  /** Fresh releases of top artists (year_in_music/new_releases_of_top_
+    * artists.py:39-42, the reference's documented 90× rewrite): match
+    * "new" entities to each user's top groups via EQUI-join on the group
+    * key — never arrays_overlap/BNLJ. Analog: parts first shipped in the
+    * last quarter of the data, matched to each customer's top-3 brands. */
+  val q91FreshReleases = Q(
+    "q91_fresh_releases",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val purchases = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("cust"), col("p_partkey").as("pk"),
+          col("p_brand").as("brand"), col("l_shipdate"))
+      val cutoff = lit("2001-01-01").cast("timestamp")
+      val history = purchases.filter(col("l_shipdate") < cutoff)
+      val topBrands = {
+        val w = Window.partitionBy(col("cust"))
+          .orderBy(col("n").desc, col("brand"))
+        history.groupBy(col("cust"), col("brand"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("cust"), col("brand"))
+      }
+      // "releases" in the window: per brand, the 5 most recently shipped
+      val freshTop = {
+        val w = Window.partitionBy(col("brand"))
+          .orderBy(col("last_ship").desc, col("pk"))
+        purchases.filter(col("l_shipdate") >= cutoff)
+          .groupBy(col("pk"), col("brand"))
+          .agg(max(col("l_shipdate")).as("last_ship"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("brand"), col("pk"), col("last_ship"))
+      }
+      val owned = history.select(col("cust"), col("pk")).distinct()
+      topBrands.join(freshTop, Seq("brand")) // equi-join on the group key
+        .join(owned, Seq("cust", "pk"), "left_anti") // only unheard parts
+        .select(col("cust"), col("brand"), col("pk"), col("last_ship"))
+        .orderBy(col("cust"), col("brand"), col("pk"))
+    },
+    Some("""WITH purchases AS (
+        SELECT o_custkey AS cust, p_partkey AS pk, p_brand AS brand,
+          l_shipdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey),
+      history AS (SELECT * FROM purchases
+        WHERE l_shipdate < TIMESTAMP '2001-01-01'),
+      top_brands AS (
+        SELECT cust, brand FROM (
+          SELECT cust, brand, row_number() OVER (
+            PARTITION BY cust ORDER BY count(*) DESC, brand) AS rn
+          FROM history GROUP BY cust, brand) t WHERE rn <= 3),
+      fresh_top AS (
+        SELECT brand, pk, last_ship FROM (
+          SELECT brand, pk, max(l_shipdate) AS last_ship, row_number() OVER (
+            PARTITION BY brand ORDER BY max(l_shipdate) DESC, pk) AS rn
+          FROM purchases WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+          GROUP BY brand, pk) t WHERE rn <= 5),
+      owned AS (SELECT DISTINCT cust, pk FROM history)
+      SELECT tb.cust, tb.brand, ft.pk, ft.last_ship
+      FROM top_brands tb JOIN fresh_top ft USING (brand)
+      ANTI JOIN owned o ON tb.cust = o.cust AND ft.pk = o.pk
+      ORDER BY cust, brand, pk"""),
+    bench = true)
+
   val all: Seq[Q] = Seq(
     q70IncrementalTopk, q71SessionCooccur, q72OnlyIncremental,
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
-    q89GenreActivity, q90ListeningTime)
+    q89GenreActivity, q90ListeningTime, q91FreshReleases)
 }
