@@ -159,7 +159,51 @@ object MiscQueries {
     },
     oracle = None)
 
+  // ---------------------------------------------------------------- q92
+  /** Year-in-Music day-of-week: each user's most active weekday
+    * (year_in_music/day_of_week.py) — argmax with deterministic tiebreak
+    * via the first-per-group struct-min pattern. */
+  val q92DayOfWeek = Q(
+    "q92_day_of_week",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"), date_format(col("ts"), "EEEE").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("cnt"), col("day"))).as("best"))
+      .select(col("user_id"), col("best.day").as("day"),
+        col("best.cnt").as("cnt"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, day, cnt FROM (
+      SELECT user_id, day, cnt, row_number() OVER (
+        PARTITION BY user_id ORDER BY cnt DESC, day DESC) AS rn
+      FROM (SELECT user_id, dayname(ts) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2) a) b
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q93
+  /** Year-in-Music new-artists-discovered: per user, entities whose FIRST
+    * listen falls inside the discovery window (new_artists_discovered.py:36
+    * — HAVING on min(listened_at)), as a count. The entity is the JSON
+    * `props.k` field — also exercising the reference's JSON scalar surface
+    * (to_json/from_json, SURVEY §2.8). */
+  val q93NewDiscovered = Q(
+    "q93_new_discovered",
+    (s, d) => Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k"))
+      .groupBy(col("user_id"), col("k"))
+      .agg(min(col("ts")).as("first_listen"))
+      .filter(col("first_listen") >= lit("2024-01-24").cast("timestamp"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("new_entities"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, count(*) AS new_entities FROM (
+      SELECT user_id, json_extract_string(props, '$.k') AS k,
+        min(ts) AS first_listen FROM events
+      GROUP BY 1, 2 HAVING min(ts) >= TIMESTAMP '2024-01-24') t
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
-    q79SeededSample, q82ComparatorSort, q88PeriodicJams)
+    q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
+    q93NewDiscovered)
 }
