@@ -66,6 +66,11 @@ object Demo {
     // 6. unmapped-listens dataset (missing MusicBrainz data)
     dispatch.handle(dispatch.StatRequest("datasets.missing_mb_data"))
       .collect().foreach(r => println(s"UNMAPPED: $r"))
+
+    // 7. artist-evolution stat (exploded credits per listen-year)
+    dispatch.handle(dispatch.StatRequest("stats.user.artist_evolution"))
+      .orderBy("user_id", "year", "artist_mbid").collect()
+      .foreach(r => println(s"EVOLVE: $r"))
     spark.stop()
   }
 }

@@ -42,6 +42,9 @@ final class Dispatch(spark: SparkSession, store: ListenStore, engine: Incrementa
       case "stats.user.entity" =>
         engine.run(s"user_${req.entity}_${req.statsRange}",
           entityProvider(req.entity, top = 1000), store, from, to, req.onlyInc)
+      case "stats.user.artist_evolution" =>
+        engine.run(s"artist_evolution_${req.statsRange}",
+          ArtistEvolutionStats(), store, from, to)
       case "stats.user.daily_activity" =>
         engine.run(s"daily_activity_${req.statsRange}",
           DailyActivityStats("user_id", "listened_at"), store, from, to)

@@ -118,6 +118,35 @@ final case class SitewideEntityStats(
   }
 }
 
+/** Artist-evolution activity (user/artist_evolution_activity.py:32-120):
+  * per (user, listen-year, artist) counts with the artist exploded from
+  * the credit array — LATERAL VIEW explode semantics; unmapped credits
+  * (null array) are retained under a null artist_mbid, which is why the
+  * downstream combine groups null-safely (Spark's groupBy treats nulls as
+  * a regular key, matching the reference's manual OR-IS-NULL join). */
+final case class ArtistEvolutionStats() extends StatsProvider {
+  override def filterKeys: Seq[String] = Seq("user_id")
+
+  override def aggregate(listens: DataFrame): DataFrame =
+    listens
+      .select(col("user_id"), year(col("listened_at")).as("year"),
+        col("artist_name"),
+        explode_outer(col("artist_credit_mbids")).as("artist_mbid"))
+      .groupBy(col("user_id"), col("year"),
+        lower(col("artist_name")).as("artist_name_key"), col("artist_mbid"))
+      .agg(min(col("artist_name")).as("artist_name"),
+        count(lit(1)).as("listen_count"))
+
+  override def combine(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(col("user_id"), col("year"), col("artist_name_key"),
+        col("artist_mbid"))
+      .agg(min(col("artist_name")).as("artist_name"),
+        sum(col("listen_count")).as("listen_count"))
+
+  override def stats(partial: DataFrame): DataFrame = partial
+}
+
 /** Day-of-week × hour activity grid (user/daily_activity.py:36-46). */
 final case class DailyActivityStats(userCol: String, tsCol: String)
   extends StatsProvider {

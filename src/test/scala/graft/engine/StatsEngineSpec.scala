@@ -78,6 +78,22 @@ class StatsEngineSpec extends SparkSpec {
     assert(top.head.getLong(0) == 2, "top artist is the merged 2-count entry")
   }
 
+  test("ArtistEvolutionStats explodes credits per year, keeps unmapped") {
+    val ls = listensDf(Seq(
+      listen(1, "Duo", "2023-06-01 10:00:00", Some(Seq("m1", "m2"))),
+      listen(1, "Duo", "2024-01-01 10:00:00", Some(Seq("m1", "m2"))),
+      listen(1, "Unmapped", "2024-02-01 10:00:00", None)))
+    val p = ArtistEvolutionStats()
+    val rows = p.combine(p.aggregate(ls)).collect()
+    // 2 credits × 2 years + 1 unmapped row
+    assert(rows.length == 5)
+    val y2024m1 = rows.find(r => r.getInt(1) == 2024 &&
+      r.getAs[String]("artist_mbid") == "m1").get
+    assert(y2024m1.getAs[Long]("listen_count") == 1)
+    assert(rows.exists(r => r.getAs[String]("artist_mbid") == null),
+      "unmapped credit retained as null artist_mbid")
+  }
+
   test("disk-backed run caches partial and reuses it") {
     val work = tmpDir("engine-work")
     val storeDir = tmpDir("listen-store")
