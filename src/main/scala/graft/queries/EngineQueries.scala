@@ -323,8 +323,40 @@ object EngineQueries {
       ORDER BY cust, brand, pk"""),
     bench = true)
 
+  // ---------------------------------------------------------------- q94
+  /** Artist-evolution via the ArtistEvolutionStats provider: purchases
+    * shaped as listens (brand ≙ artist with a single-element credit
+    * array), yielding per-(customer, order-year, brand) counts through the
+    * provider's explode + case-insensitive keying. */
+  val q94ArtistEvolution = Q(
+    "q94_artist_evolution",
+    (s, d) => {
+      val listens = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("listened_at"),
+          col("p_brand").as("artist_name"),
+          array(col("p_brand")).as("artist_credit_mbids"))
+      val p = graft.engine.ArtistEvolutionStats()
+      p.stats(p.combine(p.aggregate(listens)))
+        .orderBy(col("user_id"), col("year"), col("artist_name_key"))
+    },
+    Some("""SELECT user_id, year, artist_name_key, artist_mbid,
+      artist_name, count(*) AS listen_count FROM (
+        SELECT o_custkey AS user_id, year(o_orderdate) AS year,
+          lower(p_brand) AS artist_name_key, p_brand AS artist_mbid,
+          p_brand AS artist_name
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey) t
+      GROUP BY user_id, year, artist_name_key, artist_mbid, artist_name
+      ORDER BY user_id, year, artist_name_key"""),
+    bench = true)
+
   val all: Seq[Q] = Seq(
     q70IncrementalTopk, q71SessionCooccur, q72OnlyIncremental,
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
-    q89GenreActivity, q90ListeningTime, q91FreshReleases)
+    q89GenreActivity, q90ListeningTime, q91FreshReleases,
+    q94ArtistEvolution)
 }
