@@ -44,12 +44,15 @@ object Activity {
         .filter(col("rn") <= 3)
         .groupBy(col("user_id"))
         .agg(sort_array(collect_list(struct(col("cnt"), col("event_type"))),
-          asc = false).as("top_entities"))
+          asc = false).as("tops"))
+        .select(col("user_id"),
+          EngineQueries.flat(col("tops"), "event_type", "cnt")
+            .as("top_entities"))
         .orderBy(col("user_id"))
     },
-    Some("""SELECT user_id,
+    Some("""SELECT user_id, array_to_string(list_transform(
       list_sort(list(struct_pack(cnt := cnt, event_type := event_type)),
-        'DESC') AS top_entities
+        'DESC'), x -> x.event_type || '=' || x.cnt), '|') AS top_entities
       FROM (
         SELECT user_id, event_type, cnt, row_number() OVER (
           PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
@@ -97,11 +100,13 @@ object Activity {
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("event_type"), col("cnt"))))
-        .as("type_counts"))
+        .as("tc"))
+      .select(col("user_id"),
+        EngineQueries.flat(col("tc"), "event_type", "cnt").as("type_counts"))
       .orderBy(col("user_id")),
-    Some("""SELECT user_id,
-      list_sort(list(struct_pack(event_type := event_type, cnt := cnt)))
-        AS type_counts
+    Some("""SELECT user_id, array_to_string(list_transform(
+      list_sort(list(struct_pack(event_type := event_type, cnt := cnt))),
+      x -> x.event_type || '=' || x.cnt), '|') AS type_counts
       FROM (SELECT user_id, event_type, count(*) AS cnt FROM events
         GROUP BY 1, 2) t GROUP BY user_id ORDER BY user_id"""))
 

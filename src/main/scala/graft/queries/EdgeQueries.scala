@@ -79,7 +79,8 @@ object EdgeQueries {
         .orderBy(col("user_id"))
     },
     Some("""SELECT user_id,
-      sum(CASE WHEN had_big THEN 1 ELSE 0 END) AS events_on_big_days,
+      cast(sum(CASE WHEN had_big THEN 1 ELSE 0 END) as bigint)
+        AS events_on_big_days,
       count(*) AS n_events
       FROM (SELECT user_id,
         bool_or(value > 150) OVER (
@@ -88,7 +89,10 @@ object EdgeQueries {
 
   // ---------------------------------------------------------------- q86
   /** True map-typed result via map_from_entries (A8,
-    * most_listened_year.py:40-44): per user, event_type → count map. */
+    * most_listened_year.py:40-44): per user, event_type → count map. The
+    * map is genuinely constructed (map_from_entries over sorted entries),
+    * then canonicalized back to an entry string via map_entries — the
+    * driver's pandas comparator can't hash map columns. */
   val q86MapResult = Q(
     "q86_map_result",
     (s, d) => Tables.events(s, d)
@@ -97,11 +101,15 @@ object EdgeQueries {
       .groupBy(col("user_id"))
       .agg(map_from_entries(
         sort_array(collect_list(struct(col("event_type"), col("cnt")))))
-        .as("type_counts"))
+        .as("m"))
+      .select(col("user_id"),
+        array_join(transform(map_entries(col("m")),
+          x => concat_ws("=", x("key"), x("value").cast("string"))), "|")
+          .as("type_counts"))
       .orderBy(col("user_id")),
-    Some("""SELECT user_id, map_from_entries(
-        list_sort(list(struct_pack(k := event_type, v := cnt))))
-        AS type_counts
+    Some("""SELECT user_id, array_to_string(list_transform(
+        list_sort(list(struct_pack(k := event_type, v := cnt))),
+        x -> x.k || '=' || x.v), '|') AS type_counts
       FROM (SELECT user_id, event_type, count(*) AS cnt FROM events
         GROUP BY 1, 2) t GROUP BY user_id ORDER BY user_id"""))
 

@@ -20,6 +20,17 @@ object EngineQueries {
 
   private val Pivot = "2024-01-20"
 
+  /** Canonicalize a nested array<struct<...>> result to one scalar string
+    * ("f1=f2|f1=f2|…", array order preserved): the driver's pandas
+    * comparator cannot sort array columns, so every nested result is
+    * emitted through this — the nested aggregation still runs, only the
+    * final projection flattens. All fields are bigint/varchar, which both
+    * engines render identically. */
+  private[queries] def flat(arr: org.apache.spark.sql.Column,
+      fields: String*): org.apache.spark.sql.Column =
+    array_join(transform(arr,
+      x => concat_ws("=", fields.map(f => x(f).cast("string")): _*)), "|")
+
   // ---------------------------------------------------------------- q70
   /** Full incremental path: partial-aggregate the base (ts < pivot), merge
     * with incremental listens (ts >= pivot) via the engine, rank top-3
@@ -34,12 +45,17 @@ object EngineQueries {
       val inc = ev.filter(col("ts") >= lit(Pivot).cast("timestamp"))
       IncrementalStatsEngine
         .merge(provider, provider.aggregate(base), inc, onlyInc = false)
+        .select(col("user_id"), col("total_count"),
+          flat(col("top_entities"), "event_type", "listen_count")
+            .as("top_entities"))
         .orderBy(col("user_id"))
     },
     Some("""SELECT user_id, total_count, top_entities FROM (
-      SELECT user_id, sum(cnt) AS total_count,
-        list_sort(list(struct_pack(listen_count := cnt,
-          event_type := event_type)) FILTER (WHERE rn <= 3), 'DESC')
+      SELECT user_id, cast(sum(cnt) as bigint) AS total_count,
+        array_to_string(list_transform(
+          list_sort(list(struct_pack(listen_count := cnt,
+            event_type := event_type)) FILTER (WHERE rn <= 3), 'DESC'),
+          x -> x.event_type || '=' || x.listen_count), '|')
           AS top_entities
       FROM (
         SELECT user_id, event_type, cnt, row_number() OVER (
@@ -65,6 +81,9 @@ object EngineQueries {
         col("event_type") === "purchase")
       IncrementalStatsEngine
         .merge(provider, provider.aggregate(base), inc, onlyInc = true)
+        .select(col("user_id"), col("total_count"),
+          flat(col("top_entities"), "event_type", "listen_count")
+            .as("top_entities"))
         .orderBy(col("user_id"))
     },
     Some("""WITH touched AS (
@@ -76,9 +95,11 @@ object EngineQueries {
           OR (ts >= TIMESTAMP '2024-01-29' AND event_type = 'purchase')
         GROUP BY 1, 2)
       SELECT user_id, total_count, top_entities FROM (
-        SELECT user_id, sum(cnt) AS total_count,
-          list_sort(list(struct_pack(listen_count := cnt,
-            event_type := event_type)) FILTER (WHERE rn <= 3), 'DESC')
+        SELECT user_id, cast(sum(cnt) as bigint) AS total_count,
+          array_to_string(list_transform(
+            list_sort(list(struct_pack(listen_count := cnt,
+              event_type := event_type)) FILTER (WHERE rn <= 3), 'DESC'),
+            x -> x.event_type || '=' || x.listen_count), '|')
             AS top_entities
         FROM (
           SELECT user_id, event_type, cnt, row_number() OVER (
@@ -114,7 +135,7 @@ object EngineQueries {
           ON a.u = b.u AND a.session_id = b.session_id AND a.e < b.e
         GROUP BY 1, 2, 3),
       scored AS (
-        SELECT e_a, e_b, sum(contrib) AS score FROM per_user
+        SELECT e_a, e_b, cast(sum(contrib) as bigint) AS score FROM per_user
         GROUP BY 1, 2 HAVING sum(contrib) >= 2)
       SELECT e_a, e_b, score, row_number() OVER (
         ORDER BY score DESC, e_a, e_b) AS rank
@@ -133,7 +154,8 @@ object EngineQueries {
     },
     Some("""SELECT event_type, capped_count, row_number() OVER (
         ORDER BY capped_count DESC, event_type) AS rank
-      FROM (SELECT event_type, sum(least(cnt, 15)) AS capped_count FROM (
+      FROM (SELECT event_type,
+        cast(sum(least(cnt, 15)) as bigint) AS capped_count FROM (
         SELECT event_type, user_id, count(*) AS cnt FROM events
         GROUP BY 1, 2) a GROUP BY event_type) b
       ORDER BY capped_count DESC, event_type LIMIT 10"""))
@@ -145,11 +167,18 @@ object EngineQueries {
     (s, d) => {
       val provider = ListenerStats("user_id", Seq("event_type"), top = 5)
       provider.stats(provider.aggregate(Tables.events(s, d)))
+        .select(col("event_type"), col("total_listen_count"),
+          col("listener_count"),
+          flat(col("top_listeners"), "user_id", "listen_count")
+            .as("top_listeners"))
         .orderBy(col("event_type"))
     },
-    Some("""SELECT event_type, total_listen_count, listener_count,
-      list_sort(list(struct_pack(listen_count := cnt, user_id := user_id))
-        FILTER (WHERE rn <= 5), 'DESC') AS top_listeners
+    Some("""SELECT event_type, cast(total_listen_count as bigint)
+        AS total_listen_count, listener_count,
+      array_to_string(list_transform(
+        list_sort(list(struct_pack(listen_count := cnt, user_id := user_id))
+          FILTER (WHERE rn <= 5), 'DESC'),
+        x -> x.user_id || '=' || x.listen_count), '|') AS top_listeners
       FROM (
         SELECT event_type, user_id, cnt, row_number() OVER (
             PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn,
@@ -210,11 +239,14 @@ object EngineQueries {
           col("p_brand").as("genre"))
       val p = graft.engine.CacheJoinedStats.GenreActivity(cache, top = 5)
       p.stats(p.combine(p.aggregate(listens)))
+        .select(col("user_id"),
+          flat(col("genres"), "genre", "listen_count").as("genres"))
         .orderBy(col("user_id"))
     },
-    Some("""SELECT user_id, list_sort(
+    Some("""SELECT user_id, array_to_string(list_transform(list_sort(
         list(struct_pack(listen_count := cnt, genre := genre))
-          FILTER (WHERE rn <= 5), 'DESC') AS genres
+          FILTER (WHERE rn <= 5), 'DESC'),
+        x -> x.genre || '=' || x.listen_count), '|') AS genres
       FROM (
         SELECT user_id, genre, cnt, row_number() OVER (
           PARTITION BY user_id ORDER BY cnt DESC, genre) AS rn
@@ -246,7 +278,8 @@ object EngineQueries {
         .orderBy(col("user_id"))
     },
     Some("""SELECT o_custkey AS user_id,
-      sum(cast(coalesce(length / 1000, 180) as bigint)) AS listening_time_s,
+      cast(sum(cast(coalesce(length / 1000, 180) as bigint)) as bigint)
+        AS listening_time_s,
       count(*) AS listen_count
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       LEFT JOIN (SELECT p_partkey, cast(p_size * 1000 as bigint) AS length

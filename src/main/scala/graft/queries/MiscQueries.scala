@@ -124,18 +124,18 @@ object MiscQueries {
       .groupBy(col("user_id"))
       .agg(collect_list(struct(col("cnt"), col("event_type"))).as("xs"))
       .select(col("user_id"),
-        transform(
+        array_join(transform(
           array_sort(col("xs"), (l, r) =>
             when(l("cnt") > r("cnt"), -1).when(l("cnt") < r("cnt"), 1)
               .when(l("event_type") < r("event_type"), -1)
               .when(l("event_type") > r("event_type"), 1)
               .otherwise(0)),
-          x => concat_ws("=", x("event_type"), x("cnt"))).as("ranked"))
+          x => concat_ws("=", x("event_type"), x("cnt"))), "|").as("ranked"))
       .orderBy(col("user_id")),
     Some("""SELECT user_id,
-      list_transform(
+      array_to_string(list_transform(
         list_sort(list(struct_pack(nc := -cnt, et := event_type))),
-        x -> concat_ws('=', x.et, -x.nc)) AS ranked
+        x -> concat_ws('=', x.et, -x.nc)), '|') AS ranked
       FROM (SELECT user_id, event_type, count(*) AS cnt FROM events
         GROUP BY 1, 2) t GROUP BY user_id ORDER BY user_id"""))
 

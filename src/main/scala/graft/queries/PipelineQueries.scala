@@ -113,7 +113,7 @@ object PipelineQueries {
         SELECT a.u AS u1, b.u AS u2, sum(a.c * b.c) AS dot
         FROM counts a JOIN counts b ON a.it = b.it AND a.u < b.u
         GROUP BY 1, 2)
-      SELECT u1, u2, dot,
+      SELECT u1, u2, cast(dot as bigint) AS dot,
         round(dot / sqrt(cast(n1.norm2 * n2.norm2 AS double)), 6) AS cosine_r
       FROM dots
       JOIN norms n1 ON u1 = n1.u JOIN norms n2 ON u2 = n2.u

@@ -42,7 +42,7 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus")),
     Some(s"""SELECT l_returnflag, l_linestatus,
-      sum(cast(l_quantity as bigint)) AS sum_qty,
+      cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
       ${sqlCents("l_extendedprice", "sum_base_price")},
       ${sqlCents("l_extendedprice * (1 - l_discount)", "sum_disc_price", 4)},
       count(*) AS count_order
@@ -206,16 +206,21 @@ object Relational {
       ORDER BY e.user_id, e.event_type"""))
 
   // ---------------------------------------------------------------- q10
-  /** Anti join (J4): the deleted-listens retraction primitive. */
+  /** Anti join (J4): the deleted-listens retraction primitive. The right
+    * side is a date-restricted slice (recently-active customers) so the
+    * retraction provably deletes rows — an unrestricted right side made
+    * every customer match and the oracle passed trivially on 0 rows. */
   val q10AntiJoin = Q(
     "q10_anti_join",
     (s, d) => Tables.customer(s, d)
-      .join(Tables.orders(s, d),
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .orderBy(col("c_custkey")),
     Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1998-01-01')
       ORDER BY c_custkey"""))
 
   // ---------------------------------------------------------------- q11
@@ -359,7 +364,7 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(sum(col("capped")).as("capped_total"))
       .orderBy(col("event_type")),
-    Some("""SELECT event_type, sum(capped) AS capped_total FROM (
+    Some("""SELECT event_type, cast(sum(capped) as bigint) AS capped_total FROM (
       SELECT event_type, user_id, least(count(*), 15) AS capped
       FROM events GROUP BY 1, 2) t
       GROUP BY event_type ORDER BY event_type"""))

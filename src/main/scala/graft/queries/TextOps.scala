@@ -49,8 +49,9 @@ object TextOps {
       .withColumn("ttr", col("n_distinct") / col("n_tokens"))
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id, n_chars, count(*) AS n_tokens,
-      sum(length(tok)) AS sum_tok_len, count(DISTINCT tok) AS n_distinct,
-      sum(length(tok)) / count(*) AS mean_tok_len,
+      cast(sum(length(tok)) as bigint) AS sum_tok_len,
+      count(DISTINCT tok) AS n_distinct,
+      cast(sum(length(tok)) as bigint) / count(*) AS mean_tok_len,
       count(DISTINCT tok) / count(*) AS ttr
       FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
         FROM documents) t WHERE tok <> ''
@@ -83,10 +84,12 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
     Some(s"""SELECT doc_id, n_chars, count(*) AS n_tokens,
-      sum(CASE WHEN tok IN (${Stopwords.map("'" + _ + "'").mkString(",")})
-        THEN 1 ELSE 0 END) AS n_stop,
-      sum(CASE WHEN tok IN (${Stopwords.map("'" + _ + "'").mkString(",")})
-        THEN 1 ELSE 0 END) / count(*) AS stop_ratio,
+      cast(sum(CASE WHEN tok IN
+        (${Stopwords.map("'" + _ + "'").mkString(",")})
+        THEN 1 ELSE 0 END) as bigint) AS n_stop,
+      cast(sum(CASE WHEN tok IN
+        (${Stopwords.map("'" + _ + "'").mkString(",")})
+        THEN 1 ELSE 0 END) as bigint) / count(*) AS stop_ratio,
       CASE WHEN count(*) < 20 THEN 'low'
            WHEN sum(CASE WHEN tok IN
              (${Stopwords.map("'" + _ + "'").mkString(",")})

@@ -56,7 +56,8 @@ object Windows {
         .orderBy(col("c_nationkey"), col("rk"), col("c_custkey"))
     },
     Some("""SELECT c_nationkey, rk, bal_bucket, c_custkey FROM (
-      SELECT c_nationkey, c_custkey, floor(c_acctbal / 1000) AS bal_bucket,
+      SELECT c_nationkey, c_custkey,
+        cast(floor(c_acctbal / 1000) as bigint) AS bal_bucket,
         rank() OVER (PARTITION BY c_nationkey
           ORDER BY floor(c_acctbal / 1000) DESC) AS rk
       FROM customer) t WHERE rk <= 2
@@ -97,8 +98,10 @@ object Windows {
         .withColumn("mean_gap_us", col("sum_gap_us") / col("n_gaps"))
         .orderBy(col("user_id"))
     },
-    Some("""SELECT user_id, count(*) AS n_gaps, sum(gap_us) AS sum_gap_us,
-      max(gap_us) AS max_gap_us, sum(gap_us) / count(*) AS mean_gap_us
+    Some("""SELECT user_id, count(*) AS n_gaps,
+      cast(sum(gap_us) as bigint) AS sum_gap_us,
+      max(gap_us) AS max_gap_us,
+      cast(sum(gap_us) as bigint) / count(*) AS mean_gap_us
       FROM (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         FROM events) t WHERE gap_us IS NOT NULL
@@ -180,8 +183,8 @@ object Windows {
         .orderBy(col("user_id"), col("event_type"))
     },
     Some("""SELECT user_id, event_type, cnt,
-      sum(cnt) OVER (PARTITION BY user_id) AS user_total,
-      cnt / (sum(cnt) OVER (PARTITION BY user_id)) AS share
+      cast(sum(cnt) OVER (PARTITION BY user_id) as bigint) AS user_total,
+      cnt / cast(sum(cnt) OVER (PARTITION BY user_id) as bigint) AS share
       FROM (SELECT user_id, event_type, count(*) AS cnt FROM events
         GROUP BY 1, 2) t ORDER BY user_id, event_type"""))
 
@@ -248,16 +251,20 @@ object Windows {
 
   // ---------------------------------------------------------------- q33
   /** O3/A6: collect_list + sort_array nesting — the stats-result shaping
-    * primitive (sorted array per group; scalar element type for
-    * cross-engine comparability). */
+    * primitive. The sorted array is emitted as a joined string: the
+    * driver's pandas comparator cannot sort array columns, so the nested
+    * value is canonicalized to a scalar that hashes on both engines. */
   val q33SortArray = Q(
     "q33_sort_array",
     (s, d) => Tables.lineitem(s, d)
       .filter(col("l_orderkey") % 100 === 0)
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("l_partkey"))),
+          x => x.cast("string")), ",").as("parts"))
       .orderBy(col("l_orderkey")),
-    Some("""SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+    Some("""SELECT l_orderkey,
+      array_to_string(list_sort(list(l_partkey)), ',') AS parts
       FROM lineitem WHERE l_orderkey % 100 = 0
       GROUP BY l_orderkey ORDER BY l_orderkey"""))
 

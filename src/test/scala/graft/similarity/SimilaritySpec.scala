@@ -60,4 +60,18 @@ class SimilaritySpec extends SparkSpec {
       }.toMap
     assert(math.abs(dimsum((1L, 2L)) - exact((1L, 2L))) < 1e-9)
   }
+
+  test("sparse exact cosine matches the densified small-N verifier") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ev = Seq.fill(400)(
+      (rnd.nextInt(8).toLong + 1L, s"i${rnd.nextInt(12)}"))
+      .toDF("user_id", "item")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("dot"), r.getAs[Double]("cosine_r"))).toSet
+    val sparse = key(UserCosine.exact(ev, "user_id", "item", 0.1))
+    val dense = key(UserCosine.denseSmall(ev, "user_id", "item", 0.1))
+    assert(sparse.nonEmpty && sparse == dense)
+  }
 }
