@@ -72,6 +72,45 @@ object CacheJoinedStats {
     override def stats(partial: DataFrame): DataFrame = partial
   }
 
+  /** Era activity through the two-hop metadata chain (reference
+    * stats/incremental/user/era_activity.py:27-45): listen → release →
+    * release group → first_release_date_year, keeping only dated years
+    * >= 1800 (the reference's bad-metadata floor). Left joins feed the
+    * year filter exactly as the reference writes it; the filter then makes
+    * them effectively inner, and Catalyst rewrites them so — the declared
+    * plan stays faithful while the executed plan is the cheap one.
+    *
+    * releaseCache: (release_mbid, release_group_mbid);
+    * releaseGroupCache: (release_group_mbid, first_release_date_year). */
+  final case class EraActivityChained(
+      releaseCache: DataFrame, releaseGroupCache: DataFrame)
+    extends StatsProvider {
+    override def filterKeys: Seq[String] = Seq("user_id")
+
+    override def aggregate(listens: DataFrame): DataFrame =
+      listens
+        .join(broadcast(releaseCache.select(col("release_mbid"),
+          col("release_group_mbid"))), Seq("release_mbid"), "left")
+        .join(broadcast(releaseGroupCache.select(col("release_group_mbid"),
+          col("first_release_date_year"))),
+          Seq("release_group_mbid"), "left")
+        .filter(col("first_release_date_year").isNotNull &&
+          col("first_release_date_year") >= 1800)
+        .groupBy(col("user_id"), col("first_release_date_year").as("year"))
+        .agg(count(lit(1)).as("listen_count"))
+
+    override def combine(partials: DataFrame): DataFrame =
+      partials.groupBy(col("user_id"), col("year"))
+        .agg(sum(col("listen_count")).as("listen_count"))
+
+    /** Nested (year, listen_count) ascending, the reference's
+      * SORT_ARRAY(COLLECT_LIST(STRUCT(year, listen_count))). */
+    override def stats(partial: DataFrame): DataFrame =
+      partial.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("year"),
+          col("listen_count")))).as("era_activity"))
+  }
+
   /** Total listening time per user: track lengths from the
     * recording-length cache, missing metadata defaulting to 180 s — the
     * reference's default-track-length constant (similarity/recording/

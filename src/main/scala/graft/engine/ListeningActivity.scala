@@ -35,10 +35,19 @@ object ListeningActivity {
   def compute(
       listens: DataFrame, userCol: String, tsCol: String,
       range: String, maxListenedAt: Timestamp): DataFrame = {
-    val spark = listens.sparkSession
     val (from, to) = StatsRange.window(range, maxListenedAt)
-    val unit = bucketUnit(range)
+    computeWindow(listens, userCol, tsCol, from, to, bucketUnit(range))
+  }
 
+  /** Same densified grid over an explicit [from, to) window with an
+    * explicit bucket unit — the from/to-selector path that serves YIM
+    * listens_per_day (reference year_in_music/listens_per_day.py: the
+    * listening-activity entity under a FromTo selector at day
+    * granularity). */
+  def computeWindow(
+      listens: DataFrame, userCol: String, tsCol: String,
+      from: Timestamp, to: Timestamp, unit: String): DataFrame = {
+    val spark = listens.sparkSession
     val inRange = listens.filter(
       col(tsCol) >= lit(from) && col(tsCol) < lit(to))
 
