@@ -7,16 +7,24 @@ import graft.engine._
 
 /** Request dispatch — the engine's API surface, mirroring the reference's
   * query_map.py:45-96 (name → handler) and request_queries.json (name →
-  * params): a stat request names a query family, an entity, and a stats
-  * range; the handler resolves the range against the data's high-water
-  * mark and runs the matching provider through the incremental engine.
+  * params). A request names a query, an entity, a stats range or year, and
+  * optionally carries a payload frame (dump imports); the handler resolves
+  * the window against the data's high-water mark and runs the matching
+  * provider/job. Every one of the reference's 44 registered names is
+  * dispatchable; [[Dispatch.names]] is the registry.
   */
-final class Dispatch(spark: SparkSession, store: ListenStore, engine: IncrementalStatsEngine) {
+final class Dispatch(
+    spark: SparkSession, store: ListenStore,
+    engine: IncrementalStatsEngine, caches: Dispatch.Caches = Dispatch.Caches(),
+    workDir: String = "/tmp/graft-dispatch") {
 
-  /** A parsed stat request (the JSON request body's fields). */
+  /** A parsed request (the JSON request body's fields). `data` carries the
+    * payload frame of import requests; `year` parameterizes the YIM
+    * family (0 = the anchor listen's year). */
   final case class StatRequest(
       query: String, entity: String = "artists",
-      statsRange: String = "all_time", onlyInc: Boolean = false)
+      statsRange: String = "all_time", onlyInc: Boolean = false,
+      year: Int = 0, data: Option[DataFrame] = None, dumpId: Int = 0)
 
   private def entityProvider(entity: String, top: Int): StatsProvider =
     entity match {
@@ -31,18 +39,50 @@ final class Dispatch(spark: SparkSession, store: ListenStore, engine: Incrementa
       .getOrElse(new Timestamp(System.currentTimeMillis()))
   }
 
+  private def yimWindow(req: StatRequest): (Timestamp, Timestamp) = {
+    val y = if (req.year > 0) req.year
+      else anchor().toLocalDateTime.getYear
+    (Timestamp.valueOf(s"$y-01-01 00:00:00"),
+      Timestamp.valueOf(s"${y + 1}-01-01 00:00:00"))
+  }
+
+  private def status(kind: String, detail: String): DataFrame = {
+    import spark.implicits._
+    Seq((kind, detail)).toDF("type", "detail")
+  }
+
+  private val dumps = new graft.ingest.DumpImport(
+    spark, store, s"$workDir/dumps", engine.workDir)
+
   /** Resolve and run a request; returns the result frame. Families mirror
     * query_map.py: stats.* run through the incremental engine with cached
-    * partials; popularity/similarity/playlist jobs run directly over the
-    * windowed listens (as the reference's non-stats jobs do). */
+    * partials; YIM jobs run over the year window; popularity / similarity /
+    * playlist / dataset jobs run directly over the windowed listens;
+    * import.* commands orchestrate the store and answer with a status
+    * row (the reference's import handlers return messages, not frames). */
   def handle(req: StatRequest): DataFrame = {
-    val (from, to) = StatsRange.window(req.statsRange, anchor())
+    lazy val (from, to) = StatsRange.window(req.statsRange, anchor())
     def windowed: DataFrame = store.listens(from, to)
+    lazy val (yFrom, yTo) = yimWindow(req)
+    def yearListens: DataFrame = store.listens(yFrom, yTo)
+    def allListens: DataFrame =
+      store.listens(new Timestamp(0L), Timestamp.valueOf(
+        anchor().toLocalDateTime.plusSeconds(1)))
+    def sitewide(df: DataFrame): DataFrame =
+      df.withColumn("user_id", lit(0))
+    def payload: DataFrame = req.data.getOrElse(
+      throw new IllegalArgumentException(s"${req.query} needs a payload"))
+
     req.query match {
+      // ------------------------------------------------------ diagnostics
+      case "echo.echo" => status("echo", req.entity)
+
+      // ---------------------------------------------------------- stats.*
       case "stats.user.entity" =>
         engine.run(s"user_${req.entity}_${req.statsRange}",
           entityProvider(req.entity, top = 1000), store, from, to, req.onlyInc)
-      case "stats.user.artist_evolution" =>
+      case "stats.user.artist_evolution_activity" |
+           "stats.user.artist_evolution" =>
         engine.run(s"artist_evolution_${req.statsRange}",
           ArtistEvolutionStats(), store, from, to)
       case "stats.user.daily_activity" =>
@@ -51,23 +91,203 @@ final class Dispatch(spark: SparkSession, store: ListenStore, engine: Incrementa
       case "stats.user.listening_activity" =>
         ListeningActivity.compute(
           windowed, "user_id", "listened_at", req.statsRange, anchor())
+      case "stats.user.genre_activity" =>
+        engine.run(s"genre_activity_${req.statsRange}",
+          CacheJoinedStats.GenreActivity(caches.genres), store, from, to)
+      case "stats.user.era_activity" =>
+        engine.run(s"era_activity_${req.statsRange}",
+          CacheJoinedStats.EraActivityChained(
+            caches.releases, caches.releaseGroups), store, from, to)
       case "stats.sitewide.entity" =>
         engine.run(s"sitewide_${req.entity}_${req.statsRange}",
           SitewideEntityStats("user_id", Seq(req.entity)), store, from, to)
-      case "stats.listener.entity" =>
+      case "stats.sitewide.listening_activity" =>
+        ListeningActivity.compute(sitewide(windowed),
+          "user_id", "listened_at", req.statsRange, anchor())
+      case "stats.sitewide.era_activity" =>
+        val p = CacheJoinedStats.EraActivityChained(
+          caches.releases, caches.releaseGroups)
+        p.stats(p.combine(p.aggregate(sitewide(windowed))))
+      case "stats.sitewide.artist_evolution_activity" =>
+        val p = ArtistEvolutionStats()
+        p.stats(p.combine(p.aggregate(sitewide(windowed))))
+      case "stats.entity.listeners" =>
         engine.run(s"listener_${req.entity}_${req.statsRange}",
           ListenerStats("user_id", Seq(req.entity)), store, from, to)
-      case "datasets.missing_mb_data" =>
+
+      // --------------------------------------------------------- import.*
+      case "import.dump.full" =>
+        dumps.importFull(payload, req.dumpId)
+        status("import_full", s"dump ${req.dumpId}")
+      case "import.dump.incremental" =>
+        dumps.importIncremental(payload, req.dumpId)
+        status("import_incremental", s"dump ${req.dumpId}")
+      case "import.dump.sample" =>
+        dumps.importFull(payload, req.dumpId)
+        status("import_sample", s"dump ${req.dumpId}")
+      case "import.dump.mlhd" =>
+        // MLHD chunks land partitioned by user-prefix chunk, the unit the
+        // chunked similarity job later iterates (mlhd/download.py:24-58)
+        payload
+          .withColumn("chunk", col("user_id") % 16)
+          .repartition(col("chunk"))
+          .write.partitionBy("chunk").mode("overwrite")
+          .parquet(s"$workDir/mlhd")
+        status("import_mlhd", s"$workDir/mlhd")
+      case "import.deleted_listens" =>
+        store.appendDeleted(payload)
+        status("import_deleted", "appended")
+      case "import.compact_listens" =>
+        store.compact()
+        status("compact", "done")
+      case "import.pg_metadata_tables" =>
+        // JDBC cache refresh (postgres/utils.py:8-17): every metadata
+        // cache re-imported through the pushdown query path
+        caches.jdbc match {
+          case Some((cfg, queries)) =>
+            queries.foreach { case (name, sql) =>
+              graft.ingest.JdbcCache.importCache(
+                spark, cfg, sql, s"$workDir/caches/$name")
+            }
+            status("import_pg", queries.keys.mkString(","))
+          case None => status("import_pg", "no jdbc source configured")
+        }
+
+      // ------------------------------------------------------------- cf.*
+      case "cf.missing_mb_data" =>
         MissingMbData(windowed)
+      case "cf.recommendations.recording.create_dataframes" =>
+        val pc = graft.recs.Als.buildPlaycounts(
+          windowed.filter(col("recording_mbid").isNotNull),
+          "user_id", "recording_mbid")
+        pc.write.mode("overwrite").parquet(s"$workDir/cf/playcounts")
+        pc
+      case "cf.recommendations.recording.train_model" =>
+        val pc = spark.read.parquet(s"$workDir/cf/playcounts")
+        val model = graft.recs.Als.train(pc)
+        model.write.overwrite().save(s"$workDir/cf/model")
+        status("model", s"$workDir/cf/model")
+      case "cf.recommendations.recording.recommendations" =>
+        val pc = spark.read.parquet(s"$workDir/cf/playcounts")
+        val model = org.apache.spark.ml.recommendation.ALSModel
+          .load(s"$workDir/cf/model")
+        val raw = graft.recs.Als.recommend(model, pc, k = 50)
+          .select(col("als_user_id").as("spark_user_id"),
+            col("als_item_id").as("recording_id"),
+            col("score").as("prediction"))
+        val users = pc.select(col("als_user_id").as("spark_user_id"),
+          col("user_id")).distinct()
+        val recordings = pc.select(col("als_item_id").as("recording_id"),
+          col("recording_mbid")).distinct()
+        graft.recs.Recommend.nest(graft.recs.Recommend.process(
+          raw, users, recordings,
+          graft.recs.Recommend.recordingDiscovery(allListens), limit = 30))
+      case "cf.recommendations.recording.discovery" =>
+        val d = graft.recs.Recommend.recordingDiscovery(allListens)
+        d.write.mode("overwrite").parquet(s"$workDir/cf/discovery")
+        d
+
+      // ----------------------------------------------------- similarity.*
+      case "similarity.similar_users" =>
+        graft.yim.Yim.similarUsers(
+          windowed.filter(col("recording_mbid").isNotNull),
+          "user_id", "recording_mbid", k = 25)
+      case "similarity.recording" =>
+        graft.similarity.SessionSimilarity(
+          windowed.filter(col("recording_mbid").isNotNull),
+          "user_id", "listened_at", "recording_mbid",
+          gapSeconds = 1800L, perUserCap = 10L, minScore = 2L, topK = 1000)
+      case "similarity.artist" =>
+        graft.similarity.SessionSimilarity(
+          windowed, "user_id", "listened_at", "artist_name",
+          gapSeconds = 1800L, perUserCap = 10L, minScore = 2L, topK = 1000)
+      case "similarity.mlhd" =>
+        // the chunked MLHD variant: per-user-prefix partial aggregation
+        // (mlhd.py:32-40 + similarity/recording/common.py:190-213)
+        val chunks = (0 until 16).map(i => col("user_id") % 16 === i)
+        ChunkedRunner.run(spark,
+          windowed.filter(col("recording_mbid").isNotNull),
+          TopEntityStats("user_id", Seq("recording_mbid"), top = 1000),
+          chunks, s"$workDir/mlhd-chunks")
+
+      // ----------------------------------------------------- popularity.*
+      case "popularity.popularity" =>
+        graft.popularity.Popularity.entity(
+          windowed, "user_id", Seq(req.entity))
       case "popularity.entity" =>
         graft.popularity.Popularity.entity(
           windowed, "user_id", Seq(req.entity))
-      case "similarity.sessions" =>
-        graft.similarity.SessionSimilarity(
-          windowed, "user_id", "listened_at", req.entity,
-          gapSeconds = 1800L, perUserCap = 10L, minScore = 2L, topK = 1000)
-      case "playlists.periodic_jams" =>
-        // feedback comes from the store's cache; empty when never written
+
+      // -------------------------------------------------- year_in_music.*
+      case "year_in_music.new_releases_of_top_artists" =>
+        graft.yim.Yim.newReleasesOfTopArtists(yearListens, caches.newReleases)
+      case "year_in_music.most_listened_year" =>
+        graft.yim.Yim.mostListenedYear(yearListens, caches.releaseYears)
+      case "year_in_music.artist_evolution_activity" =>
+        val p = ArtistEvolutionStats()
+        p.stats(p.combine(p.aggregate(yearListens)))
+      case "year_in_music.day_of_week" =>
+        graft.yim.Yim.dayOfWeek(yearListens)
+      case "year_in_music.similar_users" =>
+        graft.yim.Yim.similarUsers(
+          yearListens.filter(col("recording_mbid").isNotNull),
+          "user_id", "recording_mbid", k = 25)
+      case "year_in_music.top_stats" =>
+        val p = TopEntityStats("user_id",
+          Seq(if (req.entity == "artists") "artist_name"
+            else "recording_mbid"), top = 50)
+        p.stats(p.combine(p.aggregate(yearListens)))
+      case "year_in_music.listens_per_day" =>
+        ListeningActivity.computeWindow(
+          yearListens, "user_id", "listened_at", yFrom, yTo, "day")
+      case "year_in_music.listen_count" =>
+        graft.yim.Yim.listenCount(yearListens)
+      case "year_in_music.new_artists_discovered_count" =>
+        graft.yim.Yim.newArtistsDiscovered(allListens, yFrom, yTo)
+      case "year_in_music.listening_time" =>
+        val p = CacheJoinedStats.ListeningTime(caches.recordingLengths)
+        p.stats(p.combine(p.aggregate(yearListens)))
+      case "year_in_music.top_genres" =>
+        graft.yim.Yim.topGenres(
+          yearListens.select(col("user_id"), col("recording_mbid")),
+          caches.recordingGenres, caches.releaseGroupGenres,
+          caches.artistGenres)
+      case "year_in_music.genre_activity" =>
+        graft.yim.Yim.genreHourActivity(yearListens, caches.genres)
+      case "year_in_music.top_missed_recordings" =>
+        val similar = graft.yim.Yim.similarUsers(
+            yearListens.filter(col("recording_mbid").isNotNull),
+            "user_id", "recording_mbid", k = 3)
+          .select(col("user_id"), explode(col("similar_users.other_user_id"))
+            .as("other_user_id"))
+        graft.yim.Yim.topMissedRecordings(allListens, similar,
+          caches.recordingArtists,
+          (crc32(col("recording_mbid").cast("string"))) % 1000000007L,
+          yFrom)
+      case "year_in_music.top_discoveries" =>
+        val scored = graft.yim.Yim.tracksOfYear(
+          allListens.filter(col("listened_at") < lit(yTo)),
+          if (req.year > 0) req.year else anchor().toLocalDateTime.getYear)
+        graft.yim.Yim.artistCappedPlaylist(scored, caches.recordingArtists,
+          (crc32(col("recording_mbid").cast("string"))) % 1000000007L)
+
+      // ---------------------------------------------------- datasets etc.
+      case "releases.fresh" =>
+        graft.yim.Yim.newReleasesOfTopArtists(
+          windowed, caches.newReleases)
+      case "tags.default" =>
+        // the reference runs the same dataset per source; union of the
+        // per-source runs, tagged (tags/tags.py:44-50)
+        Seq(
+          ("recording", caches.recordingTags),
+          ("artist", caches.artistTags),
+          ("release-group", caches.releaseGroupTags))
+          .map { case (source, t) =>
+            graft.tags.Tags.dataset(t, caches.popularity)
+              .withColumn("source", lit(source))
+          }
+          .reduce(_ unionByName _)
+      case "troi.playlists" | "playlists.periodic_jams" =>
         val feedbackSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("user_id",
             org.apache.spark.sql.types.IntegerType),
@@ -78,8 +298,93 @@ final class Dispatch(spark: SparkSession, store: ListenStore, engine: Incrementa
         graft.playlists.Playlists.periodicJams(
           windowed, store.feedback(feedbackSchema), "user_id", req.entity,
           maxPerPlaylist = 50, seed = 42L)
+      case "datasets.missing_mb_data" =>
+        MissingMbData(windowed)
+      case "similarity.sessions" =>
+        graft.similarity.SessionSimilarity(
+          windowed, "user_id", "listened_at", req.entity,
+          gapSeconds = 1800L, perUserCap = 10L, minScore = 2L, topK = 1000)
       case other =>
         throw new IllegalArgumentException(s"unknown query: $other")
     }
   }
+}
+
+object Dispatch {
+
+  /** Metadata caches the handlers join against — the parquet snapshots
+    * the reference imports from postgres (its postgres package).
+    * Cache-dependent handlers require their cache to be supplied; the
+    * import.pg_metadata_tables command is how a deployment refreshes them
+    * from a JDBC source. */
+  final case class Caches(
+      genres: DataFrame = null,
+      releases: DataFrame = null,
+      releaseGroups: DataFrame = null,
+      releaseYears: DataFrame = null,
+      recordingLengths: DataFrame = null,
+      recordingArtists: DataFrame = null,
+      recordingGenres: DataFrame = null,
+      releaseGroupGenres: DataFrame = null,
+      artistGenres: DataFrame = null,
+      recordingTags: DataFrame = null,
+      artistTags: DataFrame = null,
+      releaseGroupTags: DataFrame = null,
+      popularity: DataFrame = null,
+      newReleases: DataFrame = null,
+      jdbc: Option[(graft.ingest.JdbcCache.JdbcConfig, Map[String, String])] = None)
+
+  /** Every dispatchable name — query_map.py:45-96 parity plus the engine's
+    * own extensions (popularity.entity, similarity.sessions/mlhd,
+    * datasets.missing_mb_data). */
+  val names: Seq[String] = Seq(
+    "echo.echo",
+    "stats.entity.listeners",
+    "stats.user.entity",
+    "stats.user.listening_activity",
+    "stats.user.genre_activity",
+    "stats.user.daily_activity",
+    "stats.user.era_activity",
+    "stats.user.artist_evolution_activity",
+    "stats.sitewide.entity",
+    "stats.sitewide.listening_activity",
+    "stats.sitewide.era_activity",
+    "stats.sitewide.artist_evolution_activity",
+    "import.dump.full",
+    "import.dump.mlhd",
+    "import.dump.incremental",
+    "import.dump.sample",
+    "cf.missing_mb_data",
+    "cf.recommendations.recording.create_dataframes",
+    "cf.recommendations.recording.train_model",
+    "cf.recommendations.recording.recommendations",
+    "cf.recommendations.recording.discovery",
+    "similarity.similar_users",
+    "similarity.recording",
+    "similarity.artist",
+    "similarity.mlhd",
+    "popularity.popularity",
+    "year_in_music.new_releases_of_top_artists",
+    "year_in_music.most_listened_year",
+    "year_in_music.artist_evolution_activity",
+    "year_in_music.day_of_week",
+    "year_in_music.similar_users",
+    "year_in_music.top_stats",
+    "year_in_music.listens_per_day",
+    "year_in_music.listen_count",
+    "year_in_music.new_artists_discovered_count",
+    "year_in_music.listening_time",
+    "year_in_music.top_genres",
+    "year_in_music.genre_activity",
+    "year_in_music.top_missed_recordings",
+    "year_in_music.top_discoveries",
+    "import.pg_metadata_tables",
+    "releases.fresh",
+    "troi.playlists",
+    "tags.default",
+    "import.deleted_listens",
+    "import.compact_listens",
+    "popularity.entity",
+    "similarity.sessions",
+    "datasets.missing_mb_data")
 }

@@ -58,7 +58,7 @@ object IncrementalStatsEngine {
   }
 }
 
-final class IncrementalStatsEngine(spark: SparkSession, workDir: String) {
+final class IncrementalStatsEngine(spark: SparkSession, val workDir: String) {
 
   private def partialPath(statName: String) = s"$workDir/$statName/partial"
   private def bookPath(statName: String) = s"$workDir/$statName/bookkeeping"

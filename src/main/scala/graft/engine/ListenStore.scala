@@ -137,6 +137,14 @@ final class ListenStore(spark: SparkSession, root: String) {
     val merged = retractDeleted(baseListens.unionByName(incrementalListens))
       .localCheckpoint() // sever lineage from the paths about to be rewritten
     writeBase(merged)
+    clearSideTables()
+  }
+
+  /** Drop the incremental sibling and deletion side tables — after a
+    * compaction folded them in, or after a full-dump import superseded
+    * them (the reference's new-listens-location swap leaves them behind in
+    * the abandoned directory). */
+  def clearSideTables(): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(incPath, deletedPath, deletedHistoryPath).foreach { p =>

@@ -197,6 +197,61 @@ object Yim {
       Seq("user_id"))
   }
 
+  /** Most-active weekday per user (day_of_week.py): argmax over per-day
+    * counts, tie-broken deterministically via the struct-max pattern. */
+  def dayOfWeek(listens: DataFrame): DataFrame =
+    listens
+      .groupBy(col("user_id"),
+        date_format(col("listened_at"), "EEEE").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("cnt"), col("day"))).as("best"))
+      .select(col("user_id"), col("best.day").as("day_of_week"))
+
+  /** Count of artists FIRST listened inside [from, to) per user
+    * (new_artists_discovered.py:29-40: HAVING on min(listened_at)). */
+  def newArtistsDiscovered(
+      listens: DataFrame, from: java.sql.Timestamp,
+      to: java.sql.Timestamp): DataFrame =
+    listens
+      .select(col("user_id"), col("listened_at"),
+        explode_outer(col("artist_credit_mbids")).as("artist_mbid"))
+      .filter(col("artist_mbid").isNotNull)
+      .groupBy(col("user_id"), col("artist_mbid"))
+      .agg(min(col("listened_at")).as("first_listen"))
+      .filter(col("first_listen") >= lit(from) && col("first_listen") < lit(to))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("new_artists_discovered"))
+
+  /** New releases by each user's top artists
+    * (new_releases_of_top_artists.py:39-42 — the reference's documented
+    * 90× rewrite: EQUI-join on the exploded artist mbid, never
+    * arrays_overlap/BNLJ): top-k artists per user by listen count, matched
+    * to releases in the window via the release's exploded artist credits.
+    *
+    * releases: (release_mbid, release_name, artist_credit_mbids). */
+  def newReleasesOfTopArtists(
+      listens: DataFrame, releases: DataFrame, topArtists: Int = 50): DataFrame = {
+    val counts = listens
+      .filter(col("artist_credit_mbids").isNotNull)
+      .groupBy(col("user_id"), col("artist_credit_mbids"))
+      .agg(count(lit(1)).as("listen_count"))
+    val top = counts
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("listen_count").desc, col("artist_credit_mbids"))))
+      .filter(col("rn") <= topArtists)
+      .select(col("user_id"),
+        explode(col("artist_credit_mbids")).as("artist_mbid"))
+      .distinct()
+    val released = releases
+      .select(col("release_mbid"), col("release_name"),
+        explode(col("artist_credit_mbids")).as("artist_mbid"))
+    top.join(released, Seq("artist_mbid")) // equi-join on the credit key
+      .groupBy(col("user_id"), col("release_mbid"))
+      .agg(first(col("release_name")).as("release_name"))
+  }
+
   /** Genre activity by hour (genre_activity.py:31-66): listen counts per
     * (user, genre, hour-of-day) through the genre cache, top-k genres per
     * (user, hour), nested per user. genres: (recording_mbid, genre). */
