@@ -37,16 +37,18 @@ object MinHash {
 
   private def pmod(e: Column, m: Column): Column = ((e % m) + m) % m
 
-  /** Word shingles of length `k` per document: (id, shingle) distinct. */
+  /** Word shingles of length `k` per document: (id, shingle) distinct —
+    * the standard n-k+1 sliding windows; documents shorter than `k` tokens
+    * yield none. Join-free: one transform over positions per row. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = docs.select(col(idCol),
       filter(split(col(textCol), " "), t => t =!= "").as("toks"))
-    // sliding k-grams via transform over positions; join-free
+    val n = size(col("toks"))
     toks.select(col(idCol),
-        explode(transform(
-          sequence(lit(0), greatest(size(col("toks")) - k, lit(0)) - 1),
-          i => concat_ws(" ",
-            slice(col("toks"), i + 1, lit(k))))).as("shingle"))
+        explode(when(n >= k, transform(
+            sequence(lit(0), n - k),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
       .filter(col("shingle") =!= "")
       .distinct()
   }

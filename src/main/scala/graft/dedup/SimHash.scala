@@ -17,19 +17,37 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** Per-document 64-bit fingerprint as a long column `simhash`. */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Cross-engine-reproducible 62-bit token hash: two 31-bit polynomial
+    * rolls over the token's code points (bases 31 and 37, Mersenne 2^31-1
+    * modulus) packed side by side. Every step is plain integer arithmetic
+    * a differential oracle can replay in ANSI SQL — unlike xxhash64 — at
+    * the cost of an interpreted higher-order fold, so it is the
+    * VERIFICATION hash; [[fingerprints]] defaults to codegen'd xxhash64
+    * for production runs. */
+  def polyHash62(tok: Column): Column = {
+    def roll(base: Int): Column = aggregate(
+      sequence(lit(1), length(tok)), lit(0L),
+      (acc, i) => (acc * base + ascii(substring(tok, i, lit(1)))) % 2147483647L)
+    roll(31) + shiftleft(roll(37), 31)
+  }
+
+  /** Per-document fingerprint as a long column `simhash`: each token votes
+    * ±1 on each of `bits` bits of its hash; the fingerprint takes the
+    * vote signs. */
+  def fingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
     val toks = docs.select(col(idCol),
         explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
+      .withColumn("h", tokenHash(col("tok")))
+    val votes = (0 until bits).map { i =>
       // bit i set → +1 else -1
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"v_$i")
     }
     val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map { i =>
+    val fp = (0 until bits).map { i =>
       when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     agg.select(col(idCol), fp.as("simhash"))
@@ -38,13 +56,16 @@ object SimHash {
   private def popcount(c: Column): Column = bit_count(c)
 
   /** Near-dup pairs with Hamming distance <= maxHamming via pigeonhole
-    * blocking on fingerprint chunks. */
+    * blocking on fingerprint chunks: a pair within the bound MUST agree
+    * exactly on at least one of maxHamming+1 blocks, so recall is total —
+    * blocking changes cost, never results. */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = xxhash64(_), totalBits: Int = 64): DataFrame = {
     val blocks = maxHamming + 1
-    val bits = 64 / blocks
-    val fps = fingerprints(docs, idCol, textCol)
+    val bits = totalBits / blocks
+    val fps = fingerprints(docs, idCol, textCol, tokenHash, totalBits)
     val chunks = (0 until blocks).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), b * bits)

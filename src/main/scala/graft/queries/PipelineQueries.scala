@@ -8,59 +8,120 @@ import graft.recs.Als
 import graft.similarity.UserCosine
 
 /** Training-data-pipeline queries wrapping the dedup / multimodal / recs
-  * library modules. MinHash/SimHash/ALS/media rely on engine-specific
-  * hashing or ML training, so they are rows-only checked here (no portable
-  * SQL oracle) — their semantics are unit-tested with planted fixtures in
-  * the ScalaTest specs instead. q81 (exact user cosine) is fully
-  * oracle-verified.
+  * library modules. The dedup family carries DIFFERENTIAL oracles: DuckDB
+  * recomputes the exact brute-force answer (all-pairs Jaccard for q46,
+  * all-pairs Hamming over SQL-replayable polyHash62 fingerprints for
+  * q47/q48), so a hash match proves the LSH/blocking path loses nothing.
+  * ALS training and media decoding stay rows-only (no portable oracle);
+  * their semantics are unit-tested with planted fixtures in the ScalaTest
+  * specs. q81 (exact user cosine) is fully oracle-verified.
   */
 object PipelineQueries {
 
+  /** DuckDB replica of MinHash.shingles (k=3, n-k+1 windows, distinct,
+    * empty-token filter) — the exact-Jaccard half of the q46 differential
+    * oracle. */
+  private val ShinglesSql =
+    """toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+          AS t(i)
+        WHERE array_to_string(toks[i:i+2], ' ') <> '')"""
+
+  /** DuckDB replica of SimHash.fingerprints over [[SimHash.polyHash62]]:
+    * per-token double 31-bit polynomial roll, ±1 votes per bit, sign
+    * fingerprint. */
+  private val PolyFingerprintSql =
+    """wtoks AS (
+        SELECT doc_id, t.tok FROM documents,
+          unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''),
+      hashed AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(0::BIGINT, list_transform(
+              generate_series(1, length(tok)), i -> unicode(tok[i:i]))),
+            (a, c) -> (a * 31 + c) % 2147483647)
+          + (list_reduce(list_prepend(0::BIGINT, list_transform(
+              generate_series(1, length(tok)), i -> unicode(tok[i:i]))),
+            (a, c) -> (a * 37 + c) % 2147483647) << 31) AS h
+        FROM wtoks),
+      votes AS (
+        SELECT doc_id, b.bit,
+          sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed, unnest(generate_series(0, 61)) AS b(bit)
+        GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN 1::BIGINT << bit
+          ELSE 0 END) AS bigint) AS simhash
+        FROM votes GROUP BY 1)"""
+
   // ---------------------------------------------------------------- q46
-  /** MinHash+LSH near-dup candidates over documents, exact-verified.
-    * Random-vocab synthetic docs rarely clear a high threshold, so the
-    * query reports the verified-pair distribution at a low one; planted
-    * duplicate tests live in DedupSpec. */
+  /** MinHash+LSH near-dup pairs over documents, exact-verified. The
+    * DIFFERENTIAL oracle computes brute-force all-pairs Jaccard in DuckDB
+    * — a hash match proves the banded-LSH path (signatures → buckets →
+    * candidate join → verify) loses no pair at this threshold, on top of
+    * the planted-duplicate recall tests in DedupSpec. */
   val q46MinhashNeardup = Q(
     "q46_minhash_neardup",
     (s, d) => MinHash.nearDuplicates(
         Tables.documents(s, d), "doc_id", "text",
         shingleLen = 3, numPerms = 32, bands = 8, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b")),
-    oracle = None,
+    Some(s"""WITH $ShinglesSql,
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i / (sa.sz + sb.sz - i) >= 0.3 ORDER BY id_a, id_b"""),
     bench = true)
 
   // ---------------------------------------------------------------- q47
-  /** SimHash fingerprint near-dup pairs (Hamming <= 16 over 64-bit
-    * token-vote fingerprints; loose bound so the synthetic corpus yields
-    * pairs). */
+  /** SimHash near-dup pairs via pigeonhole blocking, over the
+    * cross-engine polyHash62 verification hash. The oracle recomputes the
+    * fingerprints in SQL and brute-forces ALL pairs within the Hamming
+    * bound — a hash match proves both the fingerprint math and that
+    * blocking's total recall held (production runs use xxhash64 via the
+    * same code path, differentially tested in DedupSpec). */
   val q47SimhashNeardup = Q(
     "q47_simhash_neardup",
-    (s, d) => {
-      // pigeonhole blocking needs maxHamming+1 blocks; with a loose bound
-      // use 4 blocks of 16 bits and post-filter
-      val fps = SimHash.fingerprints(Tables.documents(s, d), "doc_id", "text")
-      val pairs = SimHash.nearDuplicates(
-        Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
-      fps.agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("simhash")).as("n_distinct_fp"))
-        .crossJoin(pairs.agg(count(lit(1)).as("n_near_pairs")))
-    },
-    oracle = None)
+    (s, d) => SimHash.nearDuplicates(
+        Tables.documents(s, d), "doc_id", "text", maxHamming = 7,
+        tokenHash = SimHash.polyHash62, totalBits = 62)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH $PolyFingerprintSql
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      ORDER BY id_a, id_b"""))
 
   // ---------------------------------------------------------------- q48
-  /** Document fingerprinting: minhash signature prefix + simhash per doc —
-    * the compact sketch a pipeline persists per document. */
+  /** Document fingerprinting: the compact per-document sketch a pipeline
+    * persists — distinct-shingle cardinality + the rolling-hash simhash —
+    * fully recomputed by the oracle (the xxhash64 minhash signature
+    * variant remains the q46 production path). */
   val q48Fingerprints = Q(
     "q48_fingerprints",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = MinHash.shingles(docs, "doc_id", "text", k = 3)
-      val sigs = MinHash.signatures(sh, "doc_id", numPerms = 4)
-      val simf = SimHash.fingerprints(docs, "doc_id", "text")
-      sigs.join(simf, Seq("doc_id")).orderBy(col("doc_id"))
+      val counts = MinHash.shingles(docs, "doc_id", "text", k = 3)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val simf = SimHash.fingerprints(docs, "doc_id", "text",
+        tokenHash = SimHash.polyHash62, bits = 62)
+      counts.join(simf, Seq("doc_id")).orderBy(col("doc_id"))
     },
-    oracle = None)
+    Some(s"""WITH $ShinglesSql, $PolyFingerprintSql
+      SELECT s.doc_id, s.n_shingles, fp.simhash
+      FROM (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1) s
+      JOIN fp ON s.doc_id = fp.doc_id ORDER BY s.doc_id"""))
 
   // ---------------------------------------------------------------- q60
   /** Multimodal plumbing: binary payload column + typed metadata through a

@@ -58,4 +58,67 @@ class DedupSpec extends SparkSpec {
     val cands = MinHash.candidates(sigs, "doc_id", 32, 8, maxBucketSize = 10)
     assert(cands.count() == 0)
   }
+
+  /** A varied corpus with planted near-dup clusters and deterministic
+    * "random" filler for the differential tests. */
+  private def variedCorpus: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(11)
+    def text(vocabId: Int) =
+      (1 to 40).map(_ => s"w${vocabId}_${rnd.nextInt(30)}").mkString(" ")
+    val originals = (0 until 20).map(i => (i.toLong, text(i % 4)))
+    val mutated = originals.take(6).map { case (id, t) =>
+      val toks = t.split(" ")
+      (id + 100, (toks.dropRight(3) ++ Seq("x1", "x2", "x3")).mkString(" "))
+    }
+    docs(originals ++ mutated: _*)
+  }
+
+  test("differential: LSH pair set equals brute-force all-pairs Jaccard") {
+    val d = variedCorpus
+    val lsh = MinHash.nearDuplicates(d, "doc_id", "text",
+        shingleLen = 3, numPerms = 32, bands = 8, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force: every pair via crossJoin on the same shingles
+    val sh = MinHash.shingles(d, "doc_id", "text", 3)
+    val ids = d.select(col("doc_id")).distinct()
+    val allPairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val exact = MinHash.verify(allPairs, sh, "doc_id")
+      .filter(col("jaccard") >= 0.3)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "fixture must contain true near-dups")
+    assert(lsh == exact,
+      s"LSH must find exactly the true pairs; lsh=${lsh.keySet} exact=${exact.keySet}")
+  }
+
+  test("differential: blocked SimHash equals brute-force all-pairs Hamming") {
+    val d = variedCorpus
+    val blocked = SimHash.nearDuplicates(d, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val fps = SimHash.fingerprints(d, "doc_id", "text")
+    val brute = fps.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+      .crossJoin(fps.select(col("doc_id").as("id_b"), col("simhash").as("hb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    assert(brute.nonEmpty, "fixture must contain close fingerprints")
+    assert(blocked == brute,
+      "pigeonhole blocking must have total recall within the bound")
+  }
+
+  test("polyHash62 votes match xxhash64 pipeline shape and are stable") {
+    val d = docs(1L -> baseText, 2L -> baseText, 3L -> farText)
+    val fps = SimHash.fingerprints(d, "doc_id", "text",
+        tokenHash = SimHash.polyHash62, bits = 62).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    assert((0 to 2).forall(i => (fps.values.toSeq(i) >>> 62) == 0),
+      "polyHash62 fingerprints use only the low 62 bits")
+  }
 }
