@@ -33,14 +33,26 @@ object SimHash {
 
   /** Per-document fingerprint as a long column `simhash`: each token votes
     * ±1 on each of `bits` bits of its hash; the fingerprint takes the
-    * vote signs. */
+    * vote signs.
+    *
+    * `hashDistinct` evaluates the hash once per DISTINCT token and joins
+    * it back — worth it when the hash is expensive (the interpreted
+    * polyHash62 fold) and the vocabulary is much smaller than the token
+    * stream, which is exactly the 100 TB corpus shape; pointless overhead
+    * for codegen'd xxhash64, hence default off. */
   def fingerprints(
       docs: DataFrame, idCol: String, textCol: String,
-      tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
-    val toks = docs.select(col(idCol),
+      tokenHash: Column => Column = xxhash64(_), bits: Int = 64,
+      hashDistinct: Boolean = false): DataFrame = {
+    val raw = docs.select(col(idCol),
         explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", tokenHash(col("tok")))
+    val toks =
+      if (hashDistinct) {
+        val vocab = raw.select(col("tok")).distinct()
+          .withColumn("h", tokenHash(col("tok")))
+        raw.join(vocab, Seq("tok"))
+      } else raw.withColumn("h", tokenHash(col("tok")))
     val votes = (0 until bits).map { i =>
       // bit i set → +1 else -1
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
@@ -62,10 +74,12 @@ object SimHash {
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      tokenHash: Column => Column = xxhash64(_), totalBits: Int = 64): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_), totalBits: Int = 64,
+      hashDistinct: Boolean = false): DataFrame = {
     val blocks = maxHamming + 1
     val bits = totalBits / blocks
-    val fps = fingerprints(docs, idCol, textCol, tokenHash, totalBits)
+    val fps = fingerprints(docs, idCol, textCol, tokenHash, totalBits,
+      hashDistinct)
     val chunks = (0 until blocks).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), b * bits)

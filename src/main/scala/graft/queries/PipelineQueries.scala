@@ -93,14 +93,15 @@ object PipelineQueries {
   val q47SimhashNeardup = Q(
     "q47_simhash_neardup",
     (s, d) => SimHash.nearDuplicates(
-        Tables.documents(s, d), "doc_id", "text", maxHamming = 7,
-        tokenHash = SimHash.polyHash62, totalBits = 62)
+        Tables.documents(s, d), "doc_id", "text", maxHamming = 4,
+        tokenHash = SimHash.polyHash62, totalBits = 62,
+        hashDistinct = true)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH $PolyFingerprintSql
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         bit_count(xor(a.simhash, b.simhash)) AS hamming
       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
       ORDER BY id_a, id_b"""))
 
   // ---------------------------------------------------------------- q48
@@ -115,7 +116,7 @@ object PipelineQueries {
       val counts = MinHash.shingles(docs, "doc_id", "text", k = 3)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
       val simf = SimHash.fingerprints(docs, "doc_id", "text",
-        tokenHash = SimHash.polyHash62, bits = 62)
+        tokenHash = SimHash.polyHash62, bits = 62, hashDistinct = true)
       counts.join(simf, Seq("doc_id")).orderBy(col("doc_id"))
     },
     Some(s"""WITH $ShinglesSql, $PolyFingerprintSql
