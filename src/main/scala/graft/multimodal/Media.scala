@@ -1,20 +1,24 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media (image/audio/video) carried as opaque
   * `binary` payloads next to typed metadata, with decode / feature-extract
   * as partition-local batch transforms.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * container — see [[StubDecoder]], clearly marked): what is real and
-  * tested is the Spark-side shape a 100 TB media pipeline needs —
-  *   - schema: (id, media_type, payload binary, meta struct)
+  *   - schema: (id, media_type, payload binary, meta)
   *   - partition-sized batches through `mapPartitions` on a typed Dataset
   *     (the Scala analogue of `mapInPandas`: one iterator per partition,
-  *     amortizing model/codec init across the batch, never per-row)
+  *     amortizing codec init across the batch, never per-row)
   *   - deterministic feature schema out, columnar-friendly
+  *
+  * Decoding is REAL for self-contained formats ([[Decoders]]: full PNG
+  * pixel decode incl. zlib inflate + unfilter, WAV PCM16 with RMS/peak,
+  * JPEG/GIF header decode) and routed by magic bytes; payloads that need
+  * an external codec (video containers, entropy-coded image data) fall
+  * back to [[StubDecoder]], a clearly-marked deterministic stand-in a
+  * deployment replaces with libjpeg/ffmpeg bindings.
   */
 object Media {
 
@@ -23,25 +27,68 @@ object Media {
       width_hint: Int, duration_ms: Long)
 
   final case class MediaFeatures(
-      id: Long, media_type: String, byte_len: Int, payload_hash: Long,
-      width: Int, height: Int, n_frames: Int, mean_luma: Double)
+      id: Long, media_type: String, decoder: String, byte_len: Int,
+      payload_hash: Long, width: Int, height: Int, channels: Int,
+      n_frames: Int, mean_luma: Double, sample_rate: Int,
+      audio_duration_ms: Long, rms: Double)
 
-  /** STUB decoder — deterministic fake features derived from payload bytes.
-    * A real deployment replaces ONLY this function with a codec call
-    * (e.g. javax.imageio / ffmpeg bindings); everything around it — batch
-    * iteration, schema, partitioning — is the production shape. */
+  private def payloadHash(payload: Array[Byte]): Long =
+    payload.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
+
+  /** STUB decoder — deterministic fake features derived from payload
+    * bytes, used ONLY when no pure-JVM decoder applies. A real deployment
+    * replaces this function with a codec call; everything around it —
+    * sniffing, batch iteration, schema, partitioning — is the production
+    * shape. */
   object StubDecoder {
     def decode(row: MediaRow): MediaFeatures = {
-      val h = row.payload.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
+      val h = payloadHash(row.payload)
       MediaFeatures(
         id = row.id,
         media_type = row.media_type,
+        decoder = "stub",
         byte_len = row.payload.length,
         payload_hash = h,
         width = math.abs(h % 1920).toInt + 1,
         height = math.abs(h % 1080).toInt + 1,
+        channels = 3,
         n_frames = if (row.media_type == "video") math.abs(h % 300).toInt + 1 else 1,
-        mean_luma = math.abs(h % 256).toDouble / 255.0)
+        mean_luma = math.abs(h % 256).toDouble / 255.0,
+        sample_rate = 0, audio_duration_ms = 0L, rms = 0.0)
+    }
+  }
+
+  /** Decode one payload: real decoder by magic bytes, stub otherwise. */
+  def decode(row: MediaRow): MediaFeatures = {
+    val h = payloadHash(row.payload)
+    def image(info: Decoders.ImageInfo, decoder: String) = MediaFeatures(
+      row.id, row.media_type, decoder, row.payload.length, h,
+      info.width, info.height, info.channels, 1, info.meanLuma,
+      0, 0L, 0.0)
+    Decoders.sniff(row.payload) match {
+      case "png" =>
+        Decoders.png(row.payload) match {
+          case Some(info) => image(info, "png")
+          case None => StubDecoder.decode(row)
+        }
+      case "jpeg" =>
+        Decoders.jpeg(row.payload) match {
+          case Some(info) => image(info, "jpeg-header")
+          case None => StubDecoder.decode(row)
+        }
+      case "gif" =>
+        Decoders.gif(row.payload) match {
+          case Some(info) => image(info, "gif-header")
+          case None => StubDecoder.decode(row)
+        }
+      case "wav" =>
+        Decoders.wav(row.payload) match {
+          case Some(a) => MediaFeatures(
+            row.id, row.media_type, "wav", row.payload.length, h,
+            0, 0, a.channels, 1, -1.0, a.sampleRate, a.durationMs, a.rms)
+          case None => StubDecoder.decode(row)
+        }
+      case _ => StubDecoder.decode(row)
     }
   }
 
@@ -68,7 +115,7 @@ object Media {
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition init would go here (codec handles, model weights)
-      rows.map(StubDecoder.decode)
+      rows.map(decode)
     }
   }
 }
