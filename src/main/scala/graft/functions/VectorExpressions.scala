@@ -68,15 +68,75 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen form of [[graft.dedup.SimHash.polyHash62]]: two 31-bit
+  * polynomial rolls (bases 31/37, Mersenne 2^31-1 modulus) over the
+  * string's code points, packed into one 62-bit long.
+  *
+  * Value-identical to the declarative
+  * `aggregate(sequence(1, length(s)), 0L, (acc, i) -> ...)` fold — which
+  * is what the DuckDB differential oracle replays — but the fold is
+  * interpreted per character; this is a tight generated loop, the same
+  * (b)-case rationale as [[FloatVectorDot]] since it runs once per token
+  * occurrence in the fingerprint hot path.
+  */
+case class StringPolyHash62(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  /** Shared by eval and the generated code (via static call): rolls are
+    * over code points, matching ascii(substr(s, i, 1)) per character. */
+  override def nullSafeEval(input: Any): Any =
+    StringPolyHash62.hash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.StringPolyHash62.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StringPolyHash62 {
+  private final val P = 2147483647L
+
+  /** The roll itself — one pass over code points, both bases at once. */
+  def hash(s: String): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h1 = (h1 * 31 + cp) % P
+      h2 = (h2 * 37 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h1 + (h2 << 31)
+  }
+}
+
 /** Registration + Column-level API for the custom expressions. */
 object GraftFunctions {
   private val Name = "graft_vec_dot"
+  private val PolyName = "graft_poly_hash62"
 
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Name, exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PolyName, exprs => StringPolyHash62(exprs(0)), "built-in")
+  }
 
   /** Dot product of two array<float> columns (register first). */
   def vecDot(a: Column, b: Column): Column = call_function(Name, a, b)
+
+  /** Codegen'd 62-bit polynomial string hash (register first). */
+  def polyHash62(s: Column): Column = call_function(PolyName, s)
 }

@@ -92,11 +92,14 @@ object PipelineQueries {
     * same code path, differentially tested in DedupSpec). */
   val q47SimhashNeardup = Q(
     "q47_simhash_neardup",
-    (s, d) => SimHash.nearDuplicates(
-        Tables.documents(s, d), "doc_id", "text", maxHamming = 4,
-        tokenHash = SimHash.polyHash62, totalBits = 62,
-        hashDistinct = true)
-      .orderBy(col("id_a"), col("id_b")),
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      SimHash.nearDuplicates(
+          Tables.documents(s, d), "doc_id", "text", maxHamming = 4,
+          tokenHash = graft.functions.GraftFunctions.polyHash62,
+          totalBits = 62, hashDistinct = true)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     Some(s"""WITH $PolyFingerprintSql
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -112,11 +115,13 @@ object PipelineQueries {
   val q48Fingerprints = Q(
     "q48_fingerprints",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
       val counts = MinHash.shingles(docs, "doc_id", "text", k = 3)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
       val simf = SimHash.fingerprints(docs, "doc_id", "text",
-        tokenHash = SimHash.polyHash62, bits = 62, hashDistinct = true)
+        tokenHash = graft.functions.GraftFunctions.polyHash62,
+        bits = 62, hashDistinct = true)
       counts.join(simf, Seq("doc_id")).orderBy(col("doc_id"))
     },
     Some(s"""WITH $ShinglesSql, $PolyFingerprintSql

@@ -111,6 +111,25 @@ class DedupSpec extends SparkSpec {
       "pigeonhole blocking must have total recall within the bound")
   }
 
+  test("codegen StringPolyHash62 equals the declarative fold exactly") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val toks = (1 to 500).map(_ =>
+      rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString) :+ "" :+ "a"
+    val df = toks.toDF("tok")
+      .select(col("tok"),
+        graft.functions.GraftFunctions.polyHash62(col("tok")).as("native"),
+        SimHash.polyHash62(col("tok")).as("fold"))
+    assert(df.filter(col("native") =!= col("fold")).count() == 0)
+    // and both equal the plain-JVM reference implementation
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) ==
+        graft.functions.StringPolyHash62.hash(r.getString(0)))
+    }
+  }
+
   test("polyHash62 votes match xxhash64 pipeline shape and are stable") {
     val d = docs(1L -> baseText, 2L -> baseText, 3L -> farText)
     val fps = SimHash.fingerprints(d, "doc_id", "text",
