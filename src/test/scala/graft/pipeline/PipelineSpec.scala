@@ -25,6 +25,71 @@ class PipelineSpec extends SparkSpec {
     assert(byId(1L).byte_len == 11)
   }
 
+  test("streaming sessionization: gap rolls sessions, timeout flushes state") {
+    import graft.streaming.StreamingSessions
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val in = MemoryStream[StreamingSessions.Listen]
+    val out = StreamingSessions.sessionize(in.toDS(), gapMinutes = 30,
+      watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    def l(u: Int, at: String, e: String) =
+      StreamingSessions.Listen(u, ts(at), e)
+
+    // session 1: two listens 10 min apart; then a 2h gap rolls session 2
+    in.addData(
+      l(1, "2024-01-01 10:00:00", "A"), l(1, "2024-01-01 10:10:00", "B"))
+    q.processAllAvailable()
+    in.addData(l(1, "2024-01-01 12:30:00", "C"))
+    q.processAllAvailable()
+    val closed = spark.table("sessions_out")
+      .as[StreamingSessions.Session].collect()
+    assert(closed.length == 1, "first session closed by the gap")
+    assert(closed.head.n_listens == 2 && closed.head.n_entities == 2)
+    assert(closed.head.session_start == ts("2024-01-01 10:00:00"))
+    assert(closed.head.session_end == ts("2024-01-01 10:10:00"))
+
+    // advancing the watermark past the gap horizon times out session 2
+    in.addData(l(2, "2024-01-01 18:00:00", "Z"))
+    q.processAllAvailable()
+    in.addData(l(2, "2024-01-01 19:00:00", "Z"))
+    q.processAllAvailable()
+    val all = spark.table("sessions_out")
+      .as[StreamingSessions.Session].collect()
+    val u1 = all.filter(_.user_id == 1)
+    assert(u1.length == 2, s"session 2 flushed by event-time timeout: ${all.toSeq}")
+    assert(u1.map(_.n_listens).sorted.toSeq == Seq(1L, 2L))
+    q.stop()
+  }
+
+  test("streaming windowed activity honors the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, java.sql.Timestamp)]
+    val df = in.toDS().toDF("user_id", "ts")
+    val out = StreamingStats.windowedActivity(
+      df, "user_id", "ts", "1 hour", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("windowed_out").start()
+    in.addData((1, ts("2024-01-01 10:05:00")), (1, ts("2024-01-01 10:40:00")))
+    q.processAllAvailable()
+    // watermark (max 10:40 - 10m = 10:30) has not passed the 11:00 window
+    // end yet → nothing emitted
+    assert(spark.table("windowed_out").count() == 0)
+    in.addData((1, ts("2024-01-01 11:25:00")))
+    q.processAllAvailable()
+    in.addData((1, ts("2024-01-01 12:30:00")))
+    q.processAllAvailable()
+    val rows = spark.table("windowed_out").collect()
+    assert(rows.map(r => (r.getTimestamp(1).toString, r.getLong(2))).toSet ==
+      Set(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 11:00:00.0", 1L)))
+    q.stop()
+  }
+
   test("ALS recommends the dominant co-preference item") {
     import spark.implicits._
     // users 1..20 split into two taste groups with disjoint items;
