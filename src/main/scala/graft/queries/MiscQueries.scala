@@ -202,8 +202,64 @@ object MiscQueries {
       GROUP BY 1, 2 HAVING min(ts) >= TIMESTAMP '2024-01-24') t
       GROUP BY user_id ORDER BY user_id"""))
 
+  // ---------------------------------------------------------------- q109
+  /** W13: distributed dense-id assignment (zipWithIndex over a sorted
+    * distinct frame — the replacement for the reference's global-rank
+    * single-partition hazard, create_dataframes.py:235-264). Deterministic
+    * given the sort, so directly oracle-able as row_number()-1. */
+  val q109DenseIds = Q(
+    "q109_dense_ids",
+    (s, d) => graft.recs.Als.denseIds(
+        Tables.part(s, d).select(col("p_brand")), "p_brand", "dense_id")
+      .orderBy(col("p_brand")),
+    Some("""SELECT p_brand, cast(row_number() OVER (ORDER BY p_brand) - 1
+        AS int) AS dense_id
+      FROM (SELECT DISTINCT p_brand FROM part) t ORDER BY p_brand"""))
+
+  // ---------------------------------------------------------------- q110
+  /** A7: collect_set — set-valued aggregation, canonicalized by sorting
+    * (the only deterministic reading of a set), flattened for the
+    * comparator. */
+  val q110CollectSet = Q(
+    "q110_collect_set",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+        .as("types"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q111
+  /** J6: left join to a per-user watermark keeping rows with NO watermark
+    * or strictly above it — the deleted-user-history truncation predicate
+    * (reference listens/data.py:80-86, ListenStore.retractDeleted). */
+  val q111WatermarkJoin = Q(
+    "q111_watermark_join",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val watermark = orders
+        .filter(col("o_orderkey") % 7 === 0)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("max_created"))
+      orders.join(watermark, Seq("o_custkey"), "left")
+        .filter(col("max_created").isNull ||
+          col("o_orderdate") > col("max_created"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("kept_orders"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""WITH w AS (
+        SELECT o_custkey, max(o_orderdate) AS max_created
+        FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1)
+      SELECT o.o_custkey, count(*) AS kept_orders
+      FROM orders o LEFT JOIN w ON o.o_custkey = w.o_custkey
+      WHERE w.max_created IS NULL OR o.o_orderdate > w.max_created
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
-    q93NewDiscovered)
+    q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin)
 }
