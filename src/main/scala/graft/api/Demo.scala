@@ -71,6 +71,21 @@ object Demo {
     dispatch.handle(dispatch.StatRequest("stats.user.artist_evolution"))
       .orderBy("user_id", "year", "artist_mbid").collect()
       .foreach(r => println(s"EVOLVE: $r"))
+
+    // 8. year-in-music family over the same store (year from the data)
+    dispatch.handle(dispatch.StatRequest("year_in_music.listen_count"))
+      .collect().foreach(r => println(s"YIM-COUNT: $r"))
+    dispatch.handle(dispatch.StatRequest("year_in_music.day_of_week"))
+      .orderBy("user_id").collect()
+      .foreach(r => println(s"YIM-DOW: $r"))
+
+    // 9. incremental dump import + compaction through the dispatch surface
+    println("IMPORT: " + dispatch.handle(dispatch.StatRequest(
+      "import.dump.incremental", dumpId = 42,
+      data = Some(Seq(l(1, "Portishead", "2024-01-21 09:00:00"))
+        .toDS().toDF()))).collect().mkString)
+    println("COMPACT: " + dispatch.handle(
+      dispatch.StatRequest("import.compact_listens")).collect().mkString)
     spark.stop()
   }
 }
