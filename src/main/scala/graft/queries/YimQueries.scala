@@ -252,7 +252,11 @@ object MusicQueries {
     "q100_top_missed",
     (s, d) => {
       val l = listens(s, d)
+      // cp feeds both sides of the shared-item self-join AND the final
+      // anti join; materialize the distinct once (same rationale as
+      // UserCosine.exact)
       val cp = l.select(col("user_id"), col("recording_mbid")).distinct()
+        .localCheckpoint()
       val shared = cp.select(col("user_id"), col("recording_mbid"))
         .join(cp.select(col("user_id").as("other_user_id"),
           col("recording_mbid")), Seq("recording_mbid"))

@@ -31,8 +31,13 @@ object UserCosine {
   def exact(
       listens: DataFrame, userCol: String, itemCol: String,
       minCosine: Double): DataFrame = {
+    // counts feeds three consumers (norms + both join sides); Catalyst
+    // does not reuse the exchange across the differently-pruned branches,
+    // so materialize the (small, user×item-bounded) aggregate once
+    // instead of re-aggregating the fact table three times
     val counts = listens.groupBy(col(userCol).as("u"), col(itemCol).as("it"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val norms = counts.groupBy(col("u"))
       .agg(sum(col("c") * col("c")).as("norm2"))
     val a = counts.select(col("u").as("u1"), col("it"), col("c").as("c1"))
