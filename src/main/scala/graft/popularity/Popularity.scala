@@ -38,4 +38,20 @@ object Popularity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= top)
   }
+
+  /** Approximate variant for the regime where exact distinct is the
+    * bottleneck (the reference's MLHD popularity over 27B listens):
+    * HyperLogLog++ (`approx_count_distinct`) replaces the exact two-stage
+    * distinct — one pass, a fixed-size mergeable sketch per entity, so the
+    * shuffle carries sketches instead of (entity, user) pairs. `rsd` is
+    * the standard deviation bound (Spark default 5%); exact stays the
+    * oracled path (q76-q78), this is the documented scale escape hatch. */
+  def entityApprox(
+      listens: DataFrame, userCol: String, entityCols: Seq[String],
+      rsd: Double = 0.05): DataFrame =
+    listens
+      .groupBy(entityCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("total_listen_count"),
+        approx_count_distinct(col(userCol), rsd).as("approx_user_count"))
 }
