@@ -23,15 +23,37 @@ object Playlists {
       listens: DataFrame, feedback: DataFrame,
       userCol: String, entityCol: String,
       maxPerPlaylist: Int, seed: Long): DataFrame = {
+    val wShuffle = Window.partitionBy(col(userCol)).orderBy(rand(seed))
+    jamsWithShuffle(listens, feedback, userCol, entityCol, maxPerPlaylist,
+      wShuffle, pinPartitions = true)
+  }
+
+  /** [[periodicJams]] with a CALLER-SUPPLIED shuffle ordering — a
+    * deterministic hash key makes the whole playlist cross-engine
+    * reproducible (the oracled q113 path); seeded `rand` keeps the
+    * reference's RANDOM() character. */
+  def periodicJamsDeterministic(
+      listens: DataFrame, feedback: DataFrame,
+      userCol: String, entityCol: String,
+      maxPerPlaylist: Int, shuffleKey: Column): DataFrame =
+    jamsWithShuffle(listens, feedback, userCol, entityCol, maxPerPlaylist,
+      Window.partitionBy(col(userCol)).orderBy(shuffleKey),
+      pinPartitions = false)
+
+  private def jamsWithShuffle(
+      listens: DataFrame, feedback: DataFrame,
+      userCol: String, entityCol: String, maxPerPlaylist: Int,
+      wShuffle: org.apache.spark.sql.expressions.WindowSpec,
+      pinPartitions: Boolean): DataFrame = {
     val hated = feedback.filter(col("score") === -1)
       .select(col(userCol), col(entityCol))
     val counts = listens
       .join(hated, Seq(userCol, entityCol), "left_anti")
       .groupBy(col(userCol), col(entityCol))
       .agg(count(lit(1)).as("listen_count"))
-    val wShuffle = Window.partitionBy(col(userCol)).orderBy(rand(seed))
-    counts
-      .repartition(col(userCol)) // pin RNG streams to partitions
+    val base = // pin RNG streams to partitions for the seeded-rand path
+      if (pinPartitions) counts.repartition(col(userCol)) else counts
+    base
       .withColumn("position", row_number().over(wShuffle))
       .filter(col("position") <= maxPerPlaylist)
   }

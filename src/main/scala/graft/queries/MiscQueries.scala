@@ -258,8 +258,83 @@ object MiscQueries {
       WHERE w.max_created IS NULL OR o.o_orderdate > w.max_created
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q112
+  /** §1.4 artists-JSONB parse: a JSON array-of-structs string column
+    * parsed with from_json into ArrayType(StructType(...)) and exploded —
+    * the reference's postgres artists-column import (schema.py:50-54,
+    * postgres/utils.py:27) — plus the to_json round-trip. The oracle
+    * derives the same rows without JSON, so Spark's parse must round-trip
+    * exactly to match. */
+  val q112JsonArtists = Q(
+    "q112_json_artists",
+    (s, d) => {
+      val schema = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.IntegerType))))
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          concat(lit("""[{"name":""""), col("p_brand"),
+            lit("""","pos":1},{"name":""""),
+            split(col("p_type"), " ").getItem(0),
+            lit("""","pos":2}]""")).as("artists_json"))
+        .select(col("p_partkey"),
+          from_json(col("artists_json"), schema).as("artists"))
+        .select(col("p_partkey"),
+          explode(col("artists")).as("a"),
+          to_json(col("artists")).as("roundtrip"))
+        .select(col("p_partkey"), col("a.name").as("name"),
+          col("a.pos").as("pos"), col("roundtrip"))
+        .orderBy(col("p_partkey"), col("pos"))
+    },
+    Some("""SELECT p_partkey, name, pos,
+        '[{"name":"' || p_brand || '","pos":1},{"name":"' ||
+          string_split(p_type, ' ')[1] || '","pos":2}]' AS roundtrip
+      FROM (
+        SELECT p_partkey, p_brand, p_type, p_brand AS name, 1 AS pos
+        FROM part
+        UNION ALL
+        SELECT p_partkey, p_brand, p_type, string_split(p_type, ' ')[1], 2
+        FROM part) t
+      ORDER BY p_partkey, pos"""))
+
+  // ---------------------------------------------------------------- q113
+  /** Periodic jams with a deterministic shuffle key: the full troi data
+    * flow (hated-feedback anti join + per-user shuffle rank + cap) made
+    * cross-engine reproducible — the oracled counterpart of the
+    * seeded-RANDOM q88. */
+  val q113JamsDeterministic = Q(
+    "q113_jams_deterministic",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val feedback = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_type"), lit(-1).as("score"))
+        .distinct()
+      graft.playlists.Playlists.periodicJamsDeterministic(
+          ev, feedback, "user_id", "event_type", maxPerPlaylist = 2,
+          shuffleKey = ascii(col("event_type")) * 131L + length(col("event_type")))
+        .orderBy(col("user_id"), col("position"))
+    },
+    Some("""WITH hated AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE event_type = 'error'),
+      counts AS (
+        SELECT e.user_id, e.event_type, count(*) AS listen_count
+        FROM events e ANTI JOIN hated h
+          ON e.user_id = h.user_id AND e.event_type = h.event_type
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY ascii(event_type) * 131 + length(event_type)) AS position
+        FROM counts)
+      SELECT user_id, event_type, listen_count, position FROM ranked
+      WHERE position <= 2 ORDER BY user_id, position"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
-    q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin)
+    q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
+    q112JsonArtists, q113JamsDeterministic)
 }
