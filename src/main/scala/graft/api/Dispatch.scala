@@ -233,10 +233,17 @@ final class Dispatch(
           yearListens.filter(col("recording_mbid").isNotNull),
           "user_id", "recording_mbid", k = 25)
       case "year_in_music.top_stats" =>
-        val p = TopEntityStats("user_id",
-          Seq(if (req.entity == "artists") "artist_name"
-            else "recording_mbid"), top = 50)
-        p.stats(p.combine(p.aggregate(yearListens)))
+        // the reference runs the entity stats AND an artist-map rollup in
+        // the same handler (top_stats.py:33-52); entity selects which
+        if (req.entity == "artist_map") {
+          val p = CacheJoinedStats.ArtistMap(caches.artistCountries)
+          p.stats(p.combine(p.aggregate(yearListens)))
+        } else {
+          val p = TopEntityStats("user_id",
+            Seq(if (req.entity == "artists") "artist_name"
+              else "recording_mbid"), top = 50)
+          p.stats(p.combine(p.aggregate(yearListens)))
+        }
       case "year_in_music.listens_per_day" =>
         ListeningActivity.computeWindow(
           yearListens, "user_id", "listened_at", yFrom, yTo, "day")
@@ -324,6 +331,7 @@ object Dispatch {
       releaseYears: DataFrame = null,
       recordingLengths: DataFrame = null,
       recordingArtists: DataFrame = null,
+      artistCountries: DataFrame = null,
       recordingGenres: DataFrame = null,
       releaseGroupGenres: DataFrame = null,
       artistGenres: DataFrame = null,

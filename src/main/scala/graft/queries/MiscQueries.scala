@@ -332,9 +332,44 @@ object MiscQueries {
       SELECT user_id, event_type, listen_count, position FROM ranked
       WHERE position <= 2 ORDER BY user_id, position"""))
 
+  // ---------------------------------------------------------------- q114
+  /** Out-of-core chunked execution END-TO-END (the MLHD pattern,
+    * similarity/recording/common.py:190-213): the input is split into 8
+    * disjoint user chunks, each chunk's partial aggregate is persisted
+    * independently, and the final stats run over the union of partials —
+    * the oracle computes the same top-k directly, so a hash match proves
+    * the chunked decomposition is lossless. */
+  val q114ChunkedTopk = Q(
+    "q114_chunked_topk",
+    (s, d) => {
+      val provider = graft.engine.TopEntityStats(
+        "user_id", Seq("event_type"), top = 3)
+      val chunks = (0 until 8).map(i => col("user_id") % 8 === i)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-chunked-q114").toString
+      graft.engine.ChunkedRunner
+        .run(s, Tables.events(s, d), provider, chunks, work)
+        .select(col("user_id"), col("total_count"),
+          EngineQueries.flat(col("top_entities"), "event_type",
+            "listen_count").as("top_entities"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, total_count, top_entities FROM (
+      SELECT user_id, cast(sum(cnt) AS bigint) AS total_count,
+        array_to_string(list_transform(
+          list_sort(list(struct_pack(listen_count := cnt,
+            event_type := event_type)) FILTER (WHERE rn <= 3), 'DESC'),
+          x -> x.event_type || '=' || x.listen_count), '|') AS top_entities
+      FROM (
+        SELECT user_id, event_type, cnt, row_number() OVER (
+          PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+        FROM (SELECT user_id, event_type, count(*) AS cnt FROM events
+          GROUP BY 1, 2) a) b
+      GROUP BY user_id) c ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
-    q112JsonArtists, q113JamsDeterministic)
+    q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk)
 }

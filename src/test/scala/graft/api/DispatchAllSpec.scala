@@ -58,6 +58,8 @@ class DispatchAllSpec extends SparkSpec {
       ("rel3", 1988)).toDF("release_mbid", "first_release_date_year"),
     recordingLengths = Seq(("r0", 240000L), ("r1", 180000L), ("r2", 200000L))
       .toDF("recording_mbid", "length"),
+    artistCountries = Seq(("am0", "IS"), ("am1", "GB"))
+      .toDF("artist_mbid", "country_code"),
     recordingArtists = Seq(("r0", Seq("am0")), ("r1", Seq("am1")),
       ("r2", Seq("am0")), ("r3", Seq("am1")), ("r4", Seq("am0")),
       ("r5", Seq("am1"))).toDF("recording_mbid", "artist_mbids"),
@@ -135,6 +137,12 @@ class DispatchAllSpec extends SparkSpec {
     assert(store.baseListens.count() == fixture.size)
     assert(store.incrementalListens.count() == 0,
       "full import discards the incremental sibling")
+  }
+
+  test("YIM top_stats serves the artist-map rollup variant") {
+    val out = run("year_in_music.top_stats", entity = "artist_map")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty && out.keys.map(_._2).toSet.subsetOf(Set("IS", "GB")))
   }
 
   test("YIM handlers honor the year window") {
