@@ -613,6 +613,83 @@ object MusicQueries {
       FROM limited WHERE ranking <= 50
       GROUP BY user_id ORDER BY user_id"""))
 
+  // ---------------------------------------------------------------- q115
+  /** Artist origin map END-TO-END through the ArtistMap provider
+    * (stats/user/artist_map.py shape): credits exploded from the listen's
+    * artist array, joined to the artist→country cache, listener counts
+    * per (user, country). Credits are two-artist arrays so the explode
+    * genuinely fans out; 1 in 11 artists is absent from the country cache
+    * (inner join drops those credits, the reference semantic). */
+  val q115ArtistMap = Q(
+    "q115_artist_map",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("user_id"),
+          array(col("p_brand"), split(col("p_type"), " ").getItem(0))
+            .as("artist_credit_mbids"))
+      val countries = Tables.part(s, d)
+        .select(col("p_brand").as("artist_mbid")).distinct()
+        .unionByName(Tables.part(s, d)
+          .select(split(col("p_type"), " ").getItem(0).as("artist_mbid"))
+          .distinct())
+        .distinct()
+        .filter(ascii(col("artist_mbid")) % 11 =!= 0)
+        .select(col("artist_mbid"),
+          concat(lit("C"), (ascii(col("artist_mbid")) +
+            length(col("artist_mbid"))).cast("string")).as("country_code"))
+      val p = graft.engine.CacheJoinedStats.ArtistMap(countries)
+      p.stats(p.combine(p.aggregate(l)))
+        .orderBy(col("user_id"), col("country_code"))
+    },
+    Some("""WITH credits AS (
+        SELECT o_custkey AS user_id, cr.artist_mbid
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey,
+        unnest([p_brand, string_split(p_type, ' ')[1]]) AS cr(artist_mbid)),
+      countries AS (
+        SELECT artist_mbid, 'C' || cast(ascii(artist_mbid) +
+          length(artist_mbid) AS varchar) AS country_code
+        FROM (
+          SELECT DISTINCT artist_mbid FROM (
+            SELECT p_brand AS artist_mbid FROM part
+            UNION SELECT string_split(p_type, ' ')[1] FROM part) u) t
+        WHERE ascii(artist_mbid) % 11 <> 0)
+      SELECT c.user_id, co.country_code, count(*) AS listen_count
+      FROM credits c JOIN countries co USING (artist_mbid)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q116
+  /** Sitewide listening activity: the densified bucket grid collapsed to
+    * one site-wide series (the stats.sitewide.listening_activity handler
+    * — constant grouping key over the same computeWindow machinery). */
+  val q116SitewideActivity = Q(
+    "q116_sitewide_activity",
+    (s, d) => {
+      val l = Tables.orders(s, d)
+        .select(lit(0).as("site"), col("o_orderdate").as("ts"))
+      graft.engine.ListeningActivity.computeWindow(l, "site", "ts",
+          java.sql.Timestamp.valueOf(s"$Year-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf(s"${Year + 1}-01-01 00:00:00"), "month")
+        .select(col("bucket_start"), col("listen_count"))
+        .orderBy(col("bucket_start"))
+    },
+    Some(s"""WITH grid AS (
+        SELECT unnest(generate_series(TIMESTAMP '$Year-01-01',
+          TIMESTAMP '$Year-12-01', INTERVAL 1 MONTH)) AS bucket_start),
+      counts AS (
+        SELECT cast(date_trunc('month', o_orderdate) AS timestamp)
+          AS bucket_start, count(*) AS listen_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '$Year-01-01'
+          AND o_orderdate < TIMESTAMP '${Year + 1}-01-01'
+        GROUP BY 1)
+      SELECT g.bucket_start, coalesce(c.listen_count, 0) AS listen_count
+      FROM grid g LEFT JOIN counts c ON g.bucket_start = c.bucket_start
+      ORDER BY g.bucket_start"""))
+
   /** Deterministic synthetic ALS-output stand-in shared by q103/q104:
     * pseudo-randomized (user, item) pairs with a rational prediction so
     * ppm snapping is injective on score order, plus the dense-id → external
@@ -667,5 +744,6 @@ object MusicQueries {
     q95Tags, q96TopGenres, q97MostListenedYear, q98ListensPerDay,
     q99ListenCount, q100TopMissed, q101SimilarUsers, q102Discovery,
     q103RecommendFlat, q104RecommendNested, q105EraActivity,
-    q106GenreHour, q107YimTopStats, q108TopDiscoveries)
+    q106GenreHour, q107YimTopStats, q108TopDiscoveries, q115ArtistMap,
+    q116SitewideActivity)
 }
