@@ -216,6 +216,65 @@ object TextOps {
       WHERE i / (sa.sz + sb.sz - i) >= 0.03
       ORDER BY doc_a, doc_b"""))
 
+  // ---------------------------------------------------------------- q117
+  /** Composite corpus-cleaning pipeline — the end-to-end chain a training
+    * run actually executes, as ONE plan: token/stopword quality gate →
+    * exact dedup keep-first → language filter → deterministic hash-bucket
+    * sample → per-source survivor counts. Each stage is individually
+    * oracled elsewhere (q41-q44); this verifies their composition, with
+    * every filter still pushed through the single scan. */
+  val q117CorpusPipeline = Q(
+    "q117_corpus_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("source"), col("lang"), col("text"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L))
+            .as("n_stop"))
+      val quality = stats.filter(
+        col("n_tokens") >= 20 && col("n_stop") * 100 < col("n_tokens") * 60)
+      val deduped = quality
+        .withColumn("keep_id",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keep_id"))
+      val sampled = deduped
+        .filter(col("lang") === "en")
+        .filter(col("doc_id") % 10 < 7) // deterministic 70% sample bucket
+      sampled
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH stats AS (
+        SELECT doc_id, source, lang, text, count(*) AS n_tokens,
+          cast(sum(CASE WHEN tok IN
+            (${Stopwords.map("'" + _ + "'").mkString(",")})
+            THEN 1 ELSE 0 END) AS bigint) AS n_stop
+        FROM (SELECT doc_id, source, lang, text,
+            unnest(string_split(text, ' ')) AS tok FROM documents) t
+        WHERE tok <> '' GROUP BY 1, 2, 3, 4),
+      quality AS (
+        SELECT * FROM stats
+        WHERE n_tokens >= 20 AND n_stop * 100 < n_tokens * 60),
+      deduped AS (
+        SELECT * FROM (
+          SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          FROM quality) t
+        WHERE doc_id = keep_id),
+      sampled AS (
+        SELECT * FROM deduped WHERE lang = 'en' AND doc_id % 10 < 7)
+      SELECT source, count(*) AS n_docs,
+        cast(sum(n_tokens) AS bigint) AS total_tokens
+      FROM sampled GROUP BY source ORDER BY source"""),
+    bench = true)
+
   val all: Seq[Q] = Seq(
-    q41DedupExact, q42TokenStats, q43QualityScore, q44LangId, q45NgramJaccard)
+    q41DedupExact, q42TokenStats, q43QualityScore, q44LangId,
+    q45NgramJaccard, q117CorpusPipeline)
 }
