@@ -274,7 +274,38 @@ object TextOps {
       FROM sampled GROUP BY source ORDER BY source"""),
     bench = true)
 
+  // ---------------------------------------------------------------- q118
+  /** BPE-style regex tokenization (the GPT-2 pre-tokenizer's class split,
+    * simplified to engine-portable classes): words / digit runs /
+    * punctuation runs extracted with regexp_extract_all, counted per
+    * class per document — the "token counting" half a tokenizer-aware
+    * pipeline budget needs (whitespace counting is q42). */
+  val q118RegexTokens = Q(
+    "q118_regex_tokens",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"),
+          lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+)"), lit(1))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bpe_tokens"),
+        sum(when(col("tok").rlike("^[A-Za-z]+$"), 1L).otherwise(0L))
+          .as("n_word"),
+        sum(when(col("tok").rlike("^[0-9]+$"), 1L).otherwise(0L))
+          .as("n_number"),
+        countDistinct(col("tok")).as("n_vocab"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, count(*) AS n_bpe_tokens,
+        cast(sum(CASE WHEN regexp_matches(tok, '^[A-Za-z]+$')
+          THEN 1 ELSE 0 END) AS bigint) AS n_word,
+        cast(sum(CASE WHEN regexp_matches(tok, '^[0-9]+$')
+          THEN 1 ELSE 0 END) AS bigint) AS n_number,
+        count(DISTINCT tok) AS n_vocab
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+)', 1)) AS tok
+        FROM documents) t
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q41DedupExact, q42TokenStats, q43QualityScore, q44LangId,
-    q45NgramJaccard, q117CorpusPipeline)
+    q45NgramJaccard, q117CorpusPipeline, q118RegexTokens)
 }
