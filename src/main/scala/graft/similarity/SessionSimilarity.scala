@@ -56,6 +56,10 @@ object SessionSimilarity {
       .groupBy(col("a.u").as("u"), col("a.e").as("e_a"), col("b.e").as("e_b"))
       .agg(least(count(lit(1)), lit(perUserCap)).as("contrib"))
 
+    // ENGINE INVARIANT: a global (unpartitioned) window is legal ONLY
+    // after a cardinality bound — here the orderBy+limit(topK) has already
+    // collapsed the frame to <= topK rows, so the single-partition
+    // WindowExec ranks a bounded result, never the pair space
     val w = Window.orderBy(col("score").desc, col("e_a"), col("e_b"))
     perUser
       .groupBy(col("e_a"), col("e_b"))
