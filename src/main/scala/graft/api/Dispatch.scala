@@ -189,9 +189,13 @@ final class Dispatch(
 
       // ----------------------------------------------------- similarity.*
       case "similarity.similar_users" =>
+        // production path caps hot-item degree (one viral track must not
+        // quadratically dominate pair generation); oracled queries use
+        // the uncapped exact form
         graft.yim.Yim.similarUsers(
           windowed.filter(col("recording_mbid").isNotNull),
-          "user_id", "recording_mbid", k = 25)
+          "user_id", "recording_mbid", k = 25,
+          maxItemListeners = Some(10000L))
       case "similarity.recording" =>
         graft.similarity.SessionSimilarity(
           windowed.filter(col("recording_mbid").isNotNull),

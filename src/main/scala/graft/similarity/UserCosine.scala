@@ -30,14 +30,29 @@ object UserCosine {
     * sqrt, IEEE-identical across engines). */
   def exact(
       listens: DataFrame, userCol: String, itemCol: String,
-      minCosine: Double): DataFrame = {
+      minCosine: Double,
+      maxItemListeners: Option[Long] = None): DataFrame = {
     // counts feeds three consumers (norms + both join sides); Catalyst
     // does not reuse the exchange across the differently-pruned branches,
     // so materialize the (small, user×item-bounded) aggregate once
     // instead of re-aggregating the fact table three times
-    val counts = listens.groupBy(col(userCol).as("u"), col(itemCol).as("it"))
+    val raw = listens.groupBy(col(userCol).as("u"), col(itemCol).as("it"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // optional hot-item guardrail (the LSH bucket-cap analogue): an item
+    // listened by d users contributes d² pair terms, so one viral track
+    // dominates the pair space at corpus scale; capping item degree drops
+    // those terms (a deliberate approximation — the norms keep the full
+    // vectors, only pair generation is bounded). None = exact, the
+    // oracled path.
+    val counts = (maxItemListeners match {
+      case Some(cap) =>
+        val degree = raw.groupBy(col("it"))
+          .agg(count(lit(1)).as("item_degree"))
+          .filter(col("item_degree") <= cap)
+          .select(col("it"))
+        raw.join(degree, Seq("it"))
+      case None => raw
+    }).localCheckpoint()
     val norms = counts.groupBy(col("u"))
       .agg(sum(col("c") * col("c")).as("norm2"))
     val a = counts.select(col("u").as("u1"), col("it"), col("c").as("c1"))

@@ -95,9 +95,9 @@ object Yim {
     * similar_users: array<struct<other_user_id, similarity>>). */
   def similarUsers(
       listens: DataFrame, userCol: String, itemCol: String,
-      k: Int = 25): DataFrame = {
+      k: Int = 25, maxItemListeners: Option[Long] = None): DataFrame = {
     val pairs = graft.similarity.UserCosine
-      .exact(listens, userCol, itemCol, minCosine = 0.0)
+      .exact(listens, userCol, itemCol, minCosine = 0.0, maxItemListeners)
     val sym = pairs.select(col("u1").as("user_id"),
         col("u2").as("other_user_id"), col("cosine_r").as("similarity"))
       .unionByName(pairs.select(col("u2").as("user_id"),

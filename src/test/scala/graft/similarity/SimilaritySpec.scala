@@ -61,6 +61,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(dimsum((1L, 2L)) - exact((1L, 2L))) < 1e-9)
   }
 
+  test("hot-item degree cap bounds pair generation like an LSH bucket cap") {
+    import spark.implicits._
+    // 40 users all share one viral item; besides it, users 1&2 share i1
+    val viral = (1L to 40L).map(u => (u, "viral"))
+    val niche = Seq((1L, "i1"), (2L, "i1"))
+    val ev = (viral ++ niche).toDF("user_id", "item")
+    val capped = UserCosine.exact(ev, "user_id", "item", 0.0,
+      maxItemListeners = Some(10L)).select("u1", "u2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)),
+      "only the niche co-listen survives the degree cap")
+    val exact = UserCosine.exact(ev, "user_id", "item", 0.0)
+      .count()
+    assert(exact == 40L * 39 / 2, "uncapped pair space is quadratic")
+  }
+
   test("sparse exact cosine matches the densified small-N verifier") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
