@@ -367,9 +367,32 @@ object MiscQueries {
           GROUP BY 1, 2) a) b
       GROUP BY user_id) c ORDER BY user_id"""))
 
+  // ---------------------------------------------------------------- q119
+  /** Salted two-stage aggregation END-TO-END: the skew-mitigation path
+    * (core.Salting — a hot key spread over salt buckets before the final
+    * combine) must produce results identical to the direct aggregation,
+    * which is exactly what the plain-group-by oracle asserts. Quantities
+    * snap to integer cents first so the split-stage sums are
+    * order-insensitive and exact. */
+  val q119SaltedAgg = Q(
+    "q119_salted_agg",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
+      graft.core.Salting.saltedCountSum(
+          li, Seq("l_returnflag"), "qty_c", buckets = 16)
+        .select(col("l_returnflag"), col("cnt"),
+          (col("sum") / 100.0).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS cnt,
+        cast(sum(cast(round(l_quantity * 100) AS bigint)) AS bigint) / 100.0
+          AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
-    q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk)
+    q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg)
 }
