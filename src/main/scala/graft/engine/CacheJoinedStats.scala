@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * graft.ingest.JdbcCache), joined by mbid at aggregation time.
   *
   * Scale: caches are entity-keyed and orders of magnitude smaller than the
-  * fact table — broadcast when they fit (genre cache), shuffle-hash
-  * otherwise; the join key (recording/release mbid) is uniform, so no
-  * skew handling is needed. The cache join lives INSIDE aggregate(), so
+  * fact table, but recording/release-keyed caches are NOT guaranteed to
+  * fit a broadcast at catalog scale — so the join is left declarative and
+  * Catalyst picks broadcast under autoBroadcastJoinThreshold, shuffle
+  * hash/sort-merge beyond it (locally these caches always broadcast; the
+  * plan degrades gracefully instead of OOMing the driver at 100 TB). The
+  * join key (recording/release mbid) is uniform, so no skew handling is
+  * needed. The cache join lives INSIDE aggregate(), so
   * the partial/combine algebra still holds as long as the cache snapshot
   * is fixed for a stat run (the reference pins cache imports the same way).
   */
@@ -28,7 +32,7 @@ object CacheJoinedStats {
 
     override def aggregate(listens: DataFrame): DataFrame =
       listens
-        .join(broadcast(genreCache.select(col("recording_mbid"), col("genre"))),
+        .join(genreCache.select(col("recording_mbid"), col("genre")),
           Seq("recording_mbid"))
         .groupBy(col("user_id"), col("genre"))
         .agg(count(lit(1)).as("listen_count"))
@@ -58,8 +62,8 @@ object CacheJoinedStats {
 
     override def aggregate(listens: DataFrame): DataFrame =
       listens
-        .join(broadcast(releaseCache.select(col("release_mbid"),
-          col("first_release_date_year"))),
+        .join(releaseCache.select(col("release_mbid"),
+          col("first_release_date_year")),
           Seq("release_mbid"), "left")
         .groupBy(col("user_id"),
           col("first_release_date_year").as("year"))
@@ -89,10 +93,10 @@ object CacheJoinedStats {
 
     override def aggregate(listens: DataFrame): DataFrame =
       listens
-        .join(broadcast(releaseCache.select(col("release_mbid"),
-          col("release_group_mbid"))), Seq("release_mbid"), "left")
-        .join(broadcast(releaseGroupCache.select(col("release_group_mbid"),
-          col("first_release_date_year"))),
+        .join(releaseCache.select(col("release_mbid"),
+          col("release_group_mbid")), Seq("release_mbid"), "left")
+        .join(releaseGroupCache.select(col("release_group_mbid"),
+          col("first_release_date_year")),
           Seq("release_group_mbid"), "left")
         .filter(col("first_release_date_year").isNotNull &&
           col("first_release_date_year") >= 1800)
@@ -121,8 +125,8 @@ object CacheJoinedStats {
 
     override def aggregate(listens: DataFrame): DataFrame =
       listens
-        .join(broadcast(recordingLengthCache.select(col("recording_mbid"),
-          col("length"))),
+        .join(recordingLengthCache.select(col("recording_mbid"),
+          col("length")),
           Seq("recording_mbid"), "left")
         .groupBy(col("user_id"))
         .agg(sum(coalesce(col("length") / 1000, lit(180L)).cast("long"))
@@ -147,8 +151,10 @@ object CacheJoinedStats {
       listens
         .select(col("user_id"),
           explode_outer(col("artist_credit_mbids")).as("artist_mbid"))
-        .join(broadcast(countryCache.select(col("artist_mbid"),
-          col("country_code"))),
+        // artist-keyed: genuinely small, but the same let-Catalyst-pick
+        // rule applies (it broadcasts under the threshold anyway)
+        .join(countryCache.select(col("artist_mbid"),
+          col("country_code")),
           Seq("artist_mbid"))
         .groupBy(col("user_id"), col("country_code"))
         .agg(count(lit(1)).as("listen_count"))
