@@ -690,6 +690,40 @@ object MusicQueries {
       FROM grid g LEFT JOIN counts c ON g.bucket_start = c.bucket_start
       ORDER BY g.bucket_start"""))
 
+  // ---------------------------------------------------------------- q120
+  /** Missing-MusicBrainz-data dataset END-TO-END (missing_mb_data.py:
+    * 38-43): each user's most-played UNMAPPED listens — 1 in 13
+    * recordings is unmapped (null mbid) — ranked for mapping triage. */
+  val q120MissingMbData = Q(
+    "q120_missing_mb_data",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("user_id"),
+          when(col("l_partkey") % 13 === 0, lit(null))
+            .otherwise(col("l_partkey")).as("recording_mbid"),
+          concat(lit("r"), col("l_partkey")).as("recording_name"),
+          col("p_brand").as("artist_name"),
+          concat(lit("rel"), col("l_partkey") % 100).as("release_name"),
+          col("l_shipdate").as("listened_at"))
+      graft.engine.MissingMbData(l, top = 5)
+        .orderBy(col("user_id"), col("rank"))
+    },
+    Some("""SELECT user_id, recording_name, artist_name, release_name,
+        listen_count, last_listened_at, rank FROM (
+      SELECT o_custkey AS user_id, 'r' || l_partkey AS recording_name,
+        p_brand AS artist_name, 'rel' || (l_partkey % 100) AS release_name,
+        count(*) AS listen_count, max(l_shipdate) AS last_listened_at,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY count(*) DESC, 'r' || l_partkey, p_brand) AS rank
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_partkey % 13 = 0
+      GROUP BY 1, 2, 3, 4) t
+      WHERE rank <= 5 ORDER BY user_id, rank"""))
+
   /** Deterministic synthetic ALS-output stand-in shared by q103/q104:
     * pseudo-randomized (user, item) pairs with a rational prediction so
     * ppm snapping is injective on score order, plus the dense-id → external
@@ -745,5 +779,5 @@ object MusicQueries {
     q99ListenCount, q100TopMissed, q101SimilarUsers, q102Discovery,
     q103RecommendFlat, q104RecommendNested, q105EraActivity,
     q106GenreHour, q107YimTopStats, q108TopDiscoveries, q115ArtistMap,
-    q116SitewideActivity)
+    q116SitewideActivity, q120MissingMbData)
 }
