@@ -222,6 +222,62 @@ object EngineQueries {
         ON u.user_id = c.user_id AND g.bucket_start = c.bucket_start
       ORDER BY u.user_id, g.bucket_start"""))
 
+  // ---------------------------------------------------------------- q121
+  /** The FULL disk-backed engine path as one oracled query: events shaped
+    * as listens land in a real ListenStore (partitioned base write +
+    * incremental append), then IncrementalStatsEngine.run computes the
+    * stat through the cached-partial machinery (partition-pruned base
+    * scan, partial parquet cache, JSON bookkeeping, incremental merge).
+    * The oracle is the plain top-3-per-user over all events — so the
+    * hash verdict covers the store round-trip, not just the algebra. */
+  val q121StoreEngine = Q(
+    "q121_store_engine",
+    (s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      val listens = ev.select(
+        col("ts").as("listened_at"), col("ts").as("created"),
+        col("user_id").cast("int").as("user_id"),
+        concat(lit("m"), col("event_id")).as("recording_msid"),
+        col("event_type").as("artist_name"),
+        lit(null).cast("long").as("artist_credit_id"),
+        lit(null).cast("string").as("release_name"),
+        lit(null).cast("string").as("release_mbid"),
+        col("event_type").as("recording_name"),
+        lit(null).cast("string").as("recording_mbid"),
+        lit(null).cast("array<string>").as("artist_credit_mbids"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q121").toString
+      val store = new graft.engine.ListenStore(s, s"$work/store")
+      store.writeBase(listens.filter(
+        col("listened_at") < lit(Pivot).cast("timestamp")))
+      store.appendIncremental(listens.filter(
+        col("listened_at") >= lit(Pivot).cast("timestamp")))
+      val engine = new graft.engine.IncrementalStatsEngine(s, s"$work/stats")
+      val provider = graft.engine.TopEntityStats(
+        "user_id", Seq("artist_name"), top = 3)
+      engine.run("q121", provider, store,
+          java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+        .select(col("user_id"), col("total_count"),
+          flat(col("top_entities"), "artist_name", "listen_count")
+            .as("top_entities"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, total_count, top_entities FROM (
+      SELECT user_id, cast(sum(cnt) AS bigint) AS total_count,
+        array_to_string(list_transform(
+          list_sort(list(struct_pack(listen_count := cnt,
+            artist_name := event_type)) FILTER (WHERE rn <= 3), 'DESC'),
+          x -> x.artist_name || '=' || x.listen_count), '|')
+          AS top_entities
+      FROM (
+        SELECT user_id, event_type, cnt, row_number() OVER (
+          PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+        FROM (SELECT user_id, event_type, count(*) AS cnt FROM events
+          WHERE ts >= TIMESTAMP '2020-01-01' AND ts < TIMESTAMP '2025-01-01'
+          GROUP BY 1, 2) a) b
+      GROUP BY user_id) c ORDER BY user_id"""))
+
   // ---------------------------------------------------------------- q89
   /** Cache-joined genre activity via CacheJoinedStats.GenreActivity: the
     * part table plays the dimension cache (partkey → brand ≙ recording →
@@ -391,5 +447,5 @@ object EngineQueries {
     q70IncrementalTopk, q71SessionCooccur, q72OnlyIncremental,
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
     q89GenreActivity, q90ListeningTime, q91FreshReleases,
-    q94ArtistEvolution)
+    q94ArtistEvolution, q121StoreEngine)
 }
