@@ -114,6 +114,22 @@ class MediaSpec extends SparkSpec {
     assert(g.width == 320 && g.height == 240)
   }
 
+  test("decoders degrade gracefully on corrupt payloads") {
+    val png = buildPng(4, 2, (_, _) => (1, 2, 3))
+    // truncate into the IDAT data: no exception, and no fake pixel stats
+    val truncated = png.take(45)
+    val info = Decoders.png(truncated)
+    assert(info.forall(i => i.width == 4 && i.meanLuma == -1.0))
+    // random garbage sniffs unknown everywhere
+    val rnd = new scala.util.Random(9)
+    val junk = Array.fill(256)(rnd.nextInt().toByte)
+    assert(Decoders.sniff(junk) != "png" || Decoders.png(junk).isEmpty ||
+      Decoders.png(junk).get.meanLuma == -1.0)
+    assert(Decoders.wav("RIFFxxxxWAVE".getBytes ++ new Array[Byte](4)).isEmpty)
+    assert(Decoders.jpeg(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01))
+      .isEmpty)
+  }
+
   test("Media routes by magic bytes: real decoders for media, stub for text") {
     import spark.implicits._
     val rows = Seq(
