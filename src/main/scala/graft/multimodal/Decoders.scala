@@ -66,7 +66,9 @@ object Decoders {
       val len = be32(b, i)
       val ctype = new String(b, i + 4, 4, "US-ASCII")
       val dataAt = i + 8
-      if (dataAt + len > b.length) return None
+      // a corrupt negative length would stall the walk (i = dataAt+len+4
+      // is stationary at len = -12) or crash the IDAT copy — reject it
+      if (len < 0 || dataAt + len > b.length) return None
       ctype match {
         case "IHDR" =>
           width = be32(b, dataAt); height = be32(b, dataAt + 4)
@@ -187,6 +189,9 @@ object Decoders {
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val len = le32(b, i + 4)
+      // corrupt negative length: i += 8 + len + (len & 1) stops advancing
+      // at len = -8/-9 — reject the payload instead of looping forever
+      if (len < 0) return None
       id match {
         case "fmt " if i + 8 + 16 <= b.length =>
           audioFormat = le16(b, i + 8)

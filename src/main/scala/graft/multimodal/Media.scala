@@ -58,8 +58,14 @@ object Media {
     }
   }
 
-  /** Decode one payload: real decoder by magic bytes, stub otherwise. */
-  def decode(row: MediaRow): MediaFeatures = {
+  /** Decode one payload: real decoder by magic bytes, stub otherwise.
+    * A corrupt payload must never fail the whole ingest job (one bad blob
+    * in a 100 TB scan would kill the stage), so any decoder throw degrades
+    * to the stub features for that row. */
+  def decode(row: MediaRow): MediaFeatures =
+    scala.util.Try(decodeStrict(row)).getOrElse(StubDecoder.decode(row))
+
+  private def decodeStrict(row: MediaRow): MediaFeatures = {
     val h = payloadHash(row.payload)
     def image(info: Decoders.ImageInfo, decoder: String) = MediaFeatures(
       row.id, row.media_type, decoder, row.payload.length, h,

@@ -130,6 +130,37 @@ class MediaSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("negative chunk lengths are rejected, not walked forever") {
+    // PNG: ancillary chunk declaring len = -12 makes the naive walk
+    // stationary (i = dataAt + len + 4 = i); must return None instead
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val evilPng = sig ++ be32(-12) ++ "tEXt".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    assert(Decoders.png(evilPng).isEmpty)
+    // PNG: negative IDAT length must not reach the ByteArrayOutputStream
+    val evilIdat = sig ++ be32(-5) ++ "IDAT".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    assert(Decoders.png(evilIdat).isEmpty)
+    // WAV: chunk len = -8 makes i += 8 + len + (len & 1) loop in place
+    val le = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    le.put("RIFF".getBytes); le.putInt(24); le.put("WAVE".getBytes)
+    le.put("junk".getBytes); le.putInt(-8); le.put(new Array[Byte](8))
+    assert(Decoders.wav(le.array()).isEmpty)
+    // Media.decode never throws on arbitrary corrupt payloads
+    val rnd = new scala.util.Random(123)
+    (0 until 50).foreach { i =>
+      val junk = Array.fill(64 + i)(rnd.nextInt().toByte)
+      // force a media-looking prefix some of the time
+      if (i % 4 == 0) Array(sig, "RIFF".getBytes).apply((i / 4) % 2)
+        .copyToArray(junk)
+      val f = Media.decode(Media.MediaRow(i.toLong, "image", junk, 0, 0L))
+      assert(f.byte_len == junk.length)
+    }
+  }
+
   test("Media routes by magic bytes: real decoders for media, stub for text") {
     import spark.implicits._
     val rows = Seq(
