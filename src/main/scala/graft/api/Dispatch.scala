@@ -32,12 +32,19 @@ final class Dispatch(
       case other => TopEntityStats("user_id", Seq(other), top)
     }
 
-  private def anchor(): Timestamp = {
-    val row = store.baseListens.unionByName(store.incrementalListens)
-      .agg(max(col("listened_at"))).collect()(0)
-    Option(row.getTimestamp(0))
-      .getOrElse(new Timestamp(System.currentTimeMillis()))
-  }
+  /** "Latest listen" anchor for window resolution. Read from the store's
+    * high-water metadata (one-row JSON maintained at import time, the
+    * listens/metadata.py:18-55 pattern) — NOT a scan: a per-request
+    * max(listened_at) over base ∪ incremental is a full-table aggregate
+    * before any query runs at 100 TB. The scan remains only as a
+    * self-healing fallback for stores predating the metadata file. */
+  private def anchor(): Timestamp =
+    store.highWater.map(_._1).getOrElse {
+      val row = store.baseListens.unionByName(store.incrementalListens)
+        .agg(max(col("listened_at"))).collect()(0)
+      Option(row.getTimestamp(0))
+        .getOrElse(new Timestamp(System.currentTimeMillis()))
+    }
 
   private def yimWindow(req: StatRequest): (Timestamp, Timestamp) = {
     val y = if (req.year > 0) req.year
@@ -111,7 +118,7 @@ final class Dispatch(
       case "stats.sitewide.artist_evolution_activity" =>
         val p = ArtistEvolutionStats()
         p.stats(p.combine(p.aggregate(sitewide(windowed))))
-      case "stats.entity.listeners" =>
+      case "stats.entity.listeners" | "stats.listener.entity" =>
         engine.run(s"listener_${req.entity}_${req.statsRange}",
           ListenerStats("user_id", Seq(req.entity)), store, from, to)
 
@@ -123,13 +130,19 @@ final class Dispatch(
         dumps.importIncremental(payload, req.dumpId)
         status("import_incremental", s"dump ${req.dumpId}")
       case "import.dump.sample" =>
-        dumps.importFull(payload, req.dumpId)
+        // same orchestration as a full import, but ledgered as "sample" —
+        // a sample sharing a dumpId must not replace the real full-import
+        // ledger row (dump.py:187-208 keys the ledger by (id, type))
+        dumps.importFull(payload, req.dumpId, dumpType = "sample")
         status("import_sample", s"dump ${req.dumpId}")
       case "import.dump.mlhd" =>
-        // MLHD chunks land partitioned by user-prefix chunk, the unit the
-        // chunked similarity job later iterates (mlhd/download.py:24-58)
+        // MLHD chunks land partitioned by the user id's leading hex char —
+        // the real corpus keys users by UUID STRING and lays files out by
+        // hex prefix (mlhd/download.py:24-27); integer fixture ids degrade
+        // to their leading digit, still a valid chunking
         payload
-          .withColumn("chunk", col("user_id") % 16)
+          .withColumn("chunk",
+            graft.ingest.MlhdImport.chunkOf(col("user_id")))
           .repartition(col("chunk"))
           .write.partitionBy("chunk").mode("overwrite")
           .parquet(s"$workDir/mlhd")

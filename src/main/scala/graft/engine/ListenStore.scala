@@ -29,26 +29,88 @@ final class ListenStore(spark: SparkSession, root: String) {
   private val deletedPath = s"$root/deleted-listens"
   private val deletedHistoryPath = s"$root/deleted-user-listen-history"
   private val feedbackPath = s"$root/recording-feedback"
+  private val metadataPath = s"$root/metadata"
 
-  private def exists(path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private val metadataSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("max_listened_at",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("max_created",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("updated_at",
+      org.apache.spark.sql.types.TimestampType)))
+
+  /** Stored (max_listened_at, max_created) high-water marks, maintained at
+    * WRITE time — the reference's listens-metadata singleton
+    * (listens/metadata.py:18-55). Request dispatch resolves "the latest
+    * listen" from this one-row JSON instead of aggregating the whole
+    * store, which at 100 TB would be a full scan before every query.
+    * Advance-only, like the reference: deletions never lower it. */
+  def highWater: Option[(Timestamp, Timestamp)] =
+    if (exists(metadataPath)) {
+      spark.read.schema(metadataSchema).json(metadataPath)
+        .collect().headOption
+        .filter(!_.isNullAt(0))
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1)))
+    } else None
+
+  private def writeMetadata(maxListened: Timestamp, maxCreated: Timestamp): Unit = {
+    import spark.implicits._
+    Seq((maxListened, maxCreated, new Timestamp(System.currentTimeMillis())))
+      .toDF("max_listened_at", "max_created", "updated_at")
+      .repartition(1).write.mode("overwrite").json(metadataPath)
   }
+
+  private def maxTs(a: Timestamp, b: Timestamp): Timestamp =
+    if (a.after(b)) a else b
+
+  /** One pruned 2-column pass over `df` for its high-water marks. */
+  private def frameHighWater(df: DataFrame): Option[(Timestamp, Timestamp)] = {
+    val r = df.agg(max(col("listened_at")), max(col("created"))).collect()(0)
+    if (r.isNullAt(0)) None else Some((r.getTimestamp(0), r.getTimestamp(1)))
+  }
+
+  private def fsFor(path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(path: String): Boolean =
+    fsFor(path).exists(new org.apache.hadoop.fs.Path(path))
 
   /** Full rewrite of the base: derive partition columns and write
     * partitioned. Overwrite is atomic-enough for the single-writer batch
     * model (the reference swaps a UUID directory; a cluster deployment
     * would do the same pointer swap). */
-  def writeBase(listens: DataFrame): Unit =
+  def writeBase(listens: DataFrame): Unit = {
     listens
       .withColumn("year", year(col("listened_at")))
       .withColumn("month", month(col("listened_at")))
       .repartition(col("year"), col("month"))
       .write.partitionBy("year", "month").mode("overwrite").parquet(basePath)
+    // a full rewrite RESETS the high-water (the reference swaps to a fresh
+    // location with fresh metadata); computed from the written parquet —
+    // a pruned 2-column scan, once per import, never per request. An
+    // empty write leaves no readable parquet → clear the metadata.
+    scala.util.Try(frameHighWater(spark.read.parquet(basePath)
+      .select(col("listened_at"), col("created")))).toOption.flatten match {
+      case Some((l, c)) => writeMetadata(l, c)
+      case None => fsFor(metadataPath).delete(
+        new org.apache.hadoop.fs.Path(metadataPath), true)
+    }
+  }
 
-  /** Append an incremental dump chunk (reference dump.py:229-233). */
-  def appendIncremental(listens: DataFrame): Unit =
-    listens.write.mode("append").parquet(incPath)
+  /** Append an incremental dump chunk (reference dump.py:229-233) and
+    * advance the high-water marks from the CHUNK alone (no store scan). */
+  def appendIncremental(listens: DataFrame): Unit = {
+    val chunk = listens.localCheckpoint() // scanned twice: write + high-water
+    chunk.write.mode("append").parquet(incPath)
+    frameHighWater(chunk).foreach { case (l, c) =>
+      val (ml, mc) = highWater match {
+        case Some((pl, pc)) => (maxTs(pl, l), maxTs(pc, c))
+        case None => (l, c)
+      }
+      writeMetadata(ml, mc)
+    }
+  }
 
   /** Record listen deletions; retracted at read time, removed physically at
     * compaction. */

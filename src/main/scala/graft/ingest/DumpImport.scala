@@ -67,13 +67,16 @@ final class DumpImport(
     if (exists(incUsersPath)) spark.read.parquet(incUsersPath)
     else spark.emptyDataFrame
 
-  /** Full-dump import: location swap + stats invalidation. */
-  def importFull(dump: DataFrame, dumpId: Int): Unit = {
+  /** Full-dump import: location swap + stats invalidation. `dumpType`
+    * distinguishes ledger rows for sample imports, which share the
+    * orchestration but must keep their own (dump_id, dump_type) identity
+    * (dump.py:187-208). */
+  def importFull(dump: DataFrame, dumpId: Int, dumpType: String = "full"): Unit = {
     store.writeBase(dump)
     store.clearSideTables()
     delete(incUsersPath)
     delete(statsWorkDir) // cached partials are stale against the new base
-    recordImport(dumpId, "full")
+    recordImport(dumpId, dumpType)
   }
 
   /** Incremental-dump import: append + high-water bookkeeping. */

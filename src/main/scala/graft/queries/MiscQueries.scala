@@ -94,23 +94,33 @@ object MiscQueries {
       GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
 
   // ---------------------------------------------------------------- q79
-  /** Seeded random sampling (W10 — ORDER BY RANDOM() made testable):
-    * 2 events per user by rank over rand(seed). Deterministic within
-    * Spark for a fixed seed and partitioning, but RNG streams are not
-    * portable across engines → rows-only check; the per-user row-count
-    * contract is asserted in spec. */
+  /** Hash-shuffled sampling (W10 — ORDER BY RANDOM() made cross-engine
+    * reproducible): 2 events per user ranked by md5 of the row identity.
+    * MD5 is bit-identical in Spark and DuckDB, so the SAMPLED ROWS
+    * themselves are oracled — not just their count. The seeded rand(seed)
+    * form (in-Spark reproducible, not portable) stays spec-verified in
+    * PlaylistsSpec/QueriesSpec. */
   val q79SeededSample = Q(
     "q79_seeded_sample",
     (s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(rand(42L))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(md5(col("event_id").cast("string").cast("binary")))
       Tables.events(s, d)
-        .repartition(col("user_id")) // pin RNG-to-partition assignment
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_sampled"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          array_join(sort_array(collect_list(col("event_id"))), ",")
+            .as("sampled_ids"))
         .orderBy(col("user_id"))
     },
-    oracle = None)
+    Some("""SELECT user_id, count(*) AS n_sampled,
+        array_to_string(list_sort(list(event_id)), ',') AS sampled_ids
+      FROM (
+        SELECT user_id, event_id, row_number() OVER (
+          PARTITION BY user_id ORDER BY md5(cast(event_id AS varchar))) AS rn
+        FROM events) t
+      WHERE rn <= 2 GROUP BY user_id ORDER BY user_id"""))
 
   // ---------------------------------------------------------------- q82
   /** Custom-comparator array_sort (O4): nested results ordered by
@@ -142,8 +152,11 @@ object MiscQueries {
   // ---------------------------------------------------------------- q88
   /** Periodic-jams playlist (troi semantics): per-user top entities minus
     * hated ones (anti join on synthetic feedback derived from the data),
-    * seeded shuffle, capped. Seeded-random → rows-only check; semantics
-    * proved with planted fixtures in PlaylistsSpec. */
+    * shuffled, capped (troi/periodic_jams.py:62). The reference's ORDER BY
+    * RANDOM() is replaced with a per-(user, entity) md5 key — identical in
+    * both engines, so the whole playlist is hash-oracled; the seeded-rand
+    * form is spec-verified (seed-stability + hated-exclusion contracts in
+    * PlaylistsSpec). */
   val q88PeriodicJams = Q(
     "q88_periodic_jams",
     (s, d) => {
@@ -152,12 +165,27 @@ object MiscQueries {
       val feedback = ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("event_type"), lit(-1).as("score"))
         .distinct()
-      graft.playlists.Playlists.periodicJams(
-          ev, feedback, "user_id", "event_type",
-          maxPerPlaylist = 2, seed = 42L)
+      graft.playlists.Playlists.periodicJamsDeterministic(
+          ev, feedback, "user_id", "event_type", maxPerPlaylist = 3,
+          shuffleKey = md5(concat_ws(":",
+            col("user_id").cast("string"), col("event_type")).cast("binary")))
         .orderBy(col("user_id"), col("position"))
     },
-    oracle = None)
+    Some("""WITH hated AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE event_type = 'error'),
+      counts AS (
+        SELECT e.user_id, e.event_type, count(*) AS listen_count
+        FROM events e ANTI JOIN hated h
+          ON e.user_id = h.user_id AND e.event_type = h.event_type
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY md5(cast(user_id AS varchar) || ':' || event_type))
+          AS position
+        FROM counts)
+      SELECT user_id, event_type, listen_count, position FROM ranked
+      WHERE position <= 3 ORDER BY user_id, position"""))
 
   // ---------------------------------------------------------------- q92
   /** Year-in-Music day-of-week: each user's most active weekday
@@ -301,10 +329,11 @@ object MiscQueries {
       ORDER BY p_partkey, pos"""))
 
   // ---------------------------------------------------------------- q113
-  /** Periodic jams with a deterministic shuffle key: the full troi data
-    * flow (hated-feedback anti join + per-user shuffle rank + cap) made
-    * cross-engine reproducible — the oracled counterpart of the
-    * seeded-RANDOM q88. */
+  /** Periodic jams with an entity-level deterministic shuffle key: the
+    * full troi data flow (hated-feedback anti join + per-user shuffle rank
+    * + cap) made cross-engine reproducible. q88 shuffles per (user,
+    * entity); this variant shuffles per entity — same playlist order for
+    * every user, the "site-wide jam of the day" reading. */
   val q113JamsDeterministic = Q(
     "q113_jams_deterministic",
     (s, d) => {
@@ -314,7 +343,9 @@ object MiscQueries {
         .distinct()
       graft.playlists.Playlists.periodicJamsDeterministic(
           ev, feedback, "user_id", "event_type", maxPerPlaylist = 2,
-          shuffleKey = ascii(col("event_type")) * 131L + length(col("event_type")))
+          // md5 over the FULL string: collision-resistant, unlike a
+          // first-char/length key, and bit-identical across engines
+          shuffleKey = md5(col("event_type").cast("binary")))
         .orderBy(col("user_id"), col("position"))
     },
     Some("""WITH hated AS (
@@ -327,7 +358,7 @@ object MiscQueries {
         GROUP BY 1, 2),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY user_id
-          ORDER BY ascii(event_type) * 131 + length(event_type)) AS position
+          ORDER BY md5(event_type)) AS position
         FROM counts)
       SELECT user_id, event_type, listen_count, position FROM ranked
       WHERE position <= 2 ORDER BY user_id, position"""))

@@ -11,7 +11,9 @@ import graft.similarity.UserCosine
   * library modules. The dedup family carries DIFFERENTIAL oracles: DuckDB
   * recomputes the exact brute-force answer (all-pairs Jaccard for q46,
   * all-pairs Hamming over SQL-replayable polyHash62 fingerprints for
-  * q47/q48), so a hash match proves the LSH/blocking path loses nothing.
+  * q47/q48). For q47/q48 the pigeonhole blocking has recall exactly 1, so
+  * the match is a guarantee; for q46 it is an empirical gate on this
+  * corpus (see the q46 note on LSH boundary recall).
   * ALS training and media decoding stay rows-only (no portable oracle);
   * their semantics are unit-tested with planted fixtures in the ScalaTest
   * specs. q81 (exact user cosine) is fully oracle-verified.
@@ -59,11 +61,16 @@ object PipelineQueries {
         FROM votes GROUP BY 1)"""
 
   // ---------------------------------------------------------------- q46
-  /** MinHash+LSH near-dup pairs over documents, exact-verified. The
-    * DIFFERENTIAL oracle computes brute-force all-pairs Jaccard in DuckDB
-    * — a hash match proves the banded-LSH path (signatures → buckets →
-    * candidate join → verify) loses no pair at this threshold, on top of
-    * the planted-duplicate recall tests in DedupSpec. */
+  /** MinHash+LSH near-dup pairs over documents, differentially verified:
+    * DuckDB recomputes brute-force all-pairs Jaccard, and a hash match
+    * shows the banded-LSH path (signatures → buckets → candidate join →
+    * verify) lost no pair ON THIS CORPUS. That is an empirical regression
+    * gate, not a recall proof — LSH candidate probability at the j=0.3
+    * boundary is only ~6% per band combination (b=8, r=4); the gate holds
+    * because every true pair here sits far above the boundary, where the
+    * s-curve is ≈1. Recall-at-high-similarity is what the planted-duplicate
+    * tests in DedupSpec assert; a corpus with borderline pairs would need
+    * a higher verification threshold. */
   val q46MinhashNeardup = Q(
     "q46_minhash_neardup",
     (s, d) => MinHash.nearDuplicates(

@@ -59,6 +59,51 @@ class ApiSpec extends SparkSpec {
     assert(u1 == Set("A"), "hated entity excluded via store feedback")
   }
 
+  test("anchor resolves from stored high-water metadata, not a store scan") {
+    import spark.implicits._
+    val root = tmpDir("api-anchor")
+    val store = new ListenStore(spark, root)
+    store.writeBase(listensDf(Seq(
+      listen(1, "A", "2024-06-01 10:00:00"),
+      listen(1, "B", "2024-06-02 10:00:00"))))
+    val dispatch = new Dispatch(spark, store,
+      new IncrementalStatsEngine(spark, tmpDir("api-anchor-work")))
+
+    // with honest metadata (written by writeBase), year 0 resolves to the
+    // data's year and the YIM window covers the listens
+    val real = dispatch.handle(dispatch.StatRequest(
+      "year_in_music.listen_count", year = 0))
+    assert(real.collect()(0).getMap[Int, Long](0) == Map(1 -> 2L))
+
+    // PLANT a metadata file pointing at 2030: if dispatch scanned the
+    // store it would still see 2024; following the plant proves the
+    // anchor comes from the metadata singleton (listens/metadata.py:18-55)
+    Seq((ts("2030-06-01 00:00:00"), ts("2030-06-01 00:00:00"),
+        ts("2030-06-01 00:00:00")))
+      .toDF("max_listened_at", "max_created", "updated_at")
+      .repartition(1).write.mode("overwrite").json(s"$root/metadata")
+    assert(store.highWater.map(_._1) == Some(ts("2030-06-01 00:00:00")))
+    val planted = dispatch.handle(dispatch.StatRequest(
+      "year_in_music.listen_count", year = 0))
+    assert(planted.collect()(0).getMap[Int, Long](0).isEmpty,
+      "window resolved against planted 2030 metadata → no 2024 listens")
+
+    // metadata stays correct across a subsequent full + incremental import
+    val dumps = new graft.ingest.DumpImport(
+      spark, store, s"$root/dumps", tmpDir("api-anchor-stats"))
+    dumps.importFull(listensDf(Seq(
+      listen(1, "A", "2024-06-01 10:00:00"))), dumpId = 9)
+    assert(store.highWater.map(_._1) == Some(ts("2024-06-01 10:00:00")),
+      "full import resets the planted mark")
+    dumps.importIncremental(listensDf(Seq(
+      listen(2, "B", "2025-01-15 10:00:00"))), dumpId = 10)
+    assert(store.highWater.map(_._1) == Some(ts("2025-01-15 10:00:00")))
+    val afterInc = dispatch.handle(dispatch.StatRequest(
+      "year_in_music.listen_count", year = 0))
+    assert(afterInc.collect()(0).getMap[Int, Long](0) == Map(2 -> 1L),
+      "anchor advanced to 2025 by the incremental append")
+  }
+
   test("dispatch rejects unknown query names") {
     val store = freshStoreWith(Seq(listen(1, "A", "2024-01-10 10:00:00")))
     val dispatch = new Dispatch(spark, store,

@@ -64,4 +64,34 @@ class ListenStoreSpec extends SparkSpec {
     assert(store.listens(ts("2024-01-01 00:00:00"),
       ts("2024-02-01 00:00:00")).count() == 1)
   }
+
+  test("high-water metadata maintained across base/incremental/compact") {
+    val store = new ListenStore(spark, tmpDir("store-hw"))
+    assert(store.highWater.isEmpty, "fresh store has no metadata")
+
+    store.writeBase(listensDf(Seq(
+      listen(1, "A", "2024-01-10 10:00:00", created = "2024-01-11 00:00:00"),
+      listen(2, "B", "2024-03-05 10:00:00", created = "2024-03-06 00:00:00"))))
+    assert(store.highWater == Some(
+      (ts("2024-03-05 10:00:00"), ts("2024-03-06 00:00:00"))),
+      "full rewrite resets the high-water to the new base's maxima")
+
+    store.appendIncremental(listensDf(Seq(
+      listen(1, "C", "2024-04-01 10:00:00", created = "2024-04-02 00:00:00"))))
+    assert(store.highWater == Some(
+      (ts("2024-04-01 10:00:00"), ts("2024-04-02 00:00:00"))),
+      "incremental append advances from the chunk alone")
+
+    // an OLDER incremental chunk must not regress the marks
+    store.appendIncremental(listensDf(Seq(
+      listen(3, "D", "2024-02-01 10:00:00", created = "2024-02-02 00:00:00"))))
+    assert(store.highWater == Some(
+      (ts("2024-04-01 10:00:00"), ts("2024-04-02 00:00:00"))),
+      "high-water is advance-only")
+
+    store.compact()
+    assert(store.highWater == Some(
+      (ts("2024-04-01 10:00:00"), ts("2024-04-02 00:00:00"))),
+      "compaction preserves the marks (recomputed from the folded base)")
+  }
 }

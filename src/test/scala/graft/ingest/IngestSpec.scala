@@ -104,6 +104,53 @@ class IngestSpec extends SparkSpec {
       "re-import of dump 1 replaces its ledger row")
   }
 
+  test("sample import ledgers as (dumpId, sample), not replacing full") {
+    import graft.engine._
+    val root = tmpDir("sample-import")
+    val store = new ListenStore(spark, s"$root/store")
+    val engine = new IncrementalStatsEngine(spark, s"$root/stats")
+    val dumps = new DumpImport(spark, store, s"$root/meta", engine.workDir)
+    val df = listensDf(Seq(listen(1, "A", "2024-01-10 10:00:00")))
+    dumps.importFull(df, dumpId = 7)
+    dumps.importFull(df, dumpId = 7, dumpType = "sample")
+    val ledger = dumps.importMetadata.collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(ledger == Seq((7, "full"), (7, "sample")),
+      "a sample sharing dump_id 7 keeps the full-import ledger row")
+  }
+
+  test("MLHD ETL: per-user TSV tree → hex-prefix-chunked listen parquet") {
+    val src = tmpDir("mlhd-src")
+    val raw = tmpDir("mlhd-raw") + "/raw"
+    val out = tmpDir("mlhd-out") + "/data"
+    // the corpus layout: <prefix-dir>/<uuid>.txt, headerless TSV
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$src/a1"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$src/0f"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/a1/a1b2c3d4.txt"),
+      "1700000000\tm1,m2\trel1\trec1\n1700000100\tm3\trel2\trec2\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/0f/0fab12cd.txt"),
+      "1700000200\tm4\trel3\trec3\n")
+
+    MlhdImport.etl(spark, s"$src/*/*.txt", raw)
+    MlhdImport.postProcess(spark, raw, out)
+
+    val result = spark.read.parquet(out)
+    assert(result.count() == 3)
+    // user ids are STRINGS from the file names; chunks are their leading
+    // hex char (mlhd/download.py:24-27), not an integer modulus
+    assert(result.select("user_id").distinct().collect()
+      .map(_.getString(0)).toSet == Set("a1b2c3d4", "0fab12cd"))
+    assert(result.select(col("chunk").cast("string")).distinct().collect()
+      .map(_.getString(0)).toSet == Set("a", "0"))
+    val row = result.filter(col("recording_mbid") === "rec1").collect()(0)
+    assert(row.getAs[java.sql.Timestamp]("listened_at") ==
+      new java.sql.Timestamp(1700000000L * 1000))
+    assert(row.getSeq[String](row.fieldIndex("artist_credit_mbids")) ==
+      Seq("m1", "m2"))
+  }
+
   test("globScan reads only matching chunk files") {
     val dir = tmpDir("glob-src")
     import spark.implicits._
