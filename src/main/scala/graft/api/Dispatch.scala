@@ -24,7 +24,8 @@ final class Dispatch(
   final case class StatRequest(
       query: String, entity: String = "artists",
       statsRange: String = "all_time", onlyInc: Boolean = false,
-      year: Int = 0, data: Option[DataFrame] = None, dumpId: Int = 0)
+      year: Int = 0, data: Option[DataFrame] = None, dumpId: Int = 0,
+      days: Int = 0, threshold: Long = 0L)
 
   private def entityProvider(entity: String, top: Int): StatsProvider =
     entity match {
@@ -176,9 +177,17 @@ final class Dispatch(
         pc.write.mode("overwrite").parquet(s"$workDir/cf/playcounts")
         pc
       case "cf.recommendations.recording.train_model" =>
+        // select → save → LEDGER (train_models.py:236-250): the saved
+        // model's params, cross-validated RMSE and training counts append
+        // to the model-metadata ledger next to the model itself
         val pc = spark.read.parquet(s"$workDir/cf/playcounts")
-        val model = graft.recs.Als.train(pc)
-        model.write.overwrite().save(s"$workDir/cf/model")
+        val grid = graft.recs.Als.trainWithGridDetailed(pc,
+          ranks = Seq(8), regParams = Seq(0.1), alphas = Seq(3.0))
+        grid.model.write.overwrite().save(s"$workDir/cf/model")
+        graft.recs.ModelLedger.append(spark, s"$workDir/cf/model-metadata",
+          graft.recs.ModelLedger.entryFor(
+            modelId = s"model-${java.util.UUID.randomUUID()}",
+            dataframeId = "playcounts", grid = grid, playcounts = pc))
         status("model", s"$workDir/cf/model")
       case "cf.recommendations.recording.recommendations" =>
         val pc = spark.read.parquet(s"$workDir/cf/playcounts")
@@ -297,8 +306,16 @@ final class Dispatch(
 
       // ---------------------------------------------------- datasets etc.
       case "releases.fresh" =>
-        graft.yim.Yim.newReleasesOfTopArtists(
-          windowed, caches.newReleases)
+        // the reference job's full parameter surface
+        // (fresh_releases.py:118-123): days bounds BOTH the listen window
+        // and the dated-release window; threshold floors the confidence
+        val a = anchor()
+        graft.releases.FreshReleases.nested(
+          graft.releases.FreshReleases.forUsers(
+            allListens, caches.newReleases, a,
+            days = if (req.days > 0) Some(req.days) else None,
+            threshold = req.threshold,
+            artistCol = "artist_credit_mbids"))
       case "tags.default" =>
         // the reference runs the same dataset per source; union of the
         // per-source runs, tagged (tags/tags.py:44-50)

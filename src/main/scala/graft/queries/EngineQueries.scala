@@ -412,6 +412,66 @@ object EngineQueries {
       ORDER BY cust, brand, pk"""),
     bench = true)
 
+  // ---------------------------------------------------------------- q122
+  /** Fresh-releases FULL parameter surface (fresh_releases.py:44-123):
+    * days-window over the listens AND the dated-release list (past +
+    * future sides of the anchor, flagged is_future), artist equi-join
+    * confidence, threshold floor. Analog: parts "release" at their first
+    * ship date; a customer's confidence in a brand's fresh parts is their
+    * recent purchase count of that brand. */
+  val q122FreshReleasesParams = Q(
+    "q122_fresh_releases_params",
+    (s, d) => {
+      val purchases = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_shipdate").cast("timestamp").as("listened_at"),
+          col("p_partkey"), col("p_brand"))
+      val releases = purchases
+        .groupBy(col("p_partkey"), col("p_brand"))
+        .agg(min(col("listened_at")).as("release_date"))
+        .select(col("p_partkey").as("release_mbid"),
+          col("p_brand").as("release_name"), col("release_date"),
+          array(col("p_brand")).as("artist_mbids"))
+      val listens = purchases
+        .select(col("user_id"), col("listened_at"),
+          array(col("p_brand")).as("artist_credit_mbids"))
+      graft.releases.FreshReleases.forUsers(
+          listens, releases,
+          anchor = java.sql.Timestamp.valueOf("1995-06-01 00:00:00"),
+          days = Some(120), threshold = 2L)
+        .orderBy(col("user_id"), col("release_mbid"))
+    },
+    Some("""WITH purchases AS (
+        SELECT o_custkey AS user_id, p_partkey AS pk, p_brand AS brand,
+          l_shipdate AS ship
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey),
+      releases AS (
+        SELECT pk, brand, min(ship) AS release_date
+        FROM purchases GROUP BY 1, 2),
+      windowed_releases AS (
+        SELECT * FROM releases
+        WHERE release_date >= TIMESTAMP '1995-06-01' - INTERVAL 120 DAY
+          AND release_date <= TIMESTAMP '1995-06-01' + INTERVAL 120 DAY),
+      windowed_listens AS (
+        SELECT user_id, brand FROM purchases
+        WHERE ship >= TIMESTAMP '1995-06-01' - INTERVAL 120 DAY
+          AND ship <= TIMESTAMP '1995-06-01'),
+      conf AS (
+        SELECT l.user_id, r.pk AS release_mbid, r.brand AS release_name,
+          r.release_date::TIMESTAMP AS release_date,
+          r.release_date > TIMESTAMP '1995-06-01' AS is_future,
+          count(*) AS confidence
+        FROM windowed_listens l JOIN windowed_releases r ON l.brand = r.brand
+        GROUP BY 1, 2, 3, 4, 5)
+      SELECT user_id, release_mbid, release_name, release_date, is_future,
+        confidence
+      FROM conf WHERE confidence >= 2
+      ORDER BY user_id, release_mbid"""))
+
   // ---------------------------------------------------------------- q94
   /** Artist-evolution via the ArtistEvolutionStats provider: purchases
     * shaped as listens (brand ≙ artist with a single-element credit
@@ -447,5 +507,5 @@ object EngineQueries {
     q70IncrementalTopk, q71SessionCooccur, q72OnlyIncremental,
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
     q89GenreActivity, q90ListeningTime, q91FreshReleases,
-    q94ArtistEvolution, q121StoreEngine)
+    q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams)
 }

@@ -77,15 +77,23 @@ object Als {
       .evaluate(model.transform(valDf))
   }
 
+  /** The grid search's winner plus the selection evidence the reference
+    * ledgers with every saved model (train_models.py:236-250). */
+  final case class GridResult(
+      model: ALSModel, rank: Int, regParam: Double, alpha: Double,
+      maxIter: Int, validationRmse: Double)
+
   /** Grid-searched training with 2-fold cross-validation, parallelism 3,
     * RMSE selection — the reference's model-selection harness
     * (train_models.py:163-179: ParamGridBuilder over rank/regParam/alpha,
-    * CrossValidator numFolds=2 parallelism=3, RegressionEvaluator RMSE). */
-  def trainWithGrid(
+    * CrossValidator numFolds=2 parallelism=3, RegressionEvaluator RMSE).
+    * Returns the winner WITH its params and cross-validated RMSE, so the
+    * caller can ledger them. */
+  def trainWithGridDetailed(
       playcounts: DataFrame,
       ranks: Seq[Int] = Seq(4, 8),
       regParams: Seq[Double] = Seq(0.1, 1.0),
-      alphas: Seq[Double] = Seq(3.0)): ALSModel = {
+      alphas: Seq[Double] = Seq(3.0)): GridResult = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     val als = new ALS()
       .setUserCol("als_user_id").setItemCol("als_item_id")
@@ -105,8 +113,25 @@ object Als {
       .setNumFolds(2)
       .setParallelism(3)
       .setSeed(45L)
-    cv.fit(playcounts).bestModel.asInstanceOf[ALSModel]
+    val fitted = cv.fit(playcounts)
+    val best = fitted.bestModel.asInstanceOf[ALSModel]
+    // avgMetrics is aligned with the param grid; RMSE → lower is better
+    val bestIdx = fitted.avgMetrics.zipWithIndex.minBy(_._1)._2
+    val bestParams = grid(bestIdx)
+    GridResult(best,
+      rank = bestParams(als.rank),
+      regParam = bestParams(als.regParam),
+      alpha = bestParams(als.alpha),
+      maxIter = als.getMaxIter,
+      validationRmse = fitted.avgMetrics(bestIdx))
   }
+
+  def trainWithGrid(
+      playcounts: DataFrame,
+      ranks: Seq[Int] = Seq(4, 8),
+      regParams: Seq[Double] = Seq(0.1, 1.0),
+      alphas: Seq[Double] = Seq(3.0)): ALSModel =
+    trainWithGridDetailed(playcounts, ranks, regParams, alphas).model
 
   /** Top-k recommendations for a user subset, flat (user, rank, item,
     * score) — the reference recommends per requested user batch
@@ -119,4 +144,55 @@ object Als {
       .select(col("als_user_id"), (col("pos") + 1).as("rank"),
         col("rec.als_item_id").as("als_item_id"),
         col("rec.rating").as("score"))
+}
+
+/** Model-metadata ledger: every saved model appends one row recording what
+  * was trained, with which params, and how well it validated — the
+  * reference's model_metadata dataframe (train_models.py:236-250 appends;
+  * schema.py:96-104: model_id, model_created, model_param struct(alpha,
+  * iteration, lmbda, rank), validation_rmse, test_rmse, dataframe_id).
+  * An append-only parquet keyed by model_id; the training-count fields of
+  * the companion dataframe_metadata ride along so one row answers "what
+  * data, what params, what error". */
+object ModelLedger {
+
+  final case class Entry(
+      model_id: String,
+      dataframe_id: String,
+      alpha: Double,
+      iteration: Int,
+      lmbda: Double,
+      rank: Int,
+      validation_rmse: Double,
+      test_rmse: Double,
+      users_count: Long,
+      items_count: Long,
+      playcounts_count: Long,
+      model_created: java.sql.Timestamp)
+
+  def append(spark: SparkSession, path: String, entry: Entry): Unit = {
+    import spark.implicits._
+    Seq(entry).toDF().repartition(1).write.mode("append").parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Build a ledger entry from a grid-search winner and its training set. */
+  def entryFor(
+      modelId: String, dataframeId: String, grid: Als.GridResult,
+      playcounts: DataFrame, testRmse: Double = Double.NaN): Entry =
+    Entry(
+      model_id = modelId,
+      dataframe_id = dataframeId,
+      alpha = grid.alpha,
+      iteration = grid.maxIter,
+      lmbda = grid.regParam,
+      rank = grid.rank,
+      validation_rmse = grid.validationRmse,
+      test_rmse = testRmse,
+      users_count = playcounts.select(col("als_user_id")).distinct().count(),
+      items_count = playcounts.select(col("als_item_id")).distinct().count(),
+      playcounts_count = playcounts.count(),
+      model_created = new java.sql.Timestamp(System.currentTimeMillis()))
 }

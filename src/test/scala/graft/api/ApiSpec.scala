@@ -122,6 +122,44 @@ class ApiSpec extends SparkSpec {
     assert(chunks == Seq(3, 3, 1))
   }
 
+  test("stats envelope: full run brackets with default database, " +
+      "incremental sends prefix unbracketed") {
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i, s"u$i")).toDF("id", "v").orderBy("id")
+
+    // full run: couchdb bracket around enveloped 25-row chunks
+    val full = Messages.statsChunked(df, msgType = "user_entity",
+      statsRange = "week", fromTs = 100L, toTs = 200L,
+      entity = "artists").toSeq
+    assert(full.head == Messages.DataStart("artists_week"))
+    assert(full.last == Messages.DataEnd("artists_week"))
+    val chunks = full.collect { case c: Messages.StatsChunk => c }
+    assert(chunks.map(_.rows.size) == Seq(25, 5))
+    assert(chunks.forall(c => c.msgType == "user_entity" &&
+      c.statsRange == "week" && c.fromTs == 100L && c.toTs == 200L &&
+      c.entity == "artists" && c.database == Some("artists_week") &&
+      c.databasePrefix.isEmpty))
+
+    // only-incremental run: prefix instead of database, NO bracket — the
+    // webserver appends to the latest matching database (entity.py:100-105)
+    val inc = Messages.statsChunked(df, msgType = "user_entity",
+      statsRange = "week", fromTs = 100L, toTs = 200L,
+      entity = "artists", onlyInc = true).toSeq
+    assert(!inc.exists(_.isInstanceOf[Messages.DataStart]) &&
+      !inc.exists(_.isInstanceOf[Messages.DataEnd]))
+    val incChunks = inc.collect { case c: Messages.StatsChunk => c }
+    assert(incChunks.forall(c => c.database.isEmpty &&
+      c.databasePrefix == Some("artists_week")))
+
+    // explicit database wins over both defaults
+    val explicit = Messages.statsChunked(df, msgType = "user_entity",
+      statsRange = "week", fromTs = 100L, toTs = 200L,
+      entity = "artists", database = Some("db_7")).toSeq
+    assert(explicit.head == Messages.DataStart("db_7"))
+    assert(explicit.collect { case c: Messages.StatsChunk => c }
+      .forall(_.database == Some("db_7")))
+  }
+
   test("ChunkedRunner equals unchunked run for associative providers") {
     val ls = (1 to 50).map(i => listen(i % 7, s"Artist${i % 5}",
       f"2024-01-${i % 28 + 1}%02d 10:00:00"))

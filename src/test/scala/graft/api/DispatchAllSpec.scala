@@ -168,6 +168,33 @@ class DispatchAllSpec extends SparkSpec {
     assert(recording("energetic") == 1.0 && recording("calm") == 1.0)
   }
 
+  test("releases.fresh honors days window, threshold, and future flag") {
+    // dated release list: one past, one future, one outside the window
+    val dated = Seq(
+      ("relP", "Past", Seq("am0"), "2024-11-01 00:00:00"),
+      ("relF", "Future", Seq("am0"), "2025-02-01 00:00:00"),
+      ("relOld", "Ancient", Seq("am0"), "2020-01-01 00:00:00"))
+      .toDF("release_mbid", "release_name", "artist_credit_mbids", "d")
+      .withColumn("release_date", col("d").cast("timestamp")).drop("d")
+    val d2 = new Dispatch(spark, store,
+      new IncrementalStatsEngine(spark, tmpDir("fresh-work")),
+      caches.copy(newReleases = dated), workDir = tmpDir("fresh-wd"))
+    // anchor = max listened_at in the fixture (2024-12-xx); 90 days spans
+    // both relP and relF but not relOld
+    val out = d2.handle(d2.StatRequest("releases.fresh",
+        days = 90, threshold = 1L))
+      .select(col("user_id"), explode(col("releases")).as("r"))
+      .select(col("r.release_mbid"), col("r.is_future")).distinct()
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("relP" -> false, "relF" -> true),
+      "window keeps past+future releases, drops the out-of-window one")
+
+    // a threshold above every user's am0 listen count empties the result
+    val none = d2.handle(d2.StatRequest("releases.fresh",
+      days = 90, threshold = 1000L))
+    assert(none.count() == 0)
+  }
+
   test("new releases of top artists equi-join matches only credited artists") {
     val out = run("year_in_music.new_releases_of_top_artists")
       .select("release_mbid").as[String].collect().toSet

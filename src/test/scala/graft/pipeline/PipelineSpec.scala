@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.multimodal.Media
-import graft.recs.Als
+import graft.recs.{Als, ModelLedger}
 import graft.streaming.StreamingStats
 import graft.engine.{Listen, TopEntityStats}
 
@@ -131,10 +131,35 @@ class PipelineSpec extends SparkSpec {
       (1 to 4).map(i => (u.toLong, s"it${(u + i) % 6}"))
     }
     val pc = Als.buildPlaycounts(rows.toDF("user_id", "item"), "user_id", "item")
-    val model = Als.trainWithGrid(pc,
+    val grid = Als.trainWithGridDetailed(pc,
       ranks = Seq(2, 4), regParams = Seq(0.1), alphas = Seq(3.0))
-    assert(Seq(2, 4).contains(model.rank))
-    assert(model.transform(pc).count() > 0)
+    assert(Seq(2, 4).contains(grid.model.rank))
+    assert(grid.rank == grid.model.rank,
+      "reported winning rank matches the selected model")
+    assert(grid.regParam == 0.1 && grid.alpha == 3.0)
+    assert(grid.validationRmse > 0.0 && !grid.validationRmse.isNaN)
+    assert(grid.model.transform(pc).count() > 0)
+
+    // ledger round-trip: the saved model's metadata row records the
+    // winning params and validation RMSE (train_models.py:236-250)
+    val ledgerPath = tmpDir("als-ledger") + "/model-metadata"
+    ModelLedger.append(spark, ledgerPath,
+      ModelLedger.entryFor("model-1", "df-1", grid, pc))
+    val back = ModelLedger.read(spark, ledgerPath).collect()
+    assert(back.length == 1)
+    val r = back(0)
+    assert(r.getAs[String]("model_id") == "model-1")
+    assert(r.getAs[Int]("rank") == grid.rank)
+    assert(r.getAs[Double]("lmbda") == grid.regParam)
+    assert(r.getAs[Double]("alpha") == grid.alpha)
+    assert(r.getAs[Double]("validation_rmse") == grid.validationRmse)
+    assert(r.getAs[Long]("users_count") == 12L)
+    assert(r.getAs[Long]("playcounts_count") == pc.count())
+
+    // append-only: a second model adds a row, never replaces
+    ModelLedger.append(spark, ledgerPath,
+      ModelLedger.entryFor("model-2", "df-1", grid, pc))
+    assert(ModelLedger.read(spark, ledgerPath).count() == 2)
   }
 
   test("streaming partial aggregation matches batch stats") {
