@@ -30,7 +30,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional trailing args restrict the set (local scale probes; the
+    // driver always runs everything)
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     runOne(names.head) // warmup: JVM + codegen + parquet footer caches
     val results = names.map(n => n -> runOne(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

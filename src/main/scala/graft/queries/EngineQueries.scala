@@ -422,6 +422,8 @@ object EngineQueries {
   val q122FreshReleasesParams = Q(
     "q122_fresh_releases_params",
     (s, d) => {
+      // purchases feeds BOTH the release-list derivation and the listens
+      // side; materialize the 3-table join once (the q100 rationale)
       val purchases = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.part(s, d)),
@@ -429,6 +431,7 @@ object EngineQueries {
         .select(col("o_custkey").as("user_id"),
           col("l_shipdate").cast("timestamp").as("listened_at"),
           col("p_partkey"), col("p_brand"))
+        .localCheckpoint()
       val releases = purchases
         .groupBy(col("p_partkey"), col("p_brand"))
         .agg(min(col("listened_at")).as("release_date"))

@@ -54,10 +54,18 @@ object FreshReleases {
     val futureFlag: Column =
       if (dated) col("release_date") > lit(anchor) else lit(false)
 
-    val explodedListens = windowedListens
+    // pre-aggregate per (user, artist) BEFORE the release join: the
+    // reference counts raw exploded-listen × release join rows
+    // (get_query():55-71), which fans every listen out once per matching
+    // release; summing per-artist counts after the join is the same
+    // algebra with the join input shrunk from |listens| to |user×artist|
+    // and the post-join aggregate shrunk to the output size
+    val artistCounts = windowedListens
       .filter(col("artist_credit_mbids").isNotNull)
       .select(col("user_id"),
         explode(col("artist_credit_mbids")).as("artist_mbid"))
+      .groupBy(col("user_id"), col("artist_mbid"))
+      .agg(count(lit(1)).as("artist_listens"))
     val explodedReleases = windowedReleases
       .select(col("release_mbid"), col("release_name"),
         (if (dated) col("release_date")
@@ -65,10 +73,23 @@ object FreshReleases {
         futureFlag.as("is_future"),
         explode(col(artistCol)).as("artist_mbid"))
 
-    explodedListens.join(explodedReleases, Seq("artist_mbid"))
+    // The release list is a bounded feed (a days-window of releases),
+    // small at any listen scale → broadcast, never a shuffled join on the
+    // low-cardinality artist key. Repartitioning the SMALL per-(user,
+    // artist) counts by user_id first means hash(user_id) already
+    // satisfies the (user, release) grouping distribution, so the join's
+    // user×release fan-out — the one big intermediate — aggregates in
+    // place and never crosses the wire.
+    // explicit partition count: the counts frame is tiny, and AQE would
+    // otherwise coalesce it to one partition — serializing the fan-out,
+    // which is the expensive part downstream of this exchange
+    val parallelism = listens.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    artistCounts.repartition(parallelism, col("user_id"))
+      .join(broadcast(explodedReleases), Seq("artist_mbid"))
       .groupBy(col("user_id"), col("release_mbid"), col("release_name"),
         col("release_date"), col("is_future"))
-      .agg(count(lit(1)).as("confidence"))
+      .agg(sum(col("artist_listens")).as("confidence"))
       .filter(col("confidence") >= threshold)
   }
 
