@@ -195,7 +195,48 @@ object PipelineQueries {
       ORDER BY u1, u2"""),
     bench = true)
 
+  // ---------------------------------------------------------------- q125
+  /** DIMSUM similarity plumbing, differentially oracled: at threshold 0
+    * the DIMSUM sampler saturates (gamma → ∞, inclusion probability 1 —
+    * Zadeh & Carlson's "Dimension Independent Matrix Square", public), so
+    * `RowMatrix.columnSimilarities(0)` must emit EXACT cosine for every
+    * co-occurring user pair. A rounded-cosine compare would be FP-fragile
+    * — DIMSUM sums per-item quotients where a single divide is exact, and
+    * some cosines here land exactly on dyadic rounding boundaries
+    * (0.9140625 in this corpus) — so instead the query recovers the
+    * integer DOT PRODUCT from each DIMSUM cosine (× √(n1·n2), rounded:
+    * accumulated error ~1e-12 against an integer margin of 0.5) and the
+    * oracle recomputes the exact dots brute-force. An all-integer hash
+    * match over every pair verifies the whole distributed pipeline:
+    * item-id assignment, CoordinateMatrix layout, column magnitudes, pair
+    * emission. The sampling path (threshold > 0) stays spec-verified —
+    * its output is probabilistic by design. */
+  val q125DimsumExact = Q(
+    "q125_dimsum_exact",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val sims = UserCosine.dimsum(ev, "user_id", "event_type",
+        threshold = 0.0)
+      val norms = ev.groupBy(col("user_id").as("u"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u")).agg(sum(col("c") * col("c")).as("norm2"))
+      sims
+        .join(norms.select(col("u").as("u1"), col("norm2").as("n1")), Seq("u1"))
+        .join(norms.select(col("u").as("u2"), col("norm2").as("n2")), Seq("u2"))
+        .select(col("u1"), col("u2"),
+          round(col("cosine") * sqrt((col("n1") * col("n2")).cast("double")))
+            .cast("long").as("dot"))
+        .orderBy(col("u1"), col("u2"))
+    },
+    Some("""WITH counts AS (
+        SELECT user_id AS u, event_type AS it, count(*) AS c FROM events
+        GROUP BY 1, 2)
+      SELECT a.u AS u1, b.u AS u2,
+        cast(sum(a.c * b.c) AS bigint) AS dot
+      FROM counts a JOIN counts b ON a.it = b.it AND a.u < b.u
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
-    q60MediaFeatures, q80AlsRecommend, q81UserCosine)
+    q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact)
 }

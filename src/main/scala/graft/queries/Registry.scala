@@ -5,7 +5,8 @@ object Registry {
   def all: Seq[Q] =
     Relational.all ++ Windows.all ++ Activity.all ++ TextOps.all ++
       SimOps.all ++ EngineQueries.all ++ PipelineQueries.all ++
-      MiscQueries.all ++ EdgeQueries.all ++ MusicQueries.all
+      MiscQueries.all ++ EdgeQueries.all ++ MusicQueries.all ++
+      IngestQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all
