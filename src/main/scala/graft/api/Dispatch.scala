@@ -229,8 +229,12 @@ final class Dispatch(
           gapSeconds = 1800L, perUserCap = 10L, minScore = 2L, topK = 1000)
       case "similarity.mlhd" =>
         // the chunked MLHD variant: per-user-prefix partial aggregation
-        // (mlhd.py:32-40 + similarity/recording/common.py:190-213)
-        val chunks = (0 until 16).map(i => col("user_id") % 16 === i)
+        // (mlhd.py:32-40 + similarity/recording/common.py:190-213). Chunks
+        // are the user id's leading hex char — the real corpus keys users
+        // by UUID string (download.py:24-27); integer fixture ids land on
+        // their leading digit, still disjoint and covering.
+        val chunks = graft.ingest.MlhdImport.Chunks
+          .map(c => graft.ingest.MlhdImport.chunkOf(col("user_id")) === c)
         ChunkedRunner.run(spark,
           windowed.filter(col("recording_mbid").isNotNull),
           TopEntityStats("user_id", Seq("recording_mbid"), top = 1000),

@@ -365,17 +365,20 @@ object MiscQueries {
 
   // ---------------------------------------------------------------- q114
   /** Out-of-core chunked execution END-TO-END (the MLHD pattern,
-    * similarity/recording/common.py:190-213): the input is split into 8
-    * disjoint user chunks, each chunk's partial aggregate is persisted
-    * independently, and the final stats run over the union of partials —
-    * the oracle computes the same top-k directly, so a hash match proves
-    * the chunked decomposition is lossless. */
+    * similarity/recording/common.py:190-213): the input is split into the
+    * reference's hex-prefix user chunks (mlhd/download.py:24-27 — leading
+    * char of the user id's string form, so UUID and integer keys both
+    * work), each chunk's partial aggregate is persisted independently, and
+    * the final stats run over the union of partials — the oracle computes
+    * the same top-k directly, so a hash match proves the prefix-chunked
+    * decomposition is disjoint, covering, and lossless. */
   val q114ChunkedTopk = Q(
     "q114_chunked_topk",
     (s, d) => {
       val provider = graft.engine.TopEntityStats(
         "user_id", Seq("event_type"), top = 3)
-      val chunks = (0 until 8).map(i => col("user_id") % 8 === i)
+      val chunks = graft.ingest.MlhdImport.Chunks
+        .map(c => graft.ingest.MlhdImport.chunkOf(col("user_id")) === c)
       val work = java.nio.file.Files
         .createTempDirectory("graft-chunked-q114").toString
       graft.engine.ChunkedRunner
