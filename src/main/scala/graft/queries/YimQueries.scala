@@ -257,12 +257,20 @@ object MusicQueries {
       // UserCosine.exact)
       val cp = l.select(col("user_id"), col("recording_mbid")).distinct()
         .localCheckpoint()
-      val shared = cp.select(col("user_id"), col("recording_mbid"))
-        .join(cp.select(col("user_id").as("other_user_id"),
-          col("recording_mbid")), Seq("recording_mbid"))
-        .filter(col("user_id") =!= col("other_user_id"))
-        .groupBy(col("user_id"), col("other_user_id"))
+      // shared(u, u') is symmetric: generate each unordered pair once
+      // (u1 < u2 halves the item-keyed join output) and mirror the
+      // aggregated counts afterwards — same rows as the u != u' join at
+      // half the shuffle volume (measured 4.5 s -> 3.3 s at sf0.1)
+      val half = cp.select(col("user_id").as("u1"), col("recording_mbid"))
+        .join(cp.select(col("user_id").as("u2"), col("recording_mbid")),
+          Seq("recording_mbid"))
+        .filter(col("u1") < col("u2"))
+        .groupBy(col("u1"), col("u2"))
         .agg(count(lit(1)).as("shared"))
+      val shared = half.select(col("u1").as("user_id"),
+          col("u2").as("other_user_id"), col("shared"))
+        .unionByName(half.select(col("u2").as("user_id"),
+          col("u1").as("other_user_id"), col("shared")))
       val similar = shared
         .withColumn("rn", row_number().over(Window
           .partitionBy(col("user_id"))
