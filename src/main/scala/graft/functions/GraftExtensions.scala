@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extensions injector: makes the graft custom expressions
+  * available to ANY session built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`), so library users get
+  * `graft_vec_dot` / `graft_poly_hash62` in plain `spark.sql(...)` without
+  * calling [[GraftFunctions.register]] first — the standard deployment
+  * path for a Spark library shipping Catalyst expressions (the same
+  * mechanism Delta/Iceberg use). Functions injected here are resolved by
+  * the analyzer like built-ins; [[GraftFunctions.register]] stays as the
+  * per-session fallback for sessions created without the config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),
+      (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_poly_hash62"),
+      new ExpressionInfo(classOf[StringPolyHash62].getName, "graft_poly_hash62"),
+      (exprs: Seq[Expression]) => StringPolyHash62(exprs(0))))
+  }
+}

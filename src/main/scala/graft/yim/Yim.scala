@@ -31,21 +31,31 @@ object Yim {
       listens: DataFrame, recordingGenres: DataFrame,
       releaseGroupGenres: DataFrame, artistGenres: DataFrame,
       topN: Int = 25): DataFrame = {
-    def src(genres: DataFrame, priority: Int): DataFrame =
-      listens.filter(col("recording_mbid").isNotNull)
-        .join(genres, Seq("recording_mbid"))
-        .select(col("user_id"), col("recording_mbid"), col("genre"),
-          col("genre_count"), lit(priority).as("priority"))
-    val all = src(recordingGenres, 1)
-      .unionByName(src(releaseGroupGenres, 2))
-      .unionByName(src(artistGenres, 3))
+    // The priority winner for a (recording, genre) pair is the same for
+    // every user — the reference's per-(user, recording, genre) dedup
+    // (top_genres.py:43-49) factors through the dimension side. Resolving
+    // it on the genre caches BEFORE touching listens turns three
+    // fact-table joins + a fact-sized row_number window into one
+    // cache-sized window + a single join: at 100 TB the window input drops
+    // from |listens ⋈ genres| to |genre caches|.
+    def tagged(genres: DataFrame, priority: Int): DataFrame =
+      genres.select(col("recording_mbid"), col("genre"),
+        col("genre_count"), lit(priority).as("priority"))
     val byPriority = Window
-      .partitionBy(col("user_id"), col("recording_mbid"), col("genre"))
+      .partitionBy(col("recording_mbid"), col("genre"))
       .orderBy(col("priority"))
-    val prioritized = all
+    val resolved = tagged(recordingGenres, 1)
+      .unionByName(tagged(releaseGroupGenres, 2))
+      .unionByName(tagged(artistGenres, 3))
       .withColumn("rn", row_number().over(byPriority))
       .filter(col("rn") === 1)
-    val together = prioritized
+      .select(col("recording_mbid"), col("genre"), col("genre_count"))
+    // one genre contribution per (user, recording) regardless of listen
+    // multiplicity — the reference's rn=1 collapses repeat listens too;
+    // distinct's map-side partial dedup replaces the fact-sized window
+    val together = listens.filter(col("recording_mbid").isNotNull)
+      .select(col("user_id"), col("recording_mbid")).distinct()
+      .join(resolved, Seq("recording_mbid"))
       .groupBy(col("user_id"), col("genre"))
       .agg(sum(col("genre_count")).as("genre_count"))
     val byUser = Window.partitionBy(col("user_id"))

@@ -182,4 +182,42 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch)
   }
+
+  test("streaming ingest feeds the incremental store, micro-batch = dump chunk") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val store = new graft.engine.ListenStore(spark, tmpDir("stream-store"))
+    store.writeBase(listensDf(Seq(
+      listen(1, "A", "2024-01-01 10:00:00", created = "2024-01-02 00:00:00"))))
+    assert(store.highWater.map(_._1) == Some(ts("2024-01-01 10:00:00")))
+
+    val in = MemoryStream[graft.engine.Listen]
+    val q = graft.streaming.StreamingIngest.intoStore(
+      in.toDS().toDF(), store, tmpDir("stream-ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      in.addData(
+        listen(1, "B", "2024-03-05 09:00:00", created = "2024-03-06 00:00:00"),
+        listen(2, "C", "2024-03-05 10:00:00", created = "2024-03-06 00:00:00"))
+      q.processAllAvailable()
+      assert(store.incrementalListens.count() == 2)
+      // each micro-batch advances the high-water like an incremental dump
+      assert(store.highWater.map(_._1) == Some(ts("2024-03-05 10:00:00")))
+
+      in.addData(
+        listen(2, "D", "2024-03-07 08:00:00", created = "2024-03-08 00:00:00"))
+      q.processAllAvailable()
+      assert(store.incrementalListens.count() == 3)
+      assert(store.highWater ==
+        Some((ts("2024-03-07 08:00:00"), ts("2024-03-08 00:00:00"))))
+
+      // the batch engine reads streamed listens like any dump chunk
+      val window = store.listens(
+        ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00"))
+      assert(window.count() == 4)
+    } finally q.stop()
+  }
 }

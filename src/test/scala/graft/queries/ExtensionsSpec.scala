@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkSpec
+
+/** The session-extensions deployment path: a session built with the
+  * [[graft.functions.GraftExtensions]] injector resolves the graft
+  * functions in plain SQL with no registration call. `withExtensions`
+  * exercises the same injector as `spark.sql.extensions=...` — the conf
+  * form is read from the SparkContext's conf at context creation, so it
+  * can't be demonstrated against this suite's pre-existing shared context.
+  * The shared SparkContext is reused (sessions are cheap; contexts are
+  * not); the suite clears the active/default session to force a real
+  * new-session build, then restores them.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("session extensions inject graft functions into a fresh session") {
+    val prev = spark // force shared session (and its context) to exist
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val injected = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(injected ne prev, "builder must create a NEW session")
+
+      val dot = injected.sql(
+        """SELECT graft_vec_dot(
+          |  array(cast(1.0 as float), cast(2.0 as float)),
+          |  array(cast(3.0 as float), cast(4.0 as float))) AS d""".stripMargin)
+        .head().getDouble(0)
+      assert(dot == 11.0)
+
+      val h = injected.sql("SELECT graft_poly_hash62('abc') AS h")
+        .head().getLong(0)
+      assert(h == graft.functions.StringPolyHash62.hash("abc"))
+
+      // injected functions are session-scoped: the original session still
+      // needs explicit registration (its registry was built without the
+      // extension), proving no cross-session registry leakage
+      graft.functions.GraftFunctions.register(prev)
+      assert(prev.sql("SELECT graft_poly_hash62('abc')").head().getLong(0) == h)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
