@@ -181,5 +181,75 @@ object SimOps {
       ORDER BY id_a, id_b"""),
     bench = true)
 
-  val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup)
+  // ---------------------------------------------------------------- q127
+  /** LSH-bucketed ANN — the signed-random-projection alternative to q51's
+    * IVF: 8 deterministic hyperplanes (vec_ids 16..23, a stand-in for
+    * sampled Gaussian planes), every vector hashed to a 256-bucket
+    * signature from the sign bits of its plane dots, queries probing their
+    * own bucket only. Fully deterministic, so the oracle replays the
+    * entire bucketed path — signatures included — not just the output.
+    *
+    * Scale shape: signature assignment is a broadcast crossJoin against H
+    * planes (one linear pass), candidates come from a bucket equi-join —
+    * the same bounded-candidates property as MinHash banding, with recall
+    * tunable by H and multi-probe. Never all-pairs.
+    */
+  val q127AnnLsh = Q(
+    "q127_ann_lsh",
+    (s, d) => {
+      GraftFunctions.register(s)
+      val e = withNorms(Tables.embeddings(s, d))
+      val planes = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select((col("vec_id") - 16).as("pid"), col("embedding").as("pv"))
+      val buckets = e.crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          when(GraftFunctions.vecDot(col("embedding"), col("pv")) > 0,
+            expr("shiftleft(1L, cast(pid as int))")).otherwise(0L).as("bit"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("bit")).as("bucket"))
+      val assigned = e.join(buckets, Seq("vec_id"))
+      val queries = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("n2").as("qn2"), col("bucket"))
+      val cands = assigned.select(col("vec_id").as("vid"),
+        col("embedding").as("cv"), col("n2").as("cn2"), col("bucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid"))
+      queries.join(cands, Seq("bucket"))
+        .filter(col("qid") =!= col("vid"))
+        .withColumn("cos", cosine(
+          GraftFunctions.vecDot(col("qv"), col("cv")),
+          col("qn2"), col("cn2")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vid"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      planes AS (
+        SELECT vec_id - 16 AS pid, v AS pv FROM e
+        WHERE vec_id >= 16 AND vec_id < 24),
+      buckets AS (
+        SELECT e.vec_id, sum(CASE
+            WHEN list_dot_product(e.v, p.pv) > 0
+            THEN cast(1 << p.pid AS bigint) ELSE 0 END) AS bucket
+        FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+      assigned AS (
+        SELECT e.vec_id, e.v, b.bucket FROM e
+        JOIN buckets b ON e.vec_id = b.vec_id),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS vid,
+          ${sqlCosine("q.v", "c.v")} AS cos
+        FROM assigned q JOIN assigned c ON q.bucket = c.bucket
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+      ranked AS (
+        SELECT qid, vid, cos, row_number() OVER (
+          PARTITION BY qid ORDER BY cos DESC, vid) AS rank FROM scored)
+      SELECT qid, rank, vid, round(cos, 6) AS cos_r FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
+    q127AnnLsh)
 }
