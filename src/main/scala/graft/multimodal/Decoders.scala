@@ -55,8 +55,16 @@ object Decoders {
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
 
-  /** Full PNG decode: 8-bit depth, color types 0/2/4/6, non-interlaced. */
-  def png(b: Array[Byte]): Option[ImageInfo] = {
+  /** Reconstructed 8-bit image: channel-interleaved row-major pixels. */
+  final case class PixelImage(
+      width: Int, height: Int, channels: Int, colorType: Int,
+      pixels: Array[Int])
+
+  private final case class PngChunks(
+      width: Int, height: Int, bitDepth: Int, colorType: Int,
+      interlace: Int, idat: Array[Byte])
+
+  private def pngChunks(b: Array[Byte]): Option[PngChunks] = {
     if (sniff(b) != "png" || b.length < 33) return None
     var width, height, bitDepth, colorType, interlace = -1
     val idat = new java.io.ByteArrayOutputStream()
@@ -80,34 +88,39 @@ object Decoders {
       }
       i = dataAt + len + 4 // skip CRC
     }
-    if (width <= 0 || height <= 0) return None
-    val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
-    }
-    if (channels < 0 || bitDepth != 8 || interlace != 0)
-      // header understood but pixels need an unsupported mode
-      return Some(ImageInfo("png", width, height, math.max(channels, 0), -1.0))
+    if (width <= 0 || height <= 0) None
+    else Some(PngChunks(
+      width, height, bitDepth, colorType, interlace, idat.toByteArray))
+  }
+
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+  }
+
+  /** Inflate + unfilter the scanline stream; None when the payload needs
+    * an unsupported mode (non-8-bit, interlaced) or is truncated. */
+  private def pixelsFrom(h: PngChunks): Option[PixelImage] = {
+    val channels = channelsOf(h.colorType)
+    if (channels < 0 || h.bitDepth != 8 || h.interlace != 0) return None
 
     // inflate the filtered scanline stream
-    val stride = width * channels
-    val raw = new Array[Byte]((stride + 1) * height)
+    val stride = h.width * channels
+    val raw = new Array[Byte]((stride + 1) * h.height)
     val inf = new Inflater()
-    inf.setInput(idat.toByteArray)
+    inf.setInput(h.idat)
     var off = 0
     while (!inf.finished() && off < raw.length) {
       val n = inf.inflate(raw, off, raw.length - off)
-      if (n == 0 && inf.needsInput()) return Some(
-        ImageInfo("png", width, height, channels, -1.0)) // truncated
+      if (n == 0 && inf.needsInput()) return None // truncated
       off += n
     }
     inf.end()
-    if (off < raw.length)
-      return Some(ImageInfo("png", width, height, channels, -1.0))
+    if (off < raw.length) return None
 
     // unfilter: PNG spec filters 0-4 per scanline
-    val img = new Array[Int](stride * height)
+    val img = new Array[Int](stride * h.height)
     var y = 0
-    while (y < height) {
+    while (y < h.height) {
       val filter = raw(y * (stride + 1)) & 0xff
       val rowAt = y * (stride + 1) + 1
       var x = 0
@@ -129,28 +142,123 @@ object Decoders {
             val pc = math.abs(p - upLeft)
             cur + (if (pa <= pb && pa <= pc) left
               else if (pb <= pc) up else upLeft)
-          case _ => return Some(
-            ImageInfo("png", width, height, channels, -1.0))
+          case _ => return None
         }
         img(y * stride + x) = rec & 0xff
         x += 1
       }
       y += 1
     }
+    Some(PixelImage(h.width, h.height, channels, h.colorType, img))
+  }
 
-    // mean luma over the reconstructed pixels
+  /** Mean luma over reconstructed pixels (BT.601 weights for color). */
+  def meanLuma(img: PixelImage): Double = {
+    val stride = img.width * img.channels
     var sum = 0.0
     var p = 0
-    while (p < stride * height) {
-      sum += (colorType match {
-        case 0 | 4 => img(p).toDouble
+    while (p < stride * img.height) {
+      sum += (img.colorType match {
+        case 0 | 4 => img.pixels(p).toDouble
         case _ =>
-          0.299 * img(p) + 0.587 * img(p + 1) + 0.114 * img(p + 2)
+          0.299 * img.pixels(p) + 0.587 * img.pixels(p + 1) +
+            0.114 * img.pixels(p + 2)
       })
-      p += channels
+      p += img.channels
     }
-    Some(ImageInfo("png", width, height, channels,
-      sum / (width.toLong * height) / 255.0))
+    sum / (img.width.toLong * img.height) / 255.0
+  }
+
+  /** Full pixel decode of non-interlaced 8-bit PNG. */
+  def pngPixels(b: Array[Byte]): Option[PixelImage] =
+    pngChunks(b).flatMap(pixelsFrom)
+
+  /** Full PNG decode: 8-bit depth, color types 0/2/4/6, non-interlaced;
+    * header-only (meanLuma = -1) when pixels need an unsupported mode. */
+  def png(b: Array[Byte]): Option[ImageInfo] =
+    pngChunks(b).map { h =>
+      pixelsFrom(h) match {
+        case Some(img) =>
+          ImageInfo("png", h.width, h.height, img.channels, meanLuma(img))
+        case None => ImageInfo("png", h.width, h.height,
+          math.max(channelsOf(h.colorType), 0), -1.0)
+      }
+    }
+
+  /** Nearest-neighbor resize over decoded pixels — real image transform
+    * work, partition-local, allocation-exact. */
+  def resizeNearest(img: PixelImage, w: Int, h: Int): PixelImage = {
+    val out = new Array[Int](w * h * img.channels)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.height / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.width / w).toInt
+        var c = 0
+        while (c < img.channels) {
+          out((y * w + x) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PixelImage(w, h, img.channels, img.colorType, out)
+  }
+
+  /** Real PNG encoder: IHDR + one deflated filter-0 IDAT + IEND, CRC32
+    * per chunk — round-trips through [[png]]/[[pngPixels]]. */
+  def encodePng(img: PixelImage): Array[Byte] = {
+    val stride = img.width * img.channels
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      // raw(y*(stride+1)) is already 0 = filter None
+      var x = 0
+      while (x < stride) {
+        raw(y * (stride + 1) + 1 + x) = img.pixels(y * stride + x).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+    defl.end()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+      0x0a), 0, 8)
+    def writeBe32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      writeBe32(data.length)
+      val tb = ctype.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      writeBe32(crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    def ihdrBe32(v: Int): Unit = {
+      ihdr.write((v >>> 24) & 0xff); ihdr.write((v >>> 16) & 0xff)
+      ihdr.write((v >>> 8) & 0xff); ihdr.write(v & 0xff)
+    }
+    ihdrBe32(img.width); ihdrBe32(img.height)
+    ihdr.write(8) // bit depth
+    ihdr.write(img.colorType)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate, filter0, no interlace
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** JPEG header decode: dimensions + channel count from the SOF marker. */

@@ -124,4 +124,60 @@ object Media {
       rows.map(decode)
     }
   }
+
+  final case class ResizedMedia(
+      id: Long, decoder: String, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Batch image resize: REAL for decodable PNGs (pixel decode →
+    * nearest-neighbor resample → PNG re-encode, all pure JVM), stub
+    * pass-through for payloads needing an external codec. Same
+    * partition-local batch shape as [[extractFeatures]] — at 100 TB this
+    * is a map-only stage, no shuffle, output columnar alongside the
+    * original. */
+  def resizeImages(
+      media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        Decoders.pngPixels(r.payload) match {
+          case Some(img) =>
+            val out = Decoders.resizeNearest(img, w, h)
+            ResizedMedia(r.id, "png", w, h, Decoders.encodePng(out))
+          case None => // stub: a deployment calls its codec here
+            ResizedMedia(r.id, "stub", w, h, r.payload)
+        }
+      }
+    }
+  }
+
+  final case class FrameSample(
+      id: Long, frame_idx: Int, ts_ms: Long, payload_hash: Long,
+      mean_luma: Double)
+
+  /** Uniform-stride video frame sampling: one row per sampled frame at
+    * `intervalMs` spacing, capped at `maxFrames` per video. The SELECTION
+    * and row fan-out are the real production plumbing (flatMap, one
+    * output row per sampled timestamp, deterministic cap so a 10-hour
+    * video cannot explode a partition); the per-frame DECODE is stubbed
+    * with deterministic fake features — video containers need an external
+    * codec (ffmpeg binding) which a deployment drops into the marked
+    * line. */
+  def sampleFrames(
+      media: Dataset[MediaRow], intervalMs: Long,
+      maxFrames: Int = 64): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.media_type == "video").flatMap { r =>
+      val wanted = (r.duration_ms / math.max(1L, intervalMs)) + 1
+      val n = math.max(1L, math.min(maxFrames.toLong, wanted)).toInt
+      val h = payloadHash(r.payload)
+      (0 until n).iterator.map { i =>
+        // STUB frame decode — deterministic features per (payload, frame)
+        FrameSample(r.id, i, i * intervalMs, h,
+          math.floorMod(h * 31 + i, 256).toDouble / 255.0)
+      }
+    }
+  }
 }

@@ -175,4 +175,64 @@ class MediaSpec extends SparkSpec {
     assert(feats(3L).decoder == "jpeg-header" && feats(3L).width == 99)
     assert(feats(4L).decoder == "stub")
   }
+
+  test("PNG encode/resize round-trip: real pixels through the whole loop") {
+    // 2x2 quadrant image: known colors at known positions
+    val quad = buildPng(2, 2, (x, y) =>
+      if (x == 0 && y == 0) (255, 0, 0)
+      else if (x == 1 && y == 0) (0, 255, 0)
+      else if (x == 0 && y == 1) (0, 0, 255) else (255, 255, 255))
+
+    // encoder round-trip: decode → encode → decode preserves every pixel
+    val img = Decoders.pngPixels(quad).get
+    val again = Decoders.pngPixels(Decoders.encodePng(img)).get
+    assert(again.width == 2 && again.height == 2 && again.channels == 3)
+    assert(again.pixels.toSeq == img.pixels.toSeq)
+
+    // nearest-neighbor 2x upscale: each quadrant becomes a 2x2 block
+    val up = Decoders.resizeNearest(img, 4, 4)
+    def rgb(i: Decoders.PixelImage, x: Int, y: Int) = (
+      i.pixels((y * i.width + x) * 3), i.pixels((y * i.width + x) * 3 + 1),
+      i.pixels((y * i.width + x) * 3 + 2))
+    assert(rgb(up, 0, 0) == ((255, 0, 0)) && rgb(up, 1, 1) == ((255, 0, 0)))
+    assert(rgb(up, 2, 0) == ((0, 255, 0)) && rgb(up, 3, 1) == ((0, 255, 0)))
+    assert(rgb(up, 0, 2) == ((0, 0, 255)) && rgb(up, 3, 3) == ((255, 255, 255)))
+    // luma is resize-invariant for an exact block upscale
+    assert(math.abs(Decoders.meanLuma(up) - Decoders.meanLuma(img)) < 1e-12)
+
+    // and the Dataset-level transform re-encodes a decodable PNG
+    import spark.implicits._
+    val rows = Seq(
+      Media.MediaRow(1L, "image", quad, 0, 0L),
+      Media.MediaRow(2L, "text", "not an image".getBytes("UTF-8"), 0, 0L))
+    val resized = Media.resizeImages(spark.createDataset(rows), 4, 4)
+      .collect().map(r => r.id -> r).toMap
+    assert(resized(1L).decoder == "png")
+    val back = Decoders.pngPixels(resized(1L).payload).get
+    assert(back.width == 4 && back.height == 4)
+    assert(back.pixels.toSeq == up.pixels.toSeq)
+    assert(resized(2L).decoder == "stub")
+  }
+
+  test("frame sampling: uniform stride, bounded fan-out, video only") {
+    import spark.implicits._
+    val rows = Seq(
+      Media.MediaRow(1L, "video", Array[Byte](1, 2, 3), 0, 1000L),
+      Media.MediaRow(2L, "video", Array[Byte](9, 9), 0, 100000L),
+      Media.MediaRow(3L, "image", Array[Byte](4), 0, 1000L))
+    val frames = Media.sampleFrames(
+        spark.createDataset(rows), intervalMs = 250L, maxFrames = 16)
+      .collect().groupBy(_.id)
+    // 1000 ms at 250 ms stride → frames at 0,250,500,750,1000
+    assert(frames(1L).map(_.ts_ms).sorted.toSeq ==
+      Seq(0L, 250L, 500L, 750L, 1000L))
+    assert(frames(2L).length == 16, "cap bounds the fan-out")
+    assert(!frames.contains(3L), "images are not frame-sampled")
+    // deterministic stub features: same payload → same features
+    val rerun = Media.sampleFrames(
+        spark.createDataset(rows), intervalMs = 250L, maxFrames = 16)
+      .collect().groupBy(_.id)
+    assert(rerun(1L).sortBy(_.frame_idx).toSeq ==
+      frames(1L).sortBy(_.frame_idx).toSeq)
+  }
 }
