@@ -153,6 +153,31 @@ object PipelineQueries {
     },
     oracle = None)
 
+  // ---------------------------------------------------------------- q128
+  /** Video frame-sampling fan-out (Media.sampleFrames over the documents-
+    * as-media table): the per-frame decode is stubbed, but the SELECTION —
+    * uniform 250 ms stride, +1 fencepost, 16-frame cap, video rows only —
+    * is pure arithmetic on duration_ms, so the oracle replays the entire
+    * fan-out with generate_series. This pins the plumbing the way q60
+    * cannot (DuckDB can't decode media, but it can count frames). */
+  val q128FrameSample = Q(
+    "q128_frame_sample",
+    (s, d) => {
+      val frames = Media.sampleFrames(
+        Media.fromDocuments(Tables.documents(s, d)),
+        intervalMs = 250L, maxFrames = 16)
+      frames.toDF()
+        .select(col("id"), col("frame_idx"), col("ts_ms"))
+        .orderBy(col("id"), col("frame_idx"))
+    },
+    Some("""SELECT doc_id AS id, cast(g AS int) AS frame_idx,
+        g * 250 AS ts_ms
+      FROM documents,
+        unnest(generate_series(0,
+          least(15, n_chars * 10 // 250))) AS t(g)
+      WHERE doc_id % 3 = 2
+      ORDER BY id, frame_idx"""))
+
   // ---------------------------------------------------------------- q80
   /** ALS end-to-end on (customer × part) purchase counts from lineitem ⋈
     * orders: dense-id assignment, confidence transform, implicit-prefs
@@ -238,5 +263,6 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
-    q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact)
+    q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact,
+    q128FrameSample)
 }
