@@ -70,12 +70,22 @@ object SimHash {
   /** Near-dup pairs with Hamming distance <= maxHamming via pigeonhole
     * blocking on fingerprint chunks: a pair within the bound MUST agree
     * exactly on at least one of maxHamming+1 blocks, so recall is total —
-    * blocking changes cost, never results. */
+    * blocking changes cost, never results (when `maxBlockSize` is unset).
+    *
+    * `maxBlockSize` is the skew guard for the 100 TB regime: a degenerate
+    * block value shared by k documents (short or boilerplate docs piling
+    * onto the same 16 bits) contributes k² candidate pairs, the one
+    * super-linear term in the plan. Capping drops blocks larger than the
+    * bound BEFORE the self-join — the same trade MinHash.candidates makes
+    * with maxBucketSize: a pair is lost only if EVERY block it agrees on
+    * is oversized, and cost becomes O(blocks × cap²) worst-case per block
+    * value. The exact (uncapped) form stays the oracled path (q47). */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
       tokenHash: Column => Column = xxhash64(_), totalBits: Int = 64,
-      hashDistinct: Boolean = false): DataFrame = {
+      hashDistinct: Boolean = false,
+      maxBlockSize: Option[Int] = None): DataFrame = {
     val blocks = maxHamming + 1
     val bits = totalBits / blocks
     val fps = fingerprints(docs, idCol, textCol, tokenHash, totalBits,
@@ -85,10 +95,18 @@ object SimHash {
         shiftright(col("simhash"), b * bits)
           .bitwiseAND((1L << bits) - 1).as("bv"))
     }
-    val keyed = fps.select(col(idCol), col("simhash"),
+    val keyedAll = fps.select(col(idCol), col("simhash"),
         explode(array(chunks: _*)).as("c"))
       .select(col(idCol), col("simhash"),
         col("c.blk").as("blk"), col("c.bv").as("bv"))
+    val keyed = maxBlockSize match {
+      case Some(cap) =>
+        val sizes = keyedAll.groupBy(col("blk"), col("bv"))
+          .agg(count(lit(1)).as("block_n"))
+        keyedAll.join(sizes.filter(col("block_n") <= cap), Seq("blk", "bv"))
+          .drop("block_n")
+      case None => keyedAll
+    }
     val a = keyed.select(col(idCol).as("id_a"),
       col("simhash").as("sh_a"), col("blk"), col("bv"))
     val b = keyed.select(col(idCol).as("id_b"),

@@ -49,6 +49,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("SimHash block bound drops degenerate blocks instead of exploding") {
+    // 30 identical docs: every one of the 4 pigeonhole blocks is a single
+    // degenerate 30-doc value → 435 candidate pairs uncapped
+    val hot = docs((1L to 30L).map(i => i -> baseText): _*)
+    assert(SimHash.nearDuplicates(hot, "doc_id", "text").count() == 435)
+    // cap 10 drops all four oversized blocks → no candidates, no blowup
+    assert(SimHash.nearDuplicates(hot, "doc_id", "text",
+      maxBlockSize = Some(10)).count() == 0)
+    // a cap above the block sizes changes nothing (recall stays total)
+    val mixed = docs(1L -> baseText, 2L -> baseText, 3L -> farText)
+    val uncapped = SimHash.nearDuplicates(mixed, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = SimHash.nearDuplicates(mixed, "doc_id", "text",
+        maxBlockSize = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped && capped == Set((1L, 2L)))
+  }
+
   test("LSH bucket bound drops degenerate buckets instead of exploding") {
     // 50 identical docs → one bucket of 50; cap at 10 suppresses the
     // quadratic blowup and yields no candidates
