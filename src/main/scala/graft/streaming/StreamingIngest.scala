@@ -15,14 +15,34 @@ import graft.engine.ListenStore
   *
   * Scale: the sink does no store-wide work per batch. `appendIncremental`
   * writes the chunk and folds its 2-column max into the one-row metadata
-  * singleton, so ingest cost is O(batch), independent of history size;
-  * exactly-once across restarts comes from the checkpointed offsets plus
-  * the append-only layout (a replayed batch re-appends rows, which the
-  * engine's read-time dedup-free model tolerates the same way re-imported
-  * reference dump chunks do — the ledger guards dump-level replays, and
-  * the checkpoint guards batch-level ones).
+  * singleton, so ingest cost is O(batch), independent of history size.
+  *
+  * Exactly-once: `foreachBatch` is at-least-once — after a crash between
+  * the append and the offset commit, the SAME batch id is replayed. The
+  * standard idempotent-sink pattern guards it: a zero-byte marker file per
+  * committed batch id next to the checkpoint (the dump-level analogue is
+  * DumpImport's (dumpId, dumpType) ledger); a replayed id is skipped
+  * before any write. One driver-side FS probe per micro-batch, nothing
+  * per-row.
   */
 object StreamingIngest {
+
+  /** Append one micro-batch as an incremental chunk, exactly once per
+    * batch id: skip when `markerDir` already records the id, write the
+    * marker only after the append lands. */
+  def appendBatch(
+      store: ListenStore, markerDir: String)(
+      batch: Dataset[Row], batchId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(markerDir)
+    val fs = dir.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId.done")
+    if (!fs.exists(marker)) {
+      store.appendIncremental(batch)
+      fs.mkdirs(dir)
+      fs.create(marker, true).close()
+    }
+  }
 
   /** Start a stream writing `listens` (a streaming DataFrame with the
     * store's listen schema) into `store`'s incremental sibling, one chunk
@@ -33,9 +53,7 @@ object StreamingIngest {
     listens.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        store.appendIncremental(batch)
-      }
+      .foreachBatch(appendBatch(store, s"$checkpointDir/graft-committed") _)
       .trigger(trigger)
       .start()
 }

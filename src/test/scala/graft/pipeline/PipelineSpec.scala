@@ -220,4 +220,20 @@ class PipelineSpec extends SparkSpec {
       assert(window.count() == 4)
     } finally q.stop()
   }
+
+  test("streaming ingest replays are idempotent per batch id") {
+    // foreachBatch is at-least-once: simulate a post-crash replay by
+    // invoking the sink function twice with the same batch id
+    val store = new graft.engine.ListenStore(spark, tmpDir("replay-store"))
+    val markers = tmpDir("replay-markers")
+    val chunk = listensDf(Seq(
+      listen(1, "A", "2024-03-05 09:00:00", created = "2024-03-06 00:00:00")))
+    graft.streaming.StreamingIngest.appendBatch(store, markers)(chunk, 7L)
+    graft.streaming.StreamingIngest.appendBatch(store, markers)(chunk, 7L)
+    assert(store.incrementalListens.count() == 1,
+      "replayed batch id must not double-append")
+    // a NEW batch id still appends
+    graft.streaming.StreamingIngest.appendBatch(store, markers)(chunk, 8L)
+    assert(store.incrementalListens.count() == 2)
+  }
 }
