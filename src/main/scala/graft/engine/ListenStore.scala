@@ -192,6 +192,24 @@ final class ListenStore(spark: SparkSession, root: String) {
     } else afterRows
   }
 
+  /** Materialize a user-bucketed projection of the current retracted
+    * base ∪ incremental — the co-location lever for the user-keyed job
+    * families (per-user stats, similarity preprocessing, YIM), which ALL
+    * open with groupBy(user_id) and against the time-partitioned layout
+    * re-shuffle the same fact table on the same key every run. The
+    * projection pays that shuffle once at write; afterwards every
+    * user-keyed aggregation and every equi-join between projections
+    * bucketed the same way plans with zero Exchange
+    * ([[graft.core.Bucketing]]). Refresh after imports the way the engine
+    * refreshes cached partials; bucket count is a layout constant. */
+  def materializeUserBucketed(
+      table: String, path: String, buckets: Int): DataFrame = {
+    graft.core.Bucketing.writeBucketed(
+      retractDeleted(baseListens.unionByName(incrementalListens)),
+      path, table, buckets, Seq("user_id"))
+    graft.core.Bucketing.read(spark, table)
+  }
+
   /** Compaction (reference listens/compact.py:13-24): fold incremental into
     * the base, physically drop deleted rows, rewrite partitioned, clear the
     * incremental and deletion side-tables. */

@@ -94,4 +94,28 @@ class ListenStoreSpec extends SparkSpec {
       (ts("2024-04-01 10:00:00"), ts("2024-04-02 00:00:00"))),
       "compaction preserves the marks (recomputed from the folded base)")
   }
+
+  test("user-bucketed projection: retracted union, shuffle-free per-user agg") {
+    import org.apache.spark.sql.functions._
+    val store = new graft.engine.ListenStore(spark, tmpDir("bkt-store"))
+    store.writeBase(listensDf(Seq(
+      listen(1, "A", "2024-01-01 10:00:00"),
+      listen(1, "B", "2024-02-01 10:00:00"),
+      listen(2, "C", "2024-01-15 10:00:00"))))
+    store.appendIncremental(listensDf(Seq(
+      listen(2, "D", "2024-03-01 10:00:00", msid = "msid-inc"))))
+    // a deletion must be retracted from the projection too
+    store.appendDeleted(listensDf(Seq(
+      listen(1, "B", "2024-02-01 10:00:00"))))
+
+    val proj = store.materializeUserBucketed(
+      "bkt_store_listens", tmpDir("bkt-proj"), buckets = 4)
+    val perUser = proj.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    assert(graft.core.Bucketing.isExchangeFree(perUser),
+      s"user-keyed agg over the projection must not shuffle:\n${
+        perUser.queryExecution.executedPlan}")
+    assert(perUser.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(1 -> 1L, 2 -> 2L), "projection = retracted base ∪ incremental")
+    spark.sql("DROP TABLE IF EXISTS bkt_store_listens")
+  }
 }
