@@ -506,9 +506,37 @@ object EngineQueries {
       ORDER BY user_id, year, artist_name_key"""),
     bench = true)
 
+  // ---------------------------------------------------------------- q129
+  /** Bucketed-materialization round-trip: orders written bucketBy(custkey)
+    * to an external table, the per-user aggregate computed over the
+    * bucketed scan. The exchange-free property is plan-asserted in
+    * BucketingSpec/ListenStoreSpec; this oracle pins the DATA path — the
+    * bucketed layout loses and doubles nothing, and the cents-exact sums
+    * survive the hash-distributed file layout. */
+  val q129BucketedAgg = Q(
+    "q129_bucketed_agg",
+    (s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q129").toString
+      graft.core.Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+        s"$work/orders-bkt", "graft_q129_orders", buckets = 8,
+        Seq("o_custkey"))
+      graft.core.Bucketing.read(s, "graft_q129_orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+            .as("total_price"))
+        .orderBy(col("o_custkey"))
+    },
+    Some(s"""SELECT o_custkey, count(*) AS n_orders,
+        ${Q.sqlCents("o_totalprice", "total_price")}
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
   val all: Seq[Q] = Seq(
     q70IncrementalTopk, q71SessionCooccur, q72OnlyIncremental,
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
     q89GenreActivity, q90ListeningTime, q91FreshReleases,
-    q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams)
+    q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
+    q129BucketedAgg)
 }
