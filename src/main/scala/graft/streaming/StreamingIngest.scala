@@ -23,7 +23,13 @@ import graft.engine.ListenStore
   * committed batch id next to the checkpoint (the dump-level analogue is
   * DumpImport's (dumpId, dumpType) ledger); a replayed id is skipped
   * before any write. One driver-side FS probe per micro-batch, nothing
-  * per-row.
+  * per-row. Residual window, stated honestly: the parquet append is
+  * atomic at Spark's job commit (a crash mid-job leaves only _temporary
+  * output, invisible to readers), so a duplicate remains possible only if
+  * the process dies BETWEEN job commit and marker creation; closing that
+  * last gap needs a transactional table format's manifest commit, which
+  * is exactly what the reference's dump ledger accepts too (an
+  * acknowledged-then-crashed dump import re-runs).
   */
 object StreamingIngest {
 
