@@ -424,9 +424,53 @@ object MiscQueries {
           AS sum_qty
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q130
+  /** As-of join over the event stream: every click matched to that user's
+    * latest purchase at-or-before it ([[graft.operators.AsOfJoin]] — the
+    * union + running-last sort-merge shape, one shuffle, never a ts-range
+    * theta join). The oracle states the same semantics independently as
+    * join + max(ts) + join-back, so a hash match verifies the operator's
+    * at-or-before/latest contract, not its implementation. */
+  val q130AsofJoin = Q(
+    "q130_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id")) // unique per (key, ts)
+      graft.operators.AsOfJoin.asOf(
+          clicks, purchases, Seq("user_id"), "ts",
+          valueCols = Seq("purchase_id", "ts"))
+        .filter(col("asof_purchase_id").isNotNull) // inner semantics
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"),
+          unix_micros(col("asof_ts")).as("asof_us"),
+          col("asof_purchase_id"))
+        .orderBy(col("click_id"))
+    },
+    Some("""WITH clicks AS (
+        SELECT user_id, ts, event_id AS click_id FROM events
+        WHERE event_type = 'click'),
+      purchases AS (
+        SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+        WHERE event_type = 'purchase' GROUP BY 1, 2),
+      matched AS (
+        SELECT c.click_id, c.user_id, c.ts AS cts, max(p.ts) AS pts
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+        GROUP BY 1, 2, 3)
+      SELECT m.click_id, m.user_id, epoch_us(m.cts) AS click_us,
+        epoch_us(m.pts) AS asof_us, p.purchase_id AS asof_purchase_id
+      FROM matched m JOIN purchases p
+        ON m.user_id = p.user_id AND m.pts = p.ts
+      ORDER BY click_id"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
-    q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg)
+    q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
+    q130AsofJoin)
 }

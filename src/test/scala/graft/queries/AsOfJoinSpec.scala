@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+
+/** Hand-fixture semantics for the as-of join: latest right at-or-before,
+  * equal-ts match, unmatched null, per-key isolation. */
+class AsOfJoinSpec extends SparkSpec {
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    val quotes = Seq( // (key, ts, price) — the right side
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "t", "price")
+    val trades = Seq( // (key, ts, qty) — the left side
+      ("A", 5L, 100L),   // before any quote → null
+      ("A", 20L, 200L),  // equal ts → matches the 20 quote
+      ("A", 25L, 300L),  // between → matches 20
+      ("A", 99L, 400L),  // after all → matches 30
+      ("B", 16L, 500L),  // other key isolated
+      ("C", 50L, 600L))  // key with no quotes → null
+      .toDF("sym", "t", "qty")
+
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t",
+        valueCols = Seq("price", "t"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    assert(out == Seq(
+      ("A", 5L, 100L, None, None),
+      ("A", 20L, 200L, Some(2.0), Some(20L)),
+      ("A", 25L, 300L, Some(2.0), Some(20L)),
+      ("A", 99L, 400L, Some(3.0), Some(30L)),
+      ("B", 16L, 500L, Some(9.0), Some(15L)),
+      ("C", 50L, 600L, None, None)))
+
+    // the plan is the sort-merge shape: no cartesian, no theta join
+    val plan = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
