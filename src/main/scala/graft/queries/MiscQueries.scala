@@ -467,10 +467,48 @@ object MiscQueries {
         ON m.user_id = p.user_id AND m.pts = p.ts
       ORDER BY click_id"""))
 
+  // ---------------------------------------------------------------- q131
+  /** Range join over the event stream: every click inside any same-user
+    * 30-minute purchase window ([[graft.operators.RangeJoin]] — bin
+    * bucketing, each pair emitted exactly once through the click's single
+    * bin). The oracle is the plain theta join DuckDB can afford at this
+    * scale, so a hash match proves the bucketed decomposition returns
+    * exactly the theta-join pair set. */
+  val q131RangeJoin = Q(
+    "q131_range_join",
+    (s, d) => {
+      val W = 1800000000L // 30 min in micros = the bin width
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+          col("event_id").as("click_id"))
+      val wins = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("win_start_us"),
+          (unix_micros(col("ts")) + W).as("win_end_us"),
+          col("event_id").as("window_id"))
+      graft.operators.RangeJoin.byBins(clicks, wins, Seq("user_id"),
+          "click_us", "win_start_us", "win_end_us", binWidth = W)
+        .select(col("click_id"), col("window_id"), col("user_id"),
+          col("click_us"), col("win_start_us"))
+        .orderBy(col("click_id"), col("window_id"))
+    },
+    Some("""WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_id
+        FROM events WHERE event_type = 'click'),
+      wins AS (
+        SELECT user_id, epoch_us(ts) AS win_start_us,
+          epoch_us(ts) + 1800000000 AS win_end_us, event_id AS window_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.click_id, w.window_id, c.user_id, c.click_us,
+        w.win_start_us
+      FROM clicks c JOIN wins w ON c.user_id = w.user_id
+        AND c.click_us >= w.win_start_us AND c.click_us <= w.win_end_us
+      ORDER BY click_id, window_id"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
-    q130AsofJoin)
+    q130AsofJoin, q131RangeJoin)
 }

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.RangeJoin
+
+/** Hand-fixture semantics for the bin-bucketed range join: containment
+  * inclusive on both ends, exactly-once pair emission across bin
+  * boundaries, per-key isolation, no theta-join plan. */
+class RangeJoinSpec extends SparkSpec {
+
+  test("range join emits each qualifying pair exactly once") {
+    import spark.implicits._
+    val intervals = Seq(
+      ("A", 10L, 20L, "w1"),   // within one bin (width 100)
+      ("A", 90L, 210L, "w2"),  // spans three bins
+      ("B", 10L, 20L, "w3"))
+      .toDF("k", "s", "e", "wid")
+    val points = Seq(
+      ("A", 10L, "p-start"),   // on start boundary of w1
+      ("A", 20L, "p-end"),     // on end boundary of w1
+      ("A", 150L, "p-mid"),    // mid-bin inside w2 only
+      ("A", 25L, "p-out"),     // inside no interval
+      ("B", 15L, "p-bkey"))    // key isolation
+      .toDF("k", "t", "pid")
+
+    val out = RangeJoin.byBins(points, intervals, Seq("k"),
+        "t", "s", "e", binWidth = 100L)
+      .select(col("pid"), col("wid")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).sorted.toSeq
+    assert(out == Seq(
+      "p-bkey" -> "w3", "p-end" -> "w1", "p-mid" -> "w2",
+      "p-start" -> "w1"))
+
+    // exactly-once across bins: a point inside a multi-bin interval must
+    // appear once even though the interval exploded into 3 bins
+    assert(out.count(_ == ("p-mid" -> "w2")) == 1)
+
+    val plan = RangeJoin.byBins(points, intervals, Seq("k"),
+        "t", "s", "e", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
