@@ -47,4 +47,24 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("GraftSession.builder wires confs and functions in one call") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = graft.GraftSession.builder(cores = 4)
+        .master("local[4]").getOrCreate()
+      assert(s ne prev)
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "4")
+      assert(s.sql("SELECT graft_poly_hash62('x')").head().getLong(0) ==
+        graft.functions.StringPolyHash62.hash("x"))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
