@@ -44,4 +44,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("as-of join matches brute force on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val keys = (0 until 8).map(k => s"k$k")
+    // right: distinct (key, ts) by construction
+    val rights = keys.flatMap { k =>
+      rnd.shuffle((0 until 60).toList).take(12).map(t => (k, t.toLong,
+        rnd.nextLong(1000000)))
+    }
+    val lefts = (0 until 300).map { i =>
+      (keys(rnd.nextInt(keys.length)), rnd.nextInt(70).toLong, i.toLong)
+    }
+    val out = AsOfJoin.asOf(
+        lefts.toDF("k", "t", "lid"), rights.toDF("k", "t", "v"),
+        Seq("k"), "t", Seq("v"))
+      .collect()
+      .map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    val byKey = rights.groupBy(_._1)
+    lefts.foreach { case (k, t, lid) =>
+      val expect = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(out(lid) == expect, s"left $lid (k=$k, t=$t)")
+    }
+  }
 }

@@ -42,4 +42,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("range join matches brute force on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val keys = (0 until 6).map(k => s"k$k")
+    val intervals = (0 until 60).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (keys(rnd.nextInt(keys.length)), s, s + rnd.nextInt(120).toLong,
+        i.toLong)
+    }
+    val points = (0 until 250).map { i =>
+      (keys(rnd.nextInt(keys.length)), rnd.nextInt(650).toLong, i.toLong)
+    }
+    // binWidth deliberately NOT dividing the ranges evenly
+    val got = RangeJoin.byBins(
+        points.toDF("k", "t", "pid"), intervals.toDF("k", "s", "e", "wid"),
+        Seq("k"), "t", "s", "e", binWidth = 37L)
+      .select("pid", "wid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    val want = (for {
+      (pk, pt, pid) <- points
+      (ik, is, ie, wid) <- intervals
+      if pk == ik && pt >= is && pt <= ie
+    } yield pid -> wid).sorted
+    assert(got == want)
+  }
 }
