@@ -34,7 +34,7 @@ object Als {
         org.apache.spark.sql.types.IntegerType, nullable = false)))
     val rows = df.select(col(valueCol)).distinct()
       .orderBy(col(valueCol))
-      .rdd.zipWithIndex.map { case (r, i) =>
+      .rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row(r.get(0), i.toInt)
       }
     spark.createDataFrame(rows, schema)

@@ -90,7 +90,7 @@ object UserCosine {
       .agg(map_from_entries(collect_list(struct(col("it"), col("c"))))
         .as("m"))
       .select(col("u"),
-        array(items.map(i =>
+        array(items.toIndexedSeq.map(i =>
           coalesce(element_at(col("m"), lit(i)), lit(0L)).cast("float")): _*)
           .as("v"))
       .withColumn("norm2", vecDot(col("v"), col("v")).cast("long"))
@@ -123,7 +123,7 @@ object UserCosine {
       .groupBy(col(userCol).cast("long").as("u"), col(itemCol).as("it"))
       .agg(count(lit(1)).cast("double").as("c"))
     val itemIds = counts.select(col("it")).distinct()
-      .rdd.zipWithIndex.map { case (r, i) => (r.getString(0), i) }
+      .rdd.zipWithIndex().map { case (r, i) => (r.getString(0), i) }
       .toDF("it", "item_idx")
     val entries = counts.join(itemIds, Seq("it"))
       .select(col("item_idx"), col("u"), col("c"))
