@@ -114,6 +114,43 @@ object PipelineQueries {
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
       ORDER BY id_a, id_b"""))
 
+  // ---------------------------------------------------------------- q132
+  /** The CAPPED SimHash path (maxBlockSize — the 100 TB skew guard q47's
+    * exact form doesn't exercise): the oracle replays the full rule —
+    * block decomposition, per-(block, value) sizes, the <= cap filter,
+    * candidate pairs, Hamming cut — so a hash match verifies the cap's
+    * semantics (drop oversized blocks BEFORE pairing), not just its
+    * output. Cap 2 is chosen to actually bite on this corpus's
+    * boilerplate block values. */
+  val q132SimhashCapped = Q(
+    "q132_simhash_capped",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      SimHash.nearDuplicates(
+          Tables.documents(s, d), "doc_id", "text", maxHamming = 4,
+          tokenHash = graft.functions.GraftFunctions.polyHash62,
+          totalBits = 62, hashDistinct = true, maxBlockSize = Some(2))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH $PolyFingerprintSql,
+      keyed AS (
+        SELECT doc_id, simhash, b.blk,
+          (simhash >> (b.blk * 12)) & 4095 AS bv
+        FROM fp, (SELECT unnest(generate_series(0, 4)) AS blk) b),
+      small AS (
+        SELECT k.* FROM keyed k
+        JOIN (SELECT blk, bv FROM keyed GROUP BY 1, 2
+              HAVING count(*) <= 2) sz
+          ON k.blk = sz.blk AND k.bv = sz.bv),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.simhash AS ha, b.simhash AS hb
+        FROM small a JOIN small b
+          ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+      FROM cands WHERE bit_count(xor(ha, hb)) <= 4
+      ORDER BY id_a, id_b"""))
+
   // ---------------------------------------------------------------- q48
   /** Document fingerprinting: the compact per-document sketch a pipeline
     * persists — distinct-shingle cardinality + the rolling-hash simhash —
@@ -264,5 +301,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
     q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact,
-    q128FrameSample)
+    q128FrameSample, q132SimhashCapped)
 }
