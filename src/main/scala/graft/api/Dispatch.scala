@@ -38,13 +38,20 @@ final class Dispatch(
     * listens/metadata.py:18-55 pattern) — NOT a scan: a per-request
     * max(listened_at) over base ∪ incremental is a full-table aggregate
     * before any query runs at 100 TB. The scan remains only as a
-    * self-healing fallback for stores predating the metadata file. */
+    * self-healing fallback for stores predating the metadata file — and it
+    * persists what it computed, so the legacy scan runs at most once per
+    * store. */
   private def anchor(): Timestamp =
     store.highWater.map(_._1).getOrElse {
       val row = store.baseListens.unionByName(store.incrementalListens)
-        .agg(max(col("listened_at"))).collect()(0)
-      Option(row.getTimestamp(0))
-        .getOrElse(new Timestamp(System.currentTimeMillis()))
+        .agg(max(col("listened_at")), max(col("created"))).collect()(0)
+      Option(row.getTimestamp(0)) match {
+        case Some(l) =>
+          store.persistHighWater(l,
+            Option(row.getTimestamp(1)).getOrElse(l))
+          l
+        case None => new Timestamp(System.currentTimeMillis())
+      }
     }
 
   private def yimWindow(req: StatRequest): (Timestamp, Timestamp) = {

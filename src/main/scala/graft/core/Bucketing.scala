@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Bucketed materialization for co-located execution — the shuffle-removal
   * lever the builder brief calls out ("repartition()/bucketing for
@@ -25,13 +27,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  private def quoted(table: String): String =
+    table.split('.').map(seg => s"`${seg.replace("`", "``")}`").mkString(".")
+
   /** Write `df` as an external parquet table at `path`, bucketed (and
     * bucket-sorted) by `bucketCols` into `buckets` buckets. Replaces any
-    * existing table registration of the same name. */
+    * existing table registration of the same name. Re-materializing under a
+    * DIFFERENT path only drops the catalog entry (external tables keep
+    * their files); the caller owns deleting the old location, the same way
+    * it owns the path choice. */
   def writeBucketed(
       df: DataFrame, path: String, table: String, buckets: Int,
       bucketCols: Seq[String]): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
     df.write
       .format("parquet")
       .option("path", path)
@@ -43,8 +51,19 @@ object Bucketing {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
-  /** True when no shuffle exchange remains anywhere in `df`'s physical
-    * plan — the property bucketing buys for key-aligned aggs and joins. */
+  /** True when no SHUFFLE exchange remains anywhere in `df`'s physical
+    * plan — the property bucketing buys for key-aligned aggs and joins.
+    * Matches the `ShuffleExchangeLike` node class exactly, so a broadcast
+    * exchange (legitimately shuffle-free) does not trip it. */
   def isExchangeFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    shuffleExchangeCount(df) == 0
+
+  /** Count of shuffle-exchange nodes in the executed plan (AQE-aware). */
+  def shuffleExchangeCount(df: DataFrame): Int = {
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    root.collect { case e: ShuffleExchangeLike => e }.size
+  }
 }

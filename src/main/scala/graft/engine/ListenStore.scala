@@ -53,6 +53,13 @@ final class ListenStore(spark: SparkSession, root: String) {
         .map(r => (r.getTimestamp(0), r.getTimestamp(1)))
     } else None
 
+  /** Persist high-water marks computed elsewhere — the self-healing hook
+    * for stores predating the metadata file: when request dispatch falls
+    * back to the legacy full scan, it writes what it computed so the scan
+    * runs at most once per store. */
+  def persistHighWater(maxListened: Timestamp, maxCreated: Timestamp): Unit =
+    writeMetadata(maxListened, maxCreated)
+
   private def writeMetadata(maxListened: Timestamp, maxCreated: Timestamp): Unit = {
     import spark.implicits._
     Seq((maxListened, maxCreated, new Timestamp(System.currentTimeMillis())))

@@ -17,14 +17,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def withArity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument${if (n == 1) "" else "s"}, " +
+            s"got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),
-      (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1))))
+      withArity("graft_vec_dot", 2)(e => FloatVectorDot(e(0), e(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash62"),
       new ExpressionInfo(classOf[StringPolyHash62].getName, "graft_poly_hash62"),
-      (exprs: Seq[Expression]) => StringPolyHash62(exprs(0))))
+      withArity("graft_poly_hash62", 1)(e => StringPolyHash62(e(0)))))
   }
 }

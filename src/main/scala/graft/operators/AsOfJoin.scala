@@ -28,15 +28,32 @@ object AsOfJoin {
     * row; unmatched left rows keep nulls (left-outer semantics — filter a
     * carried column for inner). `valueCols` are right-side columns to
     * carry (may include the right's own `tsCol`). */
+  private val Reserved = Set("__ts", "__side", "__lv", "__rv", "__carried")
+
   def asOf(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, valueCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {
+    // fail fast instead of silently corrupting output: the staging names
+    // are reserved, and every carried `prefix+valueCol` must be free on
+    // the left side (keys, ts and payload alike)
+    val reservedHits =
+      (left.columns ++ right.columns).filter(Reserved.contains).distinct
+    require(reservedHits.isEmpty,
+      s"asOf reserves column names ${Reserved.mkString(", ")}; " +
+        s"inputs carry ${reservedHits.mkString(", ")}")
+    val collisions = valueCols.map(prefix + _).filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"asOf output collision with left columns: ${collisions.mkString(", ")}" +
+        " — pick a different prefix")
     val leftPayload = left.columns.toSeq.diff(keyCols :+ tsCol)
+    // struct() of zero columns is degenerate — carry a placeholder instead
+    val lv = if (leftPayload.isEmpty) lit(0)
+      else struct(leftPayload.map(col): _*)
     val l = left.select(
       keyCols.map(col) ++ Seq(
         col(tsCol).as("__ts"), lit(1).as("__side"),
-        struct(leftPayload.map(col): _*).as("__lv")): _*)
+        lv.as("__lv")): _*)
     val r = right.select(
       keyCols.map(col) ++ Seq(
         col(tsCol).as("__ts"), lit(0).as("__side"),

@@ -104,6 +104,33 @@ class ApiSpec extends SparkSpec {
       "anchor advanced to 2025 by the incremental append")
   }
 
+  test("legacy-store anchor fallback persists the metadata it computed") {
+    val root = tmpDir("api-anchor-legacy")
+    val store = new ListenStore(spark, root)
+    store.writeBase(listensDf(Seq(
+      listen(1, "A", "2024-06-01 10:00:00"),
+      listen(1, "B", "2024-06-02 10:00:00"))))
+    // simulate a store predating the metadata file
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/metadata"), true)
+    assert(store.highWater.isEmpty, "legacy store has no metadata")
+
+    val dispatch = new Dispatch(spark, store,
+      new IncrementalStatsEngine(spark, tmpDir("api-anchor-legacy-work")))
+    val first = dispatch.handle(dispatch.StatRequest(
+      "year_in_music.listen_count", year = 0))
+    assert(first.collect()(0).getMap[Int, Long](0) == Map(1 -> 2L))
+
+    // the fallback scan self-healed: metadata now exists and carries the
+    // scanned high-water, so the second request reads it (no scan)
+    assert(store.highWater.map(_._1) == Some(ts("2024-06-02 10:00:00")),
+      "fallback persisted max_listened_at")
+    val second = dispatch.handle(dispatch.StatRequest(
+      "year_in_music.listen_count", year = 0))
+    assert(second.collect()(0).getMap[Int, Long](0) == Map(1 -> 2L))
+  }
+
   test("dispatch rejects unknown query names") {
     val store = freshStoreWith(Seq(listen(1, "A", "2024-01-10 10:00:00")))
     val dispatch = new Dispatch(spark, store,

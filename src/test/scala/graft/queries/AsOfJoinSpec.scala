@@ -70,4 +70,33 @@ class AsOfJoinSpec extends SparkSpec {
       assert(out(lid) == expect, s"left $lid (k=$k, t=$t)")
     }
   }
+
+  test("as-of join fails fast on reserved names and prefix collisions") {
+    import spark.implicits._
+    val right = Seq(("A", 10L, 1.0)).toDF("k", "t", "v")
+
+    // reserved staging name on an input
+    val badLeft = Seq(("A", 20L, 1L)).toDF("k", "t", "__side")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(badLeft, right, Seq("k"), "t", Seq("v"))
+    }
+    assert(e1.getMessage.contains("__side"))
+
+    // left already owns the carried output name prefix+valueCol
+    val clashLeft = Seq(("A", 20L, 9.9)).toDF("k", "t", "asof_v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(clashLeft, right, Seq("k"), "t", Seq("v"))
+    }
+    assert(e2.getMessage.contains("asof_v"))
+  }
+
+  test("as-of join handles a left side with no payload columns") {
+    import spark.implicits._
+    val left = Seq(("A", 20L), ("A", 5L)).toDF("k", "t")
+    val right = Seq(("A", 10L, 7.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out == Map(20L -> Some(7.0), 5L -> None))
+  }
 }

@@ -62,6 +62,17 @@ class ExtensionsSpec extends SparkSpec {
       assert(s.conf.get("spark.sql.shuffle.partitions") == "4")
       assert(s.sql("SELECT graft_poly_hash62('x')").head().getLong(0) ==
         graft.functions.StringPolyHash62.hash("x"))
+
+      // wrong arity surfaces as a descriptive error from the builder, not
+      // an IndexOutOfBoundsException inside the analyzer
+      val e = intercept[Exception] {
+        s.sql("SELECT graft_vec_dot(array(cast(1.0 as float)))").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("expects 2 arguments")),
+        s"unexpected: $e")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -68,4 +68,31 @@ class RangeJoinSpec extends SparkSpec {
     } yield pid -> wid).sorted
     assert(got == want)
   }
+
+  test("inverted intervals are empty, not descending bin explosions") {
+    import spark.implicits._
+    val intervals = Seq(("A", 200L, 100L, "inv"), ("A", 10L, 20L, "ok"))
+      .toDF("k", "s", "e", "wid")
+    val points = Seq(("A", 15L, "p1"), ("A", 150L, "p2"))
+      .toDF("k", "t", "pid")
+    val out = RangeJoin.byBins(points, intervals, Seq("k"),
+        "t", "s", "e", binWidth = 50L)
+      .select("pid", "wid").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(out == Seq("p1" -> "ok"),
+      "end < start matches no point (empty interval), emits nothing")
+  }
+
+  test("an interval spanning more than maxBinsPerInterval fails fast") {
+    import spark.implicits._
+    val intervals = Seq(("A", 0L, 10000L, "huge")).toDF("k", "s", "e", "wid")
+    val points = Seq(("A", 5L, "p1")).toDF("k", "t", "pid")
+    val e = intercept[Exception] {
+      RangeJoin.byBins(points, intervals, Seq("k"), "t", "s", "e",
+        binWidth = 1L, maxBinsPerInterval = 100).collect()
+    }
+    assert(e.getMessage.contains("widen binWidth") ||
+      Option(e.getCause).exists(_.getMessage.contains("widen binWidth")),
+      s"unexpected: $e")
+  }
 }
