@@ -7,11 +7,19 @@ import org.apache.spark.sql.SparkSession
   * sink (`.count()` would let Catalyst prune expensive columns the query
   * semantically produces). One warmup query absorbs JVM/codegen startup so
   * per-query numbers reflect plan execution, not first-run JIT.
+  *
+  * SPARK_GRAFT_REPEAT=N (default 1) times each query N times and reports
+  * the MEDIAN — the noise protocol for adjudicating round-over-round
+  * movement: single-shot timing cannot distinguish a plan regression from
+  * a noisy neighbor in a shared sandbox, so any query that moves >1.5×
+  * between rounds gets re-measured at repeat≥3 and the median recorded in
+  * SCALE.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,13 +29,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOne(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    def runOne(name: String): Double = {
+      val ts = Seq.fill(repeat)(runOnce(name))
+      if (ts.exists(_ < 0)) -1.0
+      else ts.sorted.apply(ts.size / 2) // median (upper for even sizes)
     }
 
     // optional trailing args restrict the set (local scale probes; the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.api.Messages
 import graft.core.Tables
-import graft.ingest.{FileIngest, MlhdImport}
+import graft.ingest.{FileIngest, JdbcCache, MlhdImport}
 
 /** Driver-oracled round-trips for the ingestion + emission surfaces that
   * were previously ScalaTest-only (round-3 verdict "weak" items S4, S14 and
@@ -172,5 +172,67 @@ object IngestQueries {
           'artists_week', NULL, NULL, NULL, 0, NULL, NULL
       ) ORDER BY seq"""))
 
-  val all: Seq[Q] = Seq(q123GlobChunkScan, q124CsvEtl, q126StatsEnvelope)
+  // ---------------------------------------------------------------- q133
+  /** JDBC dimension-cache import round-trip (reference postgres/utils.py:
+    * 8-17 + data/postgres/recording.py:36-67): the nation dimension is
+    * loaded into an embedded Derby database (standing in for the
+    * reference's postgres), re-imported through
+    * [[graft.ingest.JdbcCache.importCache]] — the WHERE clause runs IN the
+    * database, Spark sees only the result cursor — and the landed parquet
+    * cache is joined against customers exactly the way every stats job
+    * joins the reference's metadata caches. The oracle recomputes the join
+    * from the original tables with the pushdown predicate inlined, so the
+    * hash match proves no row or column was lost or re-typed through
+    * JDBC → parquet → join. The driver-side INSERT loop is fixture setup
+    * (a deployment's database content is a given), bounded by the 25-row
+    * dimension; the measured operator is the import + downstream join. */
+  val q133JdbcImport = Q(
+    "q133_jdbc_import",
+    (s, d) => {
+      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      val db = "memory:graftq133_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:$db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.createStatement().execute("CREATE TABLE nation_src (" +
+          "n_nationkey INT, n_name VARCHAR(64), n_regionkey INT)")
+        val ps = conn.prepareStatement(
+          "INSERT INTO nation_src VALUES (?, ?, ?)")
+        Tables.nation(s, d).collect().foreach { r =>
+          ps.setInt(1, r.getInt(0))
+          ps.setString(2, r.getString(1))
+          ps.setInt(3, r.getInt(2))
+          ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally conn.close()
+
+      val cachePath = tempDir("graft-q133") + "/nation-cache"
+      JdbcCache.importCache(s, JdbcCache.JdbcConfig(url, "", ""),
+        // pushdown: projection + filter run in the database
+        "SELECT n_nationkey, n_name FROM nation_src WHERE n_regionkey <> 0",
+        cachePath)
+      // importCache is eager (the cache parquet is on disk) — drop the
+      // in-memory database; Derby signals a successful drop by exception
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true")
+      catch { case _: java.sql.SQLException => () }
+
+      val raw = JdbcCache.readCache(s, cachePath)
+      val cached = raw.toDF(raw.columns.map(_.toLowerCase): _*)
+      Tables.customer(s, d)
+        .join(cached, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_custkey")).as("sum_cust"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name, count(*) AS n_customers,
+        cast(sum(c_custkey) AS bigint) AS sum_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_regionkey <> 0
+      GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Q] =
+    Seq(q123GlobChunkScan, q124CsvEtl, q126StatsEnvelope, q133JdbcImport)
 }
