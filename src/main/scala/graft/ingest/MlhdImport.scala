@@ -46,8 +46,9 @@ object MlhdImport {
 
   /** Distributed TSV-tree → raw parquet. `srcGlob` globs the per-user
     * files (a two-level star glob over prefix dirs and .txt names);
-    * compressed `.txt.zst` sources work wherever the Hadoop zstd codec is
-    * available — the read path is identical. */
+    * compressed `.txt.zst` sources read identically after
+    * [[ZstdJniCodec.install]] (pure-JVM zstd — no native hadoop build
+    * needed; the native ZStandardCodec also works where present). */
   def etl(spark: SparkSession, srcGlob: String, rawDir: String): Unit =
     spark.read
       .schema(rawSchema)

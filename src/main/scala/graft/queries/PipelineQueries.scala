@@ -68,9 +68,12 @@ object PipelineQueries {
     * gate, not a recall proof — LSH candidate probability at the j=0.3
     * boundary is only ~6% per band combination (b=8, r=4); the gate holds
     * because every true pair here sits far above the boundary, where the
-    * s-curve is ≈1. Recall-at-high-similarity is what the planted-duplicate
-    * tests in DedupSpec assert; a corpus with borderline pairs would need
-    * a higher verification threshold. */
+    * s-curve is ≈1. Recall at the ≈1 operating point is a TESTED claim:
+    * DedupSpec's planted-pair test builds pairs at exactly j=59/61≈0.967
+    * (where P(candidate)=1-(1-s⁴)⁸≈1-2e-8) plus decoys at j=47/73≈0.644
+    * just below its 0.7 threshold, and asserts LSH returns precisely the
+    * planted set, brute-force-confirmed. A corpus with borderline pairs
+    * would still need a higher verification threshold. */
   val q46MinhashNeardup = Q(
     "q46_minhash_neardup",
     (s, d) => MinHash.nearDuplicates(

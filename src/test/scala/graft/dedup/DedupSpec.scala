@@ -77,6 +77,53 @@ class DedupSpec extends SparkSpec {
     assert(cands.count() == 0)
   }
 
+  test("planted-pair recall at an s-curve~1 operating point (b=8, r=4)") {
+    // With 32 perms in 8 bands of 4 rows, P(candidate) = 1-(1-s^4)^8 —
+    // ≈1-2e-8 at the planted similarity s = 59/61 ≈ 0.967, so recall over
+    // the planted set must be exactly 1 at this operating point. Decoys
+    // are built at s = 47/73 ≈ 0.644: close enough that banding often
+    // surfaces them (P≈0.76), yet below the 0.7 threshold, so the exact
+    // verify step must drop every one. Construction: 62 tokens → 60
+    // 3-shingles; replacing the last m tokens changes exactly the m
+    // shingles that can still start inside the tail, so jaccard =
+    // (60-m)/(60+m) — m=1 plants 59/61, m=13 plants 47/73. Disjoint
+    // per-cluster vocabularies zero out cross-cluster similarity.
+    def toks(c: Int) = (1 to 62).map(i => s"c${c}_$i")
+    val rows = (0 until 10).flatMap { c =>
+      val base = toks(c)
+      Seq(
+        (c.toLong, base.mkString(" ")),
+        (c + 100L, (base.dropRight(1) :+ s"c${c}_x").mkString(" ")),
+        (c + 200L, (base.dropRight(13) ++
+          (1 to 13).map(i => s"c${c}_y$i")).mkString(" ")))
+    }
+    val d = docs(rows: _*)
+    val got = MinHash.nearDuplicates(d, "doc_id", "text",
+        shingleLen = 3, numPerms = 32, bands = 8, threshold = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val planted = (0 until 10).map(c => (c.toLong, c + 100L)).toSet
+    assert(planted.subsetOf(got.keySet),
+      s"recall < 1: missed ${planted -- got.keySet}")
+    assert(got.keySet == planted,
+      s"false positives past verify: ${got.keySet -- planted}")
+    got.values.foreach(j => assert(math.abs(j - 59.0 / 61) < 1e-9,
+      s"planted similarity must be exactly 59/61, got $j"))
+
+    // brute force confirms the planted set IS the ground truth at 0.7
+    val sh = MinHash.shingles(d, "doc_id", "text", 3)
+    val ids = d.select(col("doc_id")).distinct()
+    val allPairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val exact = MinHash.verify(allPairs, sh, "doc_id")
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == planted,
+      "brute force agrees the planted set is the whole truth")
+  }
+
   /** A varied corpus with planted near-dup clusters and deterministic
     * "random" filler for the differential tests. */
   private def variedCorpus: org.apache.spark.sql.DataFrame = {
