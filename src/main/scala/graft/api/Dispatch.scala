@@ -25,7 +25,7 @@ final class Dispatch(
       query: String, entity: String = "artists",
       statsRange: String = "all_time", onlyInc: Boolean = false,
       year: Int = 0, data: Option[DataFrame] = None, dumpId: Int = 0,
-      days: Int = 0, threshold: Long = 0L)
+      days: Int = 0, threshold: Long = 0L, approx: Boolean = false)
 
   private def entityProvider(entity: String, top: Int): StatsProvider =
     entity match {
@@ -94,8 +94,26 @@ final class Dispatch(
 
       // ---------------------------------------------------------- stats.*
       case "stats.user.entity" =>
-        engine.run(s"user_${req.entity}_${req.statsRange}",
-          entityProvider(req.entity, top = 1000), store, from, to, req.onlyInc)
+        // Read path selection: when a FRESH user-bucketed projection exists
+        // (ListenStore.userBucketed), the whole stat — aggregate, combine,
+        // window rank, nesting — is keyed on user_id, so it runs straight
+        // off the bucketed scan with ZERO shuffle exchanges (asserted in
+        // ApiSpec). The projection already amortizes the scan+shuffle the
+        // cached-partial path exists to avoid, so it substitutes for the
+        // disk partials; imports stale it and dispatch falls back to the
+        // engine's partitioned path. onlyInc keeps the engine path — its
+        // semantics need the base/incremental split.
+        store.userBucketed match {
+          case Some(bucketed) if !req.onlyInc =>
+            val p = entityProvider(req.entity, top = 1000)
+            p.stats(p.combine(p.aggregate(bucketed.filter(
+              col("listened_at") >= lit(from) &&
+                col("listened_at") < lit(to)))))
+          case _ =>
+            engine.run(s"user_${req.entity}_${req.statsRange}",
+              entityProvider(req.entity, top = 1000), store, from, to,
+              req.onlyInc)
+        }
       case "stats.user.artist_evolution_activity" |
            "stats.user.artist_evolution" =>
         engine.run(s"artist_evolution_${req.statsRange}",
@@ -248,12 +266,19 @@ final class Dispatch(
           chunks, s"$workDir/mlhd-chunks")
 
       // ----------------------------------------------------- popularity.*
-      case "popularity.popularity" =>
-        graft.popularity.Popularity.entity(
-          windowed, "user_id", Seq(req.entity))
-      case "popularity.entity" =>
-        graft.popularity.Popularity.entity(
-          windowed, "user_id", Seq(req.entity))
+      // approx=true swaps the exact two-stage distinct for HyperLogLog++
+      // sketches (Popularity.entityApprox) — the escape hatch for the
+      // regime where the (entity, user) pair shuffle IS the job cost
+      // (the reference's 27B-listen MLHD popularity). Exact stays the
+      // default and the oracled path; q134 oracles the approx path's
+      // error envelope against the exact one.
+      case "popularity.popularity" | "popularity.entity" =>
+        if (req.approx)
+          graft.popularity.Popularity.entityApprox(
+            windowed, "user_id", Seq(req.entity))
+        else
+          graft.popularity.Popularity.entity(
+            windowed, "user_id", Seq(req.entity))
 
       // -------------------------------------------------- year_in_music.*
       case "year_in_music.new_releases_of_top_artists" =>

@@ -30,6 +30,7 @@ final class ListenStore(spark: SparkSession, root: String) {
   private val deletedHistoryPath = s"$root/deleted-user-listen-history"
   private val feedbackPath = s"$root/recording-feedback"
   private val metadataPath = s"$root/metadata"
+  private val bucketedMetaPath = s"$root/bucketed-meta"
 
   private val metadataSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("max_listened_at",
@@ -208,14 +209,80 @@ final class ListenStore(spark: SparkSession, root: String) {
     * user-keyed aggregation and every equi-join between projections
     * bucketed the same way plans with zero Exchange
     * ([[graft.core.Bucketing]]). Refresh after imports the way the engine
-    * refreshes cached partials; bucket count is a layout constant. */
+    * refreshes cached partials; bucket count is a layout constant.
+    *
+    * The projection's identity (table, path, buckets, schema) and the
+    * store high-water it was built at are persisted next to the store, so
+    * [[userBucketed]] can serve it to request dispatch — and refuse to
+    * once imports advance the store past it. */
   def materializeUserBucketed(
       table: String, path: String, buckets: Int): DataFrame = {
-    graft.core.Bucketing.writeBucketed(
-      retractDeleted(baseListens.unionByName(incrementalListens)),
-      path, table, buckets, Seq("user_id"))
+    val df = retractDeleted(baseListens.unionByName(incrementalListens))
+    graft.core.Bucketing.writeBucketed(df, path, table, buckets, Seq("user_id"))
+    import spark.implicits._
+    val (hwL, hwC) = highWater.getOrElse((new Timestamp(0L), new Timestamp(0L)))
+    Seq((table, path, buckets, df.schema.toDDL, hwL, hwC,
+        new Timestamp(System.currentTimeMillis())))
+      .toDF("table", "path", "buckets", "schema_ddl",
+        "max_listened_at", "max_created", "materialized_at")
+      .repartition(1).write.mode("overwrite").json(bucketedMetaPath)
     graft.core.Bucketing.read(spark, table)
   }
+
+  private val bucketedMetaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("table",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("buckets",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("schema_ddl",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("max_listened_at",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("max_created",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("materialized_at",
+      org.apache.spark.sql.types.TimestampType)))
+
+  /** The user-bucketed projection, IF one is materialized and still fresh.
+    * Freshness: the store's high-water marks must equal those recorded at
+    * materialization (imports advance them → stale), and no deletion
+    * side-table may have been touched since (deletions are retracted at
+    * materialization time, so later ones invalidate the projection without
+    * moving the advance-only high-water). Dispatch treats None as "use the
+    * normal partitioned read path" — the projection is an accelerator, not
+    * a correctness dependency.
+    *
+    * The catalog registration does not survive a new SparkSession; the
+    * persisted schema DDL lets this re-register the external bucketed
+    * table on first read. */
+  def userBucketed: Option[DataFrame] =
+    if (!exists(bucketedMetaPath)) None
+    else {
+      val m = spark.read.schema(bucketedMetaSchema).json(bucketedMetaPath)
+        .collect()(0)
+      val (table, path, buckets) = (m.getString(0), m.getString(1), m.getInt(2))
+      val fresh =
+        highWater.getOrElse((new Timestamp(0L), new Timestamp(0L))) ==
+          ((m.getTimestamp(4), m.getTimestamp(5))) &&
+        Seq(deletedPath, deletedHistoryPath).forall { p =>
+          !exists(p) || fsFor(p).getFileStatus(
+              new org.apache.hadoop.fs.Path(p)).getModificationTime <=
+            m.getTimestamp(6).getTime
+        }
+      if (!fresh) None
+      else {
+        if (!spark.catalog.tableExists(table))
+          spark.sql(
+            s"""CREATE TABLE `${table.replace("`", "``")}` (${m.getString(3)})
+               |USING parquet
+               |CLUSTERED BY (user_id) SORTED BY (user_id)
+               |INTO $buckets BUCKETS
+               |LOCATION '$path'""".stripMargin)
+        Some(graft.core.Bucketing.read(spark, table))
+      }
+    }
 
   /** Compaction (reference listens/compact.py:13-24): fold incremental into
     * the base, physically drop deleted rows, rewrite partitioned, clear the

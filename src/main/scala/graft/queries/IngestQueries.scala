@@ -219,7 +219,7 @@ object IngestQueries {
       catch { case _: java.sql.SQLException => () }
 
       val raw = JdbcCache.readCache(s, cachePath)
-      val cached = raw.toDF(raw.columns.map(_.toLowerCase): _*)
+      val cached = raw.toDF(raw.columns.map(_.toLowerCase).toIndexedSeq: _*)
       Tables.customer(s, d)
         .join(cached, col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))

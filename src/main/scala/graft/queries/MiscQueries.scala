@@ -505,10 +505,45 @@ object MiscQueries {
         AND c.click_us >= w.win_start_us AND c.click_us <= w.win_end_us
       ORDER BY click_id, window_id"""))
 
+  // ---------------------------------------------------------------- q134
+  /** Exact/approx popularity pair — the HLL escape hatch for the regime
+    * where the exact distinct's (entity, user) pair shuffle IS the job
+    * cost (the reference's 27B-listen MLHD popularity; q77 is the exact
+    * shape). The approx path ([[Popularity.entityApprox]],
+    * `popularity.* approx=true` in dispatch) shuffles one fixed-size
+    * HyperLogLog++ sketch per entity instead.
+    *
+    * Oracle shape: the entity keys and exact counts are hash-exact; the
+    * approx estimate itself is engine-specific, so what's oracled is its
+    * ERROR ENVELOPE — |approx − exact| ≤ max(3·rsd·exact, 2) collapsed to
+    * a boolean the oracle asserts as TRUE. Rows identical + per-row bound:
+    * exactly the "counts within rsd" gate, driver-checkable. */
+  val q134PopularityApprox = Q(
+    "q134_popularity_approx",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val rsd = 0.05
+      val exact = Popularity.entity(ev, "user_id", Seq("event_type"))
+      val approx = Popularity.entityApprox(ev, "user_id", Seq("event_type"),
+          rsd)
+        .select(col("event_type"), col("approx_user_count"))
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"), col("total_listen_count"),
+          col("total_user_count"),
+          (abs(col("approx_user_count") - col("total_user_count")) <=
+            greatest(col("total_user_count") * (3 * rsd), lit(2.0)))
+            .as("approx_within_rsd"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS total_listen_count,
+      count(DISTINCT user_id) AS total_user_count,
+      TRUE AS approx_within_rsd
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
-    q130AsofJoin, q131RangeJoin)
+    q130AsofJoin, q131RangeJoin, q134PopularityApprox)
 }

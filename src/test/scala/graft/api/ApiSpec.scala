@@ -187,6 +187,54 @@ class ApiSpec extends SparkSpec {
       .forall(_.database == Some("db_7")))
   }
 
+  test("dispatched stat runs zero-Exchange off a fresh bucketed projection " +
+      "and falls back once imports stale it") {
+    val root = tmpDir("api-bucketed")
+    val store = new ListenStore(spark, root)
+    val ls = (1 to 60).map(i => listen(i % 7, s"Artist${i % 5}",
+      f"2024-01-${i % 28 + 1}%02d 10:00:00", Some(Seq(s"m${i % 5}"))))
+    store.writeBase(listensDf(ls))
+    val dispatch = new Dispatch(spark, store,
+      new IncrementalStatsEngine(spark, tmpDir("api-bucketed-work")))
+    def request() = dispatch.handle(dispatch.StatRequest(
+      "stats.user.entity", entity = "artist_name", statsRange = "all_time"))
+
+    // engine (partitioned) path first, for the expected answer
+    assert(store.userBucketed.isEmpty, "no projection materialized yet")
+    val viaEngine = request().collect().map(_.toString).sorted.toSeq
+
+    // materialize → dispatch reads the projection, END-TO-END zero shuffle:
+    // aggregate, combine, window rank and nesting are all user_id-keyed,
+    // satisfied straight off the bucketed scan
+    store.materializeUserBucketed("api_bkt_listens",
+      tmpDir("api-bucketed-proj"), buckets = 4)
+    assert(store.userBucketed.isDefined, "fresh projection is served")
+    val viaBucketed = request()
+    assert(graft.core.Bucketing.shuffleExchangeCount(viaBucketed) == 0,
+      s"dispatched stat must not shuffle off the bucketed projection:\n" +
+        viaBucketed.queryExecution.executedPlan)
+    assert(viaBucketed.collect().map(_.toString).sorted.toSeq == viaEngine,
+      "bucketed read path is an accelerator, not a different answer")
+
+    // an incremental import advances the high-water past the projection →
+    // stale → dispatch falls back to the partitioned path and sees the row
+    store.appendIncremental(listensDf(Seq(
+      listen(1, "Fresh", "2024-02-05 10:00:00", Some(Seq("m9"))))))
+    assert(store.userBucketed.isEmpty, "imports stale the projection")
+    val afterImport = request()
+    assert(afterImport.collect().exists(_.toString.contains("Fresh")),
+      "fallback path serves the freshly imported listen")
+
+    // re-materializing re-freshens it — same economics as engine partials
+    store.materializeUserBucketed("api_bkt_listens",
+      tmpDir("api-bucketed-proj2"), buckets = 4)
+    assert(store.userBucketed.isDefined)
+    val reFresh = request()
+    assert(graft.core.Bucketing.shuffleExchangeCount(reFresh) == 0)
+    assert(reFresh.collect().exists(_.toString.contains("Fresh")))
+    spark.sql("DROP TABLE IF EXISTS api_bkt_listens")
+  }
+
   test("ChunkedRunner equals unchunked run for associative providers") {
     val ls = (1 to 50).map(i => listen(i % 7, s"Artist${i % 5}",
       f"2024-01-${i % 28 + 1}%02d 10:00:00"))
