@@ -278,6 +278,59 @@ object EngineQueries {
           GROUP BY 1, 2) a) b
       GROUP BY user_id) c ORDER BY user_id"""))
 
+  // ---------------------------------------------------------------- q135
+  /** The STREAMING ingest path as one oracled query (was spec-only): events
+    * shaped as listens land in a staging directory, a Structured Streaming
+    * file source replays them through [[graft.streaming.StreamingIngest]]
+    * one file per micro-batch (each batch = one incremental dump chunk:
+    * append + high-water advance + per-batch-id marker), and the result is
+    * a per-user rollup over what the STORE then serves. The oracle computes
+    * the same rollup straight off events — so the hash verdict covers the
+    * whole stream → store → read chain: schema fidelity, no lost or
+    * duplicated rows across batch boundaries, correct high-water windowing.
+    *
+    * Scale shape: the sink is O(batch) per micro-batch (append + one-row
+    * metadata fold); the final read is the store's normal pruned path. */
+  val q135StreamingIngest = Q(
+    "q135_streaming_ingest",
+    (s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      val listens = ev.select(
+        col("ts").as("listened_at"), col("ts").as("created"),
+        col("user_id").cast("int").as("user_id"),
+        concat(lit("m"), col("event_id")).as("recording_msid"),
+        col("event_type").as("artist_name"),
+        lit(null).cast("long").as("artist_credit_id"),
+        lit(null).cast("string").as("release_name"),
+        lit(null).cast("string").as("release_mbid"),
+        col("event_type").as("recording_name"),
+        lit(null).cast("string").as("recording_mbid"),
+        lit(null).cast("array<string>").as("artist_credit_mbids"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q135").toString
+      // stage as 4 files → 4 micro-batches under maxFilesPerTrigger=1
+      listens.repartition(4).write.parquet(s"$work/stage")
+      val store = new graft.engine.ListenStore(s, s"$work/store")
+      val stream = s.readStream
+        .schema(graft.engine.Listen.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/stage")
+      graft.streaming.StreamingIngest
+        .intoStore(stream, store, s"$work/ckpt")
+        .awaitTermination()
+      store.listens(
+          java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("listen_count"),
+          countDistinct(col("artist_name")).as("n_types"),
+          max(col("listened_at")).as("last_listen"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, count(*) AS listen_count,
+      count(DISTINCT event_type) AS n_types, max(ts) AS last_listen
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   // ---------------------------------------------------------------- q89
   /** Cache-joined genre activity via CacheJoinedStats.GenreActivity: the
     * part table plays the dimension cache (partkey → brand ≙ recording →
@@ -538,5 +591,5 @@ object EngineQueries {
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
     q89GenreActivity, q90ListeningTime, q91FreshReleases,
     q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
-    q129BucketedAgg)
+    q129BucketedAgg, q135StreamingIngest)
 }

@@ -305,7 +305,54 @@ object TextOps {
         FROM documents) t
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q136
+  /** Token-budget sequence packing ([[graft.operators.SequencePacking]]):
+    * the pack manifest over the documents corpus — 8 independent shards,
+    * 512-token budget, whitespace token counts. The oracle replays the
+    * offset-packing rule (per-shard running sum, pack = floor(start /
+    * budget)) in SQL, so the hash verdict pins shard assignment, pack
+    * boundaries, member counts, and token totals. */
+  val q136SeqPacking = Q(
+    "q136_seq_packing",
+    (s, d) => graft.operators.SequencePacking.manifest(
+        Tables.documents(s, d), "doc_id",
+        size(split(col("text"), " ")), budget = 512L, shards = 8)
+      .orderBy(col("shard"), col("pack_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+          cast(len(string_split(text, ' ')) AS bigint) AS tok
+        FROM documents),
+      c AS (
+        SELECT *, sum(tok) OVER (
+          PARTITION BY shard ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - tok AS start
+        FROM t)
+      SELECT shard, start // 512 AS pack_id, count(*) AS n_docs,
+        cast(sum(tok) AS bigint) AS pack_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id"""))
+
+  // ---------------------------------------------------------------- q137
+  /** Deterministic stratified sampling
+    * ([[graft.operators.StratifiedSample]]): exactly 10 documents per
+    * language chosen by md5-of-id ranking — the q79 technique promoted to
+    * a corpus-curation operator, so the SAMPLED DOCS themselves are
+    * oracled, not just the per-stratum counts. */
+  val q137StratifiedSample = Q(
+    "q137_stratified_sample",
+    (s, d) => graft.operators.StratifiedSample.exactPerStratum(
+        Tables.documents(s, d), "lang", "doc_id", k = 10)
+      .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("sample_rank")),
+    Some("""SELECT lang, sample_rank, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars, row_number() OVER (
+          PARTITION BY lang
+          ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS sample_rank
+        FROM documents) t
+      WHERE sample_rank <= 10 ORDER BY lang, sample_rank"""))
+
   val all: Seq[Q] = Seq(
     q41DedupExact, q42TokenStats, q43QualityScore, q44LangId,
-    q45NgramJaccard, q117CorpusPipeline, q118RegexTokens)
+    q45NgramJaccard, q117CorpusPipeline, q118RegexTokens,
+    q136SeqPacking, q137StratifiedSample)
 }
