@@ -62,12 +62,12 @@ object MinHash {
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** Candidate pairs via banded LSH: signature split into `bands` bands of
-    * `numPerms / bands` rows; documents sharing any band hash are
-    * candidates. */
-  def candidates(
-      sigs: DataFrame, idCol: String, numPerms: Int, bands: Int,
-      maxBucketSize: Int = 1000): DataFrame = {
+  /** Band buckets of a signature frame: (idCol, band, bh) — one row per
+    * (document, band). These rows ARE the persistable LSH index: write
+    * them once per corpus and the incremental path joins new batches
+    * against them without ever recomputing corpus signatures. */
+  def buckets(
+      sigs: DataFrame, idCol: String, numPerms: Int, bands: Int): DataFrame = {
     val rowsPerBand = numPerms / bands
     require(rowsPerBand * bands == numPerms, "bands must divide numPerms")
     val bandHashes = (0 until bands).map { b =>
@@ -75,19 +75,53 @@ object MinHash {
         .map(i => col(s"mh_$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val buckets = sigs
+    sigs
       .select(col(idCol), explode(array(bandHashes: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val bounded = buckets
+  }
+
+  private def capBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    buckets
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bh"))))
       .filter(col("bucket_n") <= maxBucketSize)
+
+  /** Candidate pairs via banded LSH: signature split into `bands` bands of
+    * `numPerms / bands` rows; documents sharing any band hash are
+    * candidates. */
+  def candidates(
+      sigs: DataFrame, idCol: String, numPerms: Int, bands: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bounded = capBuckets(
+      buckets(sigs, idCol, numPerms, bands), maxBucketSize)
     val a = bounded.select(col(idCol).as("id_a"), col("band"), col("bh"))
     val b = bounded.select(col(idCol).as("id_b"), col("band"), col("bh"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Incremental candidate pairs: only pairs TOUCHING the new batch —
+    * (new × corpus) ∪ (new × new) — via an equi-join of the new batch's
+    * buckets against the persisted corpus bucket index. Corpus × corpus
+    * pairs are never regenerated, and corpus signatures are never
+    * recomputed; the bucket cap applies to the COMBINED population, the
+    * same skew guarantee as the batch path. */
+  def incrementalCandidates(
+      newBuckets: DataFrame, corpusBuckets: DataFrame, idCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bounded = capBuckets(
+      newBuckets.withColumn("is_new", lit(true)).unionByName(
+        corpusBuckets.withColumn("is_new", lit(false))), maxBucketSize)
+    val a = bounded.filter(col("is_new"))
+      .select(col(idCol).as("id_n"), col("band"), col("bh"))
+    val b = bounded.select(col(idCol).as("id_o"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
   }
 
@@ -115,6 +149,37 @@ object MinHash {
     val sigs = signatures(sh, idCol, numPerms)
     val cands = candidates(sigs, idCol, numPerms, bands)
     verify(cands, sh, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental end-to-end: near-dup pairs TOUCHING `newDocs`, against a
+    * corpus whose bucket index ([[buckets]] rows) was built once and
+    * persisted. What gets recomputed per batch, by cost tier:
+    *   - new-batch shingles + signatures: O(batch) — the only text scan
+    *   - candidate join: new buckets vs the index — an equi-join whose
+    *     left side is batch-sized
+    *   - verification shingles: recomputed ONLY for documents that appear
+    *     in some candidate pair (semi-join on the union corpus ∪ batch) —
+    *     candidate-sized, not corpus-sized
+    * This is the 100 TB ingest shape: a daily batch dedups against a
+    * 27B-document corpus without touching the corpus text or signatures.
+    */
+  def incrementalNearDuplicates(
+      newDocs: DataFrame, corpusDocs: DataFrame, corpusBuckets: DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerms: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val newSh = shingles(newDocs, idCol, textCol, shingleLen)
+    val newBuckets = buckets(
+      signatures(newSh, idCol, numPerms), idCol, numPerms, bands)
+    val cands = incrementalCandidates(
+      newBuckets, corpusBuckets, idCol, maxBucketSize)
+    val touched = cands.select(col("id_a").as(idCol))
+      .unionByName(cands.select(col("id_b").as(idCol))).distinct()
+    val candDocs = corpusDocs.unionByName(newDocs)
+      .join(touched, Seq(idCol), "left_semi")
+    verify(cands, shingles(candDocs, idCol, textCol, shingleLen), idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

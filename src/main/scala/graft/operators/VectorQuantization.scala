@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Int8 scalar quantization for embedding columns — the standard memory
+  * lever for large-scale similarity search: a 4-byte float dimension
+  * becomes a 1-byte code (per-vector symmetric scale, 127 levels), so a
+  * candidate scan moves 4× less data and integer dot products replace
+  * float ones. Exact float cosine stays the verification baseline
+  * (q50); quantized scoring is the 100 TB candidate-scan path, re-ranked
+  * exactly on the (tiny) surviving set if needed.
+  *
+  * Everything here is deterministic and engine-portable: the scale is
+  * 127 / max|x_i| (doubles), codes are round-half-away-from-zero (the
+  * rounding both Spark and DuckDB implement), and quantized dots are
+  * exact integer arithmetic — so a quantized ANN result can be
+  * hash-verified across engines, unlike float-accumulation scores.
+  */
+object VectorQuantization {
+
+  /** Add `q8` (int8-range codes; array<int> for arithmetic headroom) and
+    * `qnorm2` (integer squared norm of the codes) for `vecCol`. Zero
+    * vectors quantize to all-zero codes. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df
+      .withColumn("__scale",
+        lit(127.0) / greatest(
+          array_max(transform(col(vecCol), x => abs(x.cast("double")))),
+          lit(1e-30)))
+      .withColumn("q8",
+        transform(col(vecCol),
+          x => round(x.cast("double") * col("__scale")).cast("int")))
+      .withColumn("qnorm2", int8Dot(col("q8"), col("q8")))
+      .drop("__scale")
+
+  /** Exact integer dot product of two code arrays (bigint — 64 dims of
+    * ±127 peaks at ~10^6, but the accumulator stays overflow-proof for
+    * any realistic dimensionality under ANSI mode). */
+  def int8Dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("long") * y.cast("long"))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Quantized cosine: integer dot normalized by the integer code norms.
+    * A ratio of exact integers through IEEE doubles — bit-reproducible
+    * anywhere, unlike a float-accumulated cosine. */
+  def quantizedCosine(dot: Column, qn2a: Column, qn2b: Column): Column =
+    dot.cast("double") / sqrt(qn2a.cast("double") * qn2b.cast("double"))
+}

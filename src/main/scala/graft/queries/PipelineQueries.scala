@@ -301,8 +301,56 @@ object PipelineQueries {
       FROM counts a JOIN counts b ON a.it = b.it AND a.u < b.u
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- q139
+  /** INCREMENTAL MinHash near-dup (MinHash.incrementalNearDuplicates):
+    * the corpus (doc_id < 400) builds its LSH bucket index ONCE and
+    * persists it to parquet; the new batch (doc_id ≥ 400) then dedups
+    * against that index — corpus signatures never recomputed, corpus text
+    * rescanned only for the handful of docs that land in candidate pairs.
+    * This is the daily-ingest shape at 100 TB: batch-sized work against
+    * an arbitrarily large corpus.
+    *
+    * The oracle is q46's brute-force Jaccard restricted to pairs touching
+    * the batch — so the hash verdict proves the incremental path finds
+    * exactly the pairs the full recompute would (on this corpus; same
+    * empirical-gate caveat as q46, same planted-pair recall backing in
+    * DedupSpec). */
+  val q139IncrementalNeardup = Q(
+    "q139_incremental_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q139").toString
+      // one-time index build (amortized across every future batch)
+      MinHash.buckets(
+          MinHash.signatures(
+            MinHash.shingles(corpus, "doc_id", "text", k = 3),
+            "doc_id", numPerms = 32),
+          "doc_id", numPerms = 32, bands = 8)
+        .write.parquet(s"$work/index")
+      MinHash.incrementalNearDuplicates(
+          batch, corpus, s.read.parquet(s"$work/index"),
+          "doc_id", "text", shingleLen = 3, numPerms = 32, bands = 8,
+          threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH $ShinglesSql,
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i / (sa.sz + sb.sz - i) >= 0.3 AND id_b >= 400
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
     q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact,
-    q128FrameSample, q132SimhashCapped)
+    q128FrameSample, q132SimhashCapped, q139IncrementalNeardup)
 }

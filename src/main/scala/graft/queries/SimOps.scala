@@ -250,6 +250,63 @@ object SimOps {
       SELECT qid, rank, vid, round(cos, 6) AS cos_r FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---------------------------------------------------------------- q138
+  /** Int8-quantized ANN ([[graft.operators.VectorQuantization]]): the
+    * candidate scan runs on 4×-smaller integer codes with exact integer
+    * dot products, ranked by the quantized cosine (integer dot over
+    * integer code norms — a ratio of exact integers, so the scores are
+    * bit-reproducible cross-engine and the oracle replays quantization,
+    * dots, and ranking EXACTLY, not within a tolerance). q50 is the
+    * float-exact baseline this approximates; at 100 TB the quantized scan
+    * is the wide pass and float re-ranking runs only on survivors. */
+  val q138AnnQuantized = Q(
+    "q138_ann_quantized",
+    (s, d) => {
+      import graft.operators.VectorQuantization._
+      val q8 = quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("q8"), col("qnorm2"))
+      val queries = q8.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q8").as("qa"),
+          col("qnorm2").as("qn2a"))
+      val cands = q8.select(col("vec_id").as("vid"), col("q8").as("qb"),
+        col("qnorm2").as("qn2b"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("qcos").desc, col("vid"))
+      broadcast(queries).join(cands, col("qid") =!= col("vid"))
+        .withColumn("qdot", int8Dot(col("qa"), col("qb")))
+        .withColumn("qcos",
+          quantizedCosine(col("qdot"), col("qn2a"), col("qn2b")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vid"), col("qdot"),
+          round(col("qcos"), 6).as("qcos_r"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      s AS (SELECT vec_id, v,
+        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+          AS scale FROM e),
+      q AS (SELECT vec_id,
+        list_transform(v, x -> cast(round(x * scale) AS BIGINT)) AS qv
+        FROM s),
+      n AS (SELECT vec_id, qv,
+        cast(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT)
+          AS qn2 FROM q),
+      scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+          cast(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) AS BIGINT)
+            AS qdot,
+          list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+            / sqrt(a.qn2::DOUBLE * b.qn2::DOUBLE) AS qcos
+        FROM n a JOIN n b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT qid, vid, qdot, qcos, row_number() OVER (
+          PARTITION BY qid ORDER BY qcos DESC, vid) AS rank
+        FROM scored)
+      SELECT qid, rank, vid, qdot, round(qcos, 6) AS qcos_r FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
-    q127AnnLsh)
+    q127AnnLsh, q138AnnQuantized)
 }

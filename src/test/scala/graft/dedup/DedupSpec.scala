@@ -138,6 +138,33 @@ class DedupSpec extends SparkSpec {
     docs(originals ++ mutated: _*)
   }
 
+  test("incremental near-dup equals the full recompute restricted to " +
+      "batch-touching pairs, and finds batch-internal pairs") {
+    import spark.implicits._
+    // corpus: base + a far doc; batch: a near-dup of the corpus base AND
+    // an internal near-dup pair within the batch itself
+    val corpus = docs(1L -> baseText, 2L -> farText)
+    val batch = docs(10L -> nearText, 11L -> baseText, 12L -> nearText)
+    val idx = MinHash.buckets(
+      MinHash.signatures(
+        MinHash.shingles(corpus, "doc_id", "text", 3), "doc_id", 32),
+      "doc_id", 32, 8)
+    val inc = MinHash.incrementalNearDuplicates(
+        batch, corpus, idx, "doc_id", "text",
+        shingleLen = 3, numPerms = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = MinHash.nearDuplicates(
+        corpus.unionByName(batch), "doc_id", "text",
+        shingleLen = 3, numPerms = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter(p => p._1 >= 10 || p._2 >= 10).toSet // touching the batch
+    assert(inc == full, s"incremental $inc vs restricted full $full")
+    assert(inc.contains((1L, 11L)), "batch x corpus exact dup found")
+    assert(inc.contains((10L, 12L)), "batch-internal pair found")
+    assert(!inc.exists { case (a, b) => a < 10 && b < 10 },
+      "no corpus x corpus pair is ever regenerated")
+  }
+
   test("differential: LSH pair set equals brute-force all-pairs Jaccard") {
     val d = variedCorpus
     val lsh = MinHash.nearDuplicates(d, "doc_id", "text",
