@@ -351,8 +351,151 @@ object TextOps {
         FROM documents) t
       WHERE sample_rank <= 10 ORDER BY lang, sample_rank"""))
 
+  // ---------------------------------------------------------------- q140
+  /** PII redaction ([[graft.operators.TextRedact]]): synthetic emails,
+    * phone numbers, and IPv4 addresses are injected deterministically per
+    * document, then redacted to typed placeholders. The oracle replays
+    * injection AND redaction with the same patterns (written in the
+    * Java∩RE2 regex subset), so the hash verdict proves the redacted
+    * STRINGS agree byte-for-byte cross-engine — the property that matters
+    * when redaction runs in a polyglot pipeline. */
+  val q140PiiRedact = Q(
+    "q140_pii_redact",
+    (s, d) => {
+      import graft.operators.TextRedact
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@example.com or ("),
+          lpad((col("doc_id") % 800 + 200).cast("string"), 3, "0"),
+          lit(") 123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10.0."), (col("doc_id") % 256), lit(".7")).as("t"))
+      injected.select(col("doc_id"),
+          TextRedact.redactPii(col("t")).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(
+        text || ' contact u' || doc_id || '@example.com or ('
+          || lpad(cast(doc_id % 800 + 200 AS varchar), 3, '0') || ') 123-'
+          || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+          || ' at 10.0.' || (doc_id % 256) || '.7',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q141
+  /** Benchmark decontamination ([[graft.dedup.Decontaminate]]): documents
+    * with doc_id % 97 == 0 play the eval suite; every other document
+    * sharing a verbatim 4-gram with any of them lands on the drop list
+    * with its overlap counts. The eval side is broadcast — the training
+    * corpus is never shuffled, the scale property that makes this runnable
+    * as a routine hygiene pass over 100 TB. */
+  val q141Decontaminate = Q(
+    "q141_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Decontaminate.dropList(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          array_to_string(toks[i:i+3], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(toks) - 3, 0)))
+          AS t(i)
+        WHERE array_to_string(toks[i:i+3], ' ') <> ''),
+      tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+      ev AS (SELECT doc_id AS eval_doc_id, shingle FROM sh
+        WHERE doc_id % 97 = 0),
+      ov AS (SELECT tr.doc_id, eval_doc_id, count(*) AS shared
+        FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+      SELECT doc_id, count(*) AS n_eval_docs,
+        cast(sum(shared) AS bigint) AS total_shared
+      FROM ov GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q142
+  /** Overlapping document chunking — the context-window preprocessing
+    * step: each document splits into 64-token chunks at stride 48 (16
+    * tokens of overlap so no span is ever cut without context). Join-free:
+    * one `transform` over chunk starts + `posexplode`, the q128
+    * frame-sampling shape applied to text. The oracle replays starts,
+    * fenceposts, and the chunk STRINGS themselves. */
+  val q142DocChunks = Q(
+    "q142_doc_chunks",
+    (s, d) => {
+      val C = 64
+      val S = 48
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        .withColumn("n", size(col("toks")))
+      toks.select(col("doc_id"), col("n"),
+          posexplode(transform(
+            sequence(lit(0),
+              floor((greatest(col("n"), lit(1)) - 1) / S).cast("int")),
+            i => concat_ws(" ", slice(col("toks"), i * S + 1, lit(C))))))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          col("col").as("chunk_text"),
+          least(lit(C), col("n") - col("pos") * S).as("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+      n AS (SELECT doc_id, toks, len(toks) AS n FROM toks)
+      SELECT doc_id, i AS chunk_idx,
+        array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text,
+        least(64, n - i * 48) AS chunk_tokens
+      FROM n, unnest(generate_series(0, (greatest(n, 1) - 1) // 48))
+        AS t(i)
+      ORDER BY doc_id, chunk_idx"""))
+
+  // ---------------------------------------------------------------- q143
+  /** Repetition filter (the Gopher-style quality heuristic): fraction of
+    * duplicated 3-grams per document — 1 − distinct/total — flags
+    * boilerplate and degenerate generations. Exact integer counts, ratio
+    * as bigint/bigint division → cross-engine identical. */
+  val q143RepetitionFilter = Q(
+    "q143_repetition_filter",
+    (s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      val n = size(col("toks"))
+      toks.select(col("doc_id"),
+          explode(when(n >= 3, transform(
+              sequence(lit(0), n - 3),
+              i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("gram")).as("distinct_grams"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("distinct_grams") / col("total_grams"))
+        .withColumn("repetitive", col("rep_ratio") > 0.2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, count(*) AS total_grams,
+      count(DISTINCT gram) AS distinct_grams,
+      1.0 - count(DISTINCT gram) / count(*) AS rep_ratio,
+      (1.0 - count(DISTINCT gram) / count(*)) > 0.2 AS repetitive
+      FROM (
+        SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents) t,
+          unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3) g
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q41DedupExact, q42TokenStats, q43QualityScore, q44LangId,
     q45NgramJaccard, q117CorpusPipeline, q118RegexTokens,
-    q136SeqPacking, q137StratifiedSample)
+    q136SeqPacking, q137StratifiedSample, q140PiiRedact, q141Decontaminate,
+    q142DocChunks, q143RepetitionFilter)
 }

@@ -165,6 +165,44 @@ class DedupSpec extends SparkSpec {
       "no corpus x corpus pair is ever regenerated")
   }
 
+  test("decontamination flags planted eval leakage and nothing else") {
+    import spark.implicits._
+    val evalSentence = "the quick brown fox jumps over the lazy dog"
+    val train = docs(
+      1L -> s"intro text $evalSentence closing remark words here",
+      2L -> baseText, // clean
+      3L -> s"another doc with $evalSentence inside it twice somewhere")
+    val eval = docs(100L -> evalSentence)
+    val flagged = Decontaminate.overlaps(
+        train, eval, "doc_id", "text", n = 5)
+      .select("doc_id", "eval_doc_id", "shared_ngrams")
+      .as[(Long, Long, Long)].collect().toSet
+    // the 9-token eval sentence has 5 distinct 5-grams, all present in
+    // docs 1 and 3, none in doc 2
+    assert(flagged == Set((1L, 100L, 5L), (3L, 100L, 5L)))
+    val drop = Decontaminate.dropList(
+        train, eval, "doc_id", "text", n = 5, minShared = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(drop == Set(1L, 3L))
+    intercept[IllegalArgumentException](
+      Decontaminate.overlaps(train, eval, "doc_id", "text", n = 0))
+  }
+
+  test("PII redaction replaces emails, phones, and IPs with placeholders") {
+    import spark.implicits._
+    val out = Seq(
+      (1L, "mail a.b+c@ex-ample.org then (555) 123-4567 via 10.0.0.1 end"),
+      (2L, "clean text with digits 123 and a dot. nothing else"),
+      (3L, "two mails x@y.io z@w.co and 555 123 4567"))
+      .toDF("doc_id", "t")
+      .select(col("doc_id"),
+        graft.operators.TextRedact.redactPii(col("t")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail <EMAIL> then <PHONE> via <IP> end")
+    assert(out(2L) == "clean text with digits 123 and a dot. nothing else")
+    assert(out(3L) == "two mails <EMAIL> <EMAIL> and <PHONE>")
+  }
+
   test("differential: LSH pair set equals brute-force all-pairs Jaccard") {
     val d = variedCorpus
     val lsh = MinHash.nearDuplicates(d, "doc_id", "text",
