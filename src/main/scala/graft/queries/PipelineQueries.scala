@@ -303,8 +303,8 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- q139
   /** INCREMENTAL MinHash near-dup (MinHash.incrementalNearDuplicates):
-    * the corpus (doc_id < 400) builds its LSH bucket index ONCE and
-    * persists it to parquet; the new batch (doc_id ≥ 400) then dedups
+    * the corpus (first 80% of doc ids) builds its LSH bucket index ONCE
+    * and persists it to parquet; the new batch (top 20%) then dedups
     * against that index — corpus signatures never recomputed, corpus text
     * rescanned only for the handful of docs that land in candidate pairs.
     * This is the daily-ingest shape at 100 TB: batch-sized work against
@@ -319,8 +319,13 @@ object PipelineQueries {
     "q139_incremental_neardup",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("doc_id") < 400)
-      val batch = docs.filter(col("doc_id") >= 400)
+      // scale-relative 80/20 split (a fixed id cut would invert the
+      // corpus/batch roles at larger SFs); the cut is a scalar anchor the
+      // oracle recomputes identically
+      val cut = (docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L) *
+        4L / 5L
+      val corpus = docs.filter(col("doc_id") < cut)
+      val batch = docs.filter(col("doc_id") >= cut)
       val work = java.nio.file.Files
         .createTempDirectory("graft-q139").toString
       // one-time index build (amortized across every future batch)
@@ -346,7 +351,8 @@ object PipelineQueries {
       SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS jaccard
       FROM inter JOIN sizes sa ON id_a = sa.doc_id
       JOIN sizes sb ON id_b = sb.doc_id
-      WHERE i / (sa.sz + sb.sz - i) >= 0.3 AND id_b >= 400
+      WHERE i / (sa.sz + sb.sz - i) >= 0.3
+        AND id_b >= (SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)
       ORDER BY id_a, id_b"""))
 
   val all: Seq[Q] = Seq(
