@@ -41,6 +41,15 @@ class ApiSpec extends SparkSpec {
       "popularity.entity", entity = "artist_name"))
     assert(pop.collect().map(r =>
       r.getString(0) -> r.getLong(1)).toMap == Map("A" -> 2L, "B" -> 2L))
+
+    // approx=true routes to the HLL sketch path: same entities, sketch
+    // column instead of the exact distinct (exact at this cardinality)
+    val popApprox = dispatch.handle(dispatch.StatRequest(
+      "popularity.entity", entity = "artist_name", approx = true))
+    assert(popApprox.columns.contains("approx_user_count"))
+    assert(popApprox.collect().map(r =>
+      r.getString(0) -> r.getAs[Long]("approx_user_count")).toMap ==
+      Map("A" -> 2L, "B" -> 2L))
     val sim = dispatch.handle(dispatch.StatRequest(
       "similarity.sessions", entity = "artist_name"))
     val top = sim.collect().head
