@@ -27,7 +27,9 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   */
 object Bucketing {
 
-  private def quoted(table: String): String =
+  /** Backtick-quote a possibly-dotted table name the way saveAsTable
+    * parses it (dots are database separators, each segment quoted). */
+  private[graft] def quoted(table: String): String =
     table.split('.').map(seg => s"`${seg.replace("`", "``")}`").mkString(".")
 
   /** Write `df` as an external parquet table at `path`, bucketed (and
@@ -58,12 +60,27 @@ object Bucketing {
   def isExchangeFree(df: DataFrame): Boolean =
     shuffleExchangeCount(df) == 0
 
-  /** Count of shuffle-exchange nodes in the executed plan (AQE-aware). */
-  def shuffleExchangeCount(df: DataFrame): Int = {
-    val root = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+  /** Count of shuffle-exchange nodes in the executed plan. AQE-aware in
+    * BOTH phases: before execution the adaptive root is unwrapped; after
+    * execution, materialized stages appear as QueryStageExec LEAVES whose
+    * wrapped shuffles `collect` would never see — so the traversal
+    * descends into stage plans explicitly instead of relying on
+    * `children`. */
+  def shuffleExchangeCount(df: DataFrame): Int =
+    countShuffles(df.queryExecution.executedPlan)
+
+  private def countShuffles(
+      p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    val self = p match {
+      case _: ShuffleExchangeLike => 1
+      case _ => 0
     }
-    root.collect { case e: ShuffleExchangeLike => e }.size
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(s.plan)
+      case o => o.children
+    }
+    self + children.map(countShuffles).sum
   }
 }

@@ -177,9 +177,13 @@ object MinHash {
       newBuckets, corpusBuckets, idCol, maxBucketSize)
     val touched = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
-    val candDocs = corpusDocs.unionByName(newDocs)
-      .join(touched, Seq(idCol), "left_semi")
-    verify(cands, shingles(candDocs, idCol, textCol, shingleLen), idCol)
+    // batch shingles are already in hand (newSh) — only candidate-touched
+    // CORPUS docs get re-shingled, keeping the batch text scan single
+    val candSh = shingles(
+        corpusDocs.join(touched, Seq(idCol), "left_semi"),
+        idCol, textCol, shingleLen)
+      .unionByName(newSh.join(touched, Seq(idCol), "left_semi"))
+    verify(cands, candSh, idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -47,11 +47,17 @@ final class ListenStore(spark: SparkSession, root: String) {
     * store, which at 100 TB would be a full scan before every query.
     * Advance-only, like the reference: deletions never lower it. */
   def highWater: Option[(Timestamp, Timestamp)] =
+    metadataRow.map(r => (r._1, r._2))
+
+  /** Full metadata row incl. updated_at — the write stamp advances on
+    * EVERY import (even a backfill whose listens don't move the
+    * high-water), which is what bucketed-projection freshness keys on. */
+  private def metadataRow: Option[(Timestamp, Timestamp, Timestamp)] =
     if (exists(metadataPath)) {
       spark.read.schema(metadataSchema).json(metadataPath)
         .collect().headOption
         .filter(!_.isNullAt(0))
-        .map(r => (r.getTimestamp(0), r.getTimestamp(1)))
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getTimestamp(2)))
     } else None
 
   /** Persist high-water marks computed elsewhere — the self-healing hook
@@ -217,14 +223,19 @@ final class ListenStore(spark: SparkSession, root: String) {
     * once imports advance the store past it. */
   def materializeUserBucketed(
       table: String, path: String, buckets: Int): DataFrame = {
+    // stamp BEFORE reading anything: a deletion appended while the
+    // materializing job runs may or may not be retracted by the scan, so
+    // it must classify the projection stale (mtime >= this stamp)
+    val matStart = new Timestamp(System.currentTimeMillis())
     val df = retractDeleted(baseListens.unionByName(incrementalListens))
     graft.core.Bucketing.writeBucketed(df, path, table, buckets, Seq("user_id"))
     import spark.implicits._
-    val (hwL, hwC) = highWater.getOrElse((new Timestamp(0L), new Timestamp(0L)))
-    Seq((table, path, buckets, df.schema.toDDL, hwL, hwC,
-        new Timestamp(System.currentTimeMillis())))
+    val zero = new Timestamp(0L)
+    val (hwL, hwC, upd) = metadataRow.getOrElse((zero, zero, zero))
+    Seq((table, path, buckets, df.schema.toDDL, hwL, hwC, upd, matStart))
       .toDF("table", "path", "buckets", "schema_ddl",
-        "max_listened_at", "max_created", "materialized_at")
+        "max_listened_at", "max_created", "store_updated_at",
+        "materialized_at")
       .repartition(1).write.mode("overwrite").json(bucketedMetaPath)
     graft.core.Bucketing.read(spark, table)
   }
@@ -242,17 +253,22 @@ final class ListenStore(spark: SparkSession, root: String) {
       org.apache.spark.sql.types.TimestampType),
     org.apache.spark.sql.types.StructField("max_created",
       org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("store_updated_at",
+      org.apache.spark.sql.types.TimestampType),
     org.apache.spark.sql.types.StructField("materialized_at",
       org.apache.spark.sql.types.TimestampType)))
 
   /** The user-bucketed projection, IF one is materialized and still fresh.
-    * Freshness: the store's high-water marks must equal those recorded at
-    * materialization (imports advance them → stale), and no deletion
-    * side-table may have been touched since (deletions are retracted at
-    * materialization time, so later ones invalidate the projection without
-    * moving the advance-only high-water). Dispatch treats None as "use the
-    * normal partitioned read path" — the projection is an accelerator, not
-    * a correctness dependency.
+    * Freshness keys on the FULL metadata row — high-water marks AND the
+    * write stamp, so a backfill import whose listens don't move the
+    * high-water still stales it (every import rewrites updated_at), as do
+    * compaction and full-dump rewrites (writeBase restamps metadata even
+    * when the recomputed marks coincide). Deletion side-tables must not
+    * have been touched at-or-after the materialization START (deletions
+    * are retracted by the materializing scan, so a strictly-earlier mtime
+    * is provably incorporated; anything concurrent classifies stale).
+    * Dispatch treats None as "use the normal partitioned read path" — the
+    * projection is an accelerator, not a correctness dependency.
     *
     * The catalog registration does not survive a new SparkSession; the
     * persisted schema DDL lets this re-register the external bucketed
@@ -263,19 +279,21 @@ final class ListenStore(spark: SparkSession, root: String) {
       val m = spark.read.schema(bucketedMetaSchema).json(bucketedMetaPath)
         .collect()(0)
       val (table, path, buckets) = (m.getString(0), m.getString(1), m.getInt(2))
+      val zero = new Timestamp(0L)
       val fresh =
-        highWater.getOrElse((new Timestamp(0L), new Timestamp(0L))) ==
-          ((m.getTimestamp(4), m.getTimestamp(5))) &&
+        metadataRow.getOrElse((zero, zero, zero)) ==
+          ((m.getTimestamp(4), m.getTimestamp(5), m.getTimestamp(6))) &&
         Seq(deletedPath, deletedHistoryPath).forall { p =>
           !exists(p) || fsFor(p).getFileStatus(
-              new org.apache.hadoop.fs.Path(p)).getModificationTime <=
-            m.getTimestamp(6).getTime
+              new org.apache.hadoop.fs.Path(p)).getModificationTime <
+            m.getTimestamp(7).getTime
         }
       if (!fresh) None
       else {
         if (!spark.catalog.tableExists(table))
           spark.sql(
-            s"""CREATE TABLE `${table.replace("`", "``")}` (${m.getString(3)})
+            s"""CREATE TABLE ${graft.core.Bucketing.quoted(table)}
+               |(${m.getString(3)})
                |USING parquet
                |CLUSTERED BY (user_id) SORTED BY (user_id)
                |INTO $buckets BUCKETS

@@ -98,13 +98,18 @@ object ZstdJniCodec {
       extends CompressionOutputStream(raw) {
     private val z = new com.github.luben.zstd.ZstdOutputStream(raw)
     z.setCloseFrameOnFlush(true)
+    private var zClosed = false
     override def write(b: Int): Unit = z.write(b)
     override def write(b: Array[Byte], off: Int, len: Int): Unit =
       z.write(b, off, len)
-    override def finish(): Unit = z.flush() // closes the frame
+    // CompressionOutputStream.close() calls finish() BEFORE closing the
+    // underlying stream, so finish() must be a no-op once the zstd stream
+    // is closed — flushing a closed ZstdOutputStream throws
+    override def finish(): Unit = if (!zClosed) z.flush() // closes the frame
     override def resetState(): Unit = ()
     override def close(): Unit =
-      try z.close() finally super.close()
+      try { if (!zClosed) { zClosed = true; z.close() } }
+      finally super.close()
   }
 
   /** Pool placeholder — never performs work (streams do), but CodecPool

@@ -44,6 +44,11 @@ object SequencePacking {
       budget: Long, shards: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
+    val reserved = Seq("doc_tokens", "shard", "pack_id", "__start")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"input already has output column(s) ${reserved.mkString(", ")} — " +
+        "rename them before packing (silent overwrite corrupts pipelines)")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     docs
       .withColumn("doc_tokens", tokens.cast("long"))

@@ -29,6 +29,8 @@ object StratifiedSample {
   def exactPerStratum(
       df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("sample_rank"),
+      "input already has a sample_rank column — rename it before sampling")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
     df.withColumn("sample_rank", row_number().over(w))
@@ -43,6 +45,10 @@ object StratifiedSample {
       budgets: Map[String, Int]): DataFrame = {
     require(budgets.nonEmpty, "budgets must not be empty")
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val reserved = Seq("sample_rank", "__budget").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input already has output column(s) ${reserved.mkString(", ")} — " +
+        "rename them before sampling")
     val spark = df.sparkSession
     import spark.implicits._
     val b = broadcast(budgets.toSeq.toDF(stratumCol, "__budget"))

@@ -22,7 +22,11 @@ object VectorQuantization {
   /** Add `q8` (int8-range codes; array<int> for arithmetic headroom) and
     * `qnorm2` (integer squared norm of the codes) for `vecCol`. Zero
     * vectors quantize to all-zero codes. */
-  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val reserved = Seq("q8", "qnorm2", "__scale").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input already has output column(s) ${reserved.mkString(", ")} — " +
+        "rename them before quantizing")
     df
       .withColumn("__scale",
         lit(127.0) / greatest(
@@ -33,6 +37,7 @@ object VectorQuantization {
           x => round(x.cast("double") * col("__scale")).cast("int")))
       .withColumn("qnorm2", int8Dot(col("q8"), col("q8")))
       .drop("__scale")
+  }
 
   /** Exact integer dot product of two code arrays (bigint — 64 dims of
     * ±127 peaks at ~10^6, but the accumulator stays overflow-proof for

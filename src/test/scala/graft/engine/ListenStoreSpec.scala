@@ -118,4 +118,45 @@ class ListenStoreSpec extends SparkSpec {
       Map(1 -> 1L, 2 -> 2L), "projection = retracted base ∪ incremental")
     spark.sql("DROP TABLE IF EXISTS bkt_store_listens")
   }
+
+  test("projection freshness: backfills, deletions, and compaction all " +
+      "stale it; re-materializing after compact re-freshens") {
+    val store = new graft.engine.ListenStore(spark, tmpDir("bkt-fresh"))
+    store.writeBase(listensDf(Seq(
+      listen(1, "A", "2024-06-01 10:00:00"),
+      listen(2, "B", "2024-06-02 10:00:00"))))
+    store.materializeUserBucketed(
+      "bkt_fresh_listens", tmpDir("bkt-fresh-proj"), buckets = 2)
+    assert(store.userBucketed.isDefined)
+
+    // a BACKFILL import: listened_at AND created both before the stored
+    // high-water, so the (maxListened, maxCreated) pair does not move —
+    // the updated_at stamp is what must stale the projection
+    store.appendIncremental(listensDf(Seq(
+      listen(1, "Old", "2023-01-01 10:00:00",
+        created = "2023-01-02 00:00:00"))))
+    assert(store.userBucketed.isEmpty,
+      "backfill that moves no high-water mark must still stale")
+
+    store.materializeUserBucketed(
+      "bkt_fresh_listens", tmpDir("bkt-fresh-proj2"), buckets = 2)
+    assert(store.userBucketed.isDefined)
+
+    // deletion → stale (mtime); compaction folds it in, restamps metadata
+    // → STILL stale even though the deletion side-tables are now gone
+    store.appendDeleted(listensDf(Seq(
+      listen(2, "B", "2024-06-02 10:00:00"))))
+    assert(store.userBucketed.isEmpty, "deletion stales the projection")
+    store.compact()
+    assert(store.userBucketed.isEmpty,
+      "compaction must not resurrect a projection built before a deletion")
+
+    // after re-materializing, the deleted listen is really gone
+    val proj = store.materializeUserBucketed(
+      "bkt_fresh_listens", tmpDir("bkt-fresh-proj3"), buckets = 2)
+    assert(store.userBucketed.isDefined)
+    assert(proj.filter(col("artist_name") === "B").count() == 0 &&
+      proj.count() == 2, "re-materialized projection excludes the deletion")
+    spark.sql("DROP TABLE IF EXISTS bkt_fresh_listens")
+  }
 }

@@ -182,6 +182,24 @@ class IngestSpec extends SparkSpec {
       Seq("m1", "m2"))
   }
 
+  test("ZstdJniCodec write path: Spark text write through the codec " +
+      "round-trips") {
+    import spark.implicits._
+    ZstdJniCodec.install(spark)
+    val dir = tmpDir("zst-write") + "/out"
+    val lines = (1 to 50).map(i => s"line-$i")
+    // CompressionOutputStream.close() calls finish() after the zstd
+    // stream is closed — this write fails unless finish() is idempotent
+    lines.toDF("value").coalesce(1).write
+      .option("compression", classOf[ZstdJniCodec].getName)
+      .text(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".zst"))
+    assert(files.nonEmpty, "codec write produced .zst files")
+    val back = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(back.toSeq == lines.sorted, "compressed write round-trips")
+  }
+
   test("globScan reads only matching chunk files") {
     val dir = tmpDir("glob-src")
     import spark.implicits._
