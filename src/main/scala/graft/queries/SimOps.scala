@@ -307,6 +307,82 @@ object SimOps {
       SELECT qid, rank, vid, qdot, round(qcos, 6) AS qcos_r FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---------------------------------------------------------------- q144
+  /** The composed 100 TB ANN shape: LSH bucketing (q127's signed random
+    * projections) bounds the CANDIDATE SET, int8 quantization (q138's
+    * codes) shrinks what the candidate scan READS — per-bucket scoring on
+    * integer dots over 4×-smaller vectors. Both layers are deterministic,
+    * so the oracle replays buckets, codes, dots, and ranking exactly. */
+  val q144AnnLshQuantized = Q(
+    "q144_ann_lsh_quantized",
+    (s, d) => {
+      GraftFunctions.register(s)
+      import graft.operators.VectorQuantization._
+      val e = Tables.embeddings(s, d)
+      val planes = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select((col("vec_id") - 16).as("pid"), col("embedding").as("pv"))
+      val buckets = e.crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          when(GraftFunctions.vecDot(col("embedding"), col("pv")) > 0,
+            expr("shiftleft(1L, cast(pid as int))")).otherwise(0L).as("bit"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("bit")).as("bucket"))
+      val assigned = quantizeInt8(e, "embedding")
+        .select(col("vec_id"), col("q8"), col("qnorm2"))
+        .join(buckets, Seq("vec_id"))
+      val queries = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q8").as("qa"),
+          col("qnorm2").as("qn2a"), col("bucket"))
+      val cands = assigned.select(col("vec_id").as("vid"),
+        col("q8").as("qb"), col("qnorm2").as("qn2b"), col("bucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("qcos").desc, col("vid"))
+      queries.join(cands, Seq("bucket"))
+        .filter(col("qid") =!= col("vid"))
+        .withColumn("qdot", int8Dot(col("qa"), col("qb")))
+        .withColumn("qcos",
+          quantizedCosine(col("qdot"), col("qn2a"), col("qn2b")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vid"), col("qdot"),
+          round(col("qcos"), 6).as("qcos_r"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      planes AS (
+        SELECT vec_id - 16 AS pid, v AS pv FROM e
+        WHERE vec_id >= 16 AND vec_id < 24),
+      buckets AS (
+        SELECT e.vec_id, sum(CASE
+            WHEN list_dot_product(e.v, p.pv) > 0
+            THEN cast(1 << p.pid AS bigint) ELSE 0 END) AS bucket
+        FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+      s AS (SELECT vec_id, v,
+        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+          AS scale FROM e),
+      q AS (SELECT vec_id,
+        list_transform(v, x -> cast(round(x * scale) AS BIGINT)) AS qv
+        FROM s),
+      n AS (SELECT q.vec_id, qv,
+        cast(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT)
+          AS qn2, b.bucket
+        FROM q JOIN buckets b ON q.vec_id = b.vec_id),
+      scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+          cast(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) AS BIGINT)
+            AS qdot,
+          list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+            / sqrt(a.qn2::DOUBLE * b.qn2::DOUBLE) AS qcos
+        FROM n a JOIN n b ON a.bucket = b.bucket
+        WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT qid, vid, qdot, qcos, row_number() OVER (
+          PARTITION BY qid ORDER BY qcos DESC, vid) AS rank
+        FROM scored)
+      SELECT qid, rank, vid, qdot, round(qcos, 6) AS qcos_r FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
-    q127AnnLsh, q138AnnQuantized)
+    q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized)
 }
