@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup detection (MinHash / SimHash /
+  * embedding cosine) emits PAIRS, but a dedup pass over a corpus needs
+  * CLUSTERS — the transitive closure of the pair relation — plus one
+  * canonical keeper per cluster (reference keeps one row per duplicate
+  * group, e.g. the dedup step in listenbrainz_spark's incremental listen
+  * import; the graph-closure form is the standard corpus-dedup shape).
+  *
+  * Connected components by iterative min-label propagation:
+  * every node starts labeled with its own id; each round, every node
+  * takes the min label over itself and its neighbors; fixpoint = each
+  * node holds the min id of its component. Per round the plan is one
+  * shuffle join (edges × labels) plus one hash aggregation — both keyed
+  * on node id, so AQE coalesces them onto the same partitioning — and
+  * `localCheckpoint` truncates lineage so the plan stays O(1) across
+  * rounds instead of growing exponentially (the classic iterative-Spark
+  * trap; on a real cluster use `spark.sparkContext.setCheckpointDir` +
+  * reliable checkpoints instead of local ones).
+  *
+  * Rounds needed = component diameter. Near-dup clusters are shallow
+  * (near-cliques of boilerplate variants), so this converges in 2–4
+  * rounds on real corpora; for adversarially long chains the
+  * large-star/small-star algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", 2014) gives O(log² n) rounds —
+  * the same join/agg primitives, so it drops in here if a corpus ever
+  * needs it. Convergence detection reads ONE scalar per round
+  * (`limit(1).count`) — no data is collected to the driver.
+  */
+object Clusters {
+
+  /** (id, component) for every node appearing in `edges`, where
+    * `component` is the minimum node id of the node's connected
+    * component. Orientation of the input pairs does not matter. */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neigh = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(neigh)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.comp") < col("o.comp"))
+        .limit(1).count()
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the bound; raise maxIter or switch " +
+        "to the large-star/small-star variant")
+    labels
+  }
+
+  /** Per-document cluster assignment over a full corpus: every doc gets
+    * its component id (its own id when it is in no near-dup pair), the
+    * cluster size, and a keeper flag (the minimum id of each cluster is
+    * canonical). `docs` must contain `idCol`; `pairs` is any near-dup
+    * pair frame (id_a, id_b). */
+  def assign(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol, maxIter)
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+      .withColumn("cluster_size",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+      .withColumn("is_keeper", col(idCol) === col("component"))
+  }
+
+  /** The dedup pass itself: keep one row per cluster (the minimum-id
+    * member) plus every unpaired row — the corpus that ships to
+    * training. */
+  def keepCanonical(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val keepers = assign(docs, idCol, pairs, idACol, idBCol, maxIter)
+      .filter(col("is_keeper")).select(col(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+}

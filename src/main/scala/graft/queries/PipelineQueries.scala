@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.dedup.{MinHash, SimHash}
+import graft.dedup.{Clusters, MinHash, SimHash}
 import graft.multimodal.Media
 import graft.recs.Als
 import graft.similarity.UserCosine
@@ -355,8 +355,53 @@ object PipelineQueries {
         AND id_b >= (SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)
       ORDER BY id_a, id_b"""))
 
+  // ---------------------------------------------------------------- q145
+  /** Duplicate-CLUSTER resolution (Clusters.assign): q47's SimHash pairs
+    * closed under transitivity into components, every document assigned
+    * its cluster id (min member id), cluster size, and keeper flag — the
+    * step that turns pair detection into an actual dedup pass. The Spark
+    * side iterates distributed min-label propagation to a fixpoint; the
+    * oracle computes the same closure with a recursive CTE, so a hash
+    * match verifies the iteration's fixpoint against a from-first-
+    * principles transitive closure — two entirely different algorithms
+    * agreeing on every assignment. */
+  val q145DupClusters = Q(
+    "q145_dup_clusters",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val pairs = SimHash.nearDuplicates(
+        docs, "doc_id", "text", maxHamming = 4,
+        tokenHash = graft.functions.GraftFunctions.polyHash62,
+        totalBits = 62, hashDistinct = true)
+      Clusters.assign(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $PolyFingerprintSql,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+      edges AS (
+        SELECT id_a AS s, id_b AS t FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(s, t) AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+      comp AS (
+        SELECT d.doc_id,
+          least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+        GROUP BY d.doc_id)
+      SELECT doc_id, component,
+        count(*) OVER (PARTITION BY component) AS cluster_size,
+        (doc_id = component) AS is_keeper
+      FROM comp ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
     q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact,
-    q128FrameSample, q132SimhashCapped, q139IncrementalNeardup)
+    q128FrameSample, q132SimhashCapped, q139IncrementalNeardup,
+    q145DupClusters)
 }

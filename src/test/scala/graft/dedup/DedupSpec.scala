@@ -260,6 +260,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("Clusters: chains close transitively, singletons stay alone") {
+    import spark.implicits._
+    // 1-2, 2-3 chain (1~3 only via transitivity); 5-6 island; 9 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = (1L to 9L).toDF("doc_id")
+    val got = Clusters.assign(docs, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(1L) == ((1L, 3L, true)) && got(2L) == ((1L, 3L, false)) &&
+      got(3L) == ((1L, 3L, false)), s"chain: $got")
+    assert(got(5L) == ((5L, 2L, true)) && got(6L) == ((5L, 2L, false)))
+    assert(got(9L) == ((9L, 1L, true)))
+    // reversed orientation must give the same components
+    val rev = Seq((2L, 1L), (3L, 2L), (6L, 5L)).toDF("id_a", "id_b")
+    val got2 = Clusters.assign(docs, "doc_id", rev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(i => got2(i) == got(i)._1))
+  }
+
+  test("Clusters: randomized graph matches in-test union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val got = Clusters.assign(
+        (0L until n.toLong).toDF("doc_id"), "doc_id",
+        edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // keepCanonical keeps exactly one row per component
+    val kept = Clusters.keepCanonical(
+        (0L until n.toLong).toDF("doc_id"), "doc_id",
+        edges.toDF("id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == want.values.toSet)
+  }
+
   test("polyHash62 votes match xxhash64 pipeline shape and are stable") {
     val d = docs(1L -> baseText, 2L -> baseText, 3L -> farText)
     val fps = SimHash.fingerprints(d, "doc_id", "text",
