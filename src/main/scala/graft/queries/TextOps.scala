@@ -493,9 +493,76 @@ object TextOps {
         WHERE len(toks) >= 3) g
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q146
+  /** Leakage-safe train/val/test split ([[graft.operators.DataSplit]]):
+    * documents are dealt 80/10/10 by hashing their SOURCE, so every doc
+    * from one origin lands in the same split — the guard against eval
+    * leakage through near-identical rows from one domain. The oracle
+    * replays the md5 bucket ranges per row, so the hash verdict pins
+    * every single assignment, and the spec pins the leakage property. */
+  val q146LeakageSafeSplit = Q(
+    "q146_leakage_safe_split",
+    (s, d) => graft.operators.DataSplit.assign(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "source", salt = "graft-r5", trainFrac = 0.8, valFrac = 0.1)
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source,
+        CASE WHEN h < 'cd' THEN 'train'
+             WHEN h < 'e6' THEN 'val'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+          substr(md5(source || ':' || 'graft-r5'), 1, 2) AS h
+        FROM documents) t
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q147
+  /** Per-group quantile threshold calibration
+    * ([[graft.operators.QuantileFloor]]): each language's p10 token count
+    * becomes its floor, and the corpus is filtered against it — the
+    * "drop the shortest 10% per language" two-pass recipe. Pass 1 is a
+    * rank window per group; pass 2 broadcasts the per-group thresholds,
+    * so the corpus is never shuffled. The oracle replays the discrete
+    * percentile (value at row ceil(q·n)) and both counts exactly; the
+    * percentile_approx sketch path is spec-bounded against this exact
+    * one. */
+  val q147QuantileFloor = Q(
+    "q147_quantile_floor",
+    (s, d) => {
+      import graft.operators.QuantileFloor
+      val stats = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      val thr = QuantileFloor.thresholds(stats, "lang", "n_tokens",
+        "doc_id", q = 0.1)
+      val kept = QuantileFloor.applyFloor(stats, thr, "lang", "n_tokens")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      stats.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(thr, Seq("lang")).join(kept, Seq("lang"))
+        .select(col("lang"), col("threshold"), col("n_total"), col("n_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, lang,
+          cast(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS bigint) AS n_tokens
+        FROM documents),
+      r AS (SELECT lang, doc_id, n_tokens,
+          row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id)
+            AS rn,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM t),
+      thr AS (SELECT lang, n_tokens AS threshold FROM r
+        WHERE rn = ceil(0.1 * n))
+      SELECT t.lang, threshold, count(*) AS n_total,
+        cast(sum(CASE WHEN n_tokens >= threshold THEN 1 ELSE 0 END)
+          AS bigint) AS n_kept
+      FROM t JOIN thr ON t.lang = thr.lang
+      GROUP BY t.lang, threshold ORDER BY t.lang"""))
+
   val all: Seq[Q] = Seq(
     q41DedupExact, q42TokenStats, q43QualityScore, q44LangId,
     q45NgramJaccard, q117CorpusPipeline, q118RegexTokens,
     q136SeqPacking, q137StratifiedSample, q140PiiRedact, q141Decontaminate,
-    q142DocChunks, q143RepetitionFilter)
+    q142DocChunks, q143RepetitionFilter, q146LeakageSafeSplit,
+    q147QuantileFloor)
 }

@@ -81,4 +81,63 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       StratifiedSample.budgeted(docs, "lang", "doc_id", Map("en" -> -1)))
   }
+
+  test("data split: leakage-safe by key, stable, fractions near target") {
+    import spark.implicits._
+    import graft.operators.DataSplit
+    // 5 rows per key: leakage-safety means one split per key
+    val rows = (0L until 2000L).map(i => (i, s"domain${i / 5}"))
+      .toDF("doc_id", "source")
+    val out = DataSplit.assign(rows, "source", salt = "s1")
+    val perKey = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1)
+    assert(perKey.count() == 0, "every key maps to exactly one split")
+    // fractions over 400 keys: binomial around 80/10/10
+    val frac = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap.view.mapValues(_ / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.06, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.06, s"test ${frac("test")}")
+    // stability under growth: a key's split never changes when the
+    // corpus around it changes (pure function of key+salt)
+    val sub = DataSplit.assign(rows.limit(100), "source", salt = "s1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = out.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, sp) => full(id) == sp })
+    // a different salt re-deals
+    val other = DataSplit.assign(rows, "source", salt = "s2")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(full.exists { case (id, sp) => other(id) != sp })
+    intercept[IllegalArgumentException](
+      DataSplit.assign(rows, "source", "s", trainFrac = 0.999,
+        valFrac = 0.0005))
+    intercept[IllegalArgumentException](
+      DataSplit.assign(out, "source", "s"))
+  }
+
+  test("quantile floor: exact discrete percentile, approx within bound") {
+    import spark.implicits._
+    import graft.operators.QuantileFloor
+    // group g: scores 1..100 → p10 = value at row ceil(0.1*100)=10 → 10
+    val df = (1L to 100L).map(i => ("g", i, i))
+      .toDF("grp", "score", "id")
+      .unionByName((1L to 7L).map(i => ("h", i * 2, i))
+        .toDF("grp", "score", "id"))
+    val thr = QuantileFloor.thresholds(df, "grp", "score", "id", q = 0.1)
+      .as[(String, Long)].collect().toMap
+    // h: 7 rows → ceil(0.7)=1st value = 2
+    assert(thr == Map("g" -> 10L, "h" -> 2L))
+    val kept = QuantileFloor.applyFloor(df,
+      QuantileFloor.thresholds(df, "grp", "score", "id", q = 0.1),
+      "grp", "score")
+    assert(kept.filter(col("grp") === "g").count() == 91)
+    // sketch path lands within a tight rank bound of the exact one
+    val approx = QuantileFloor.approxThresholds(df, "grp", "score", q = 0.1)
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(approx("g") - 10L) <= 2 && math.abs(approx("h") - 2L) <= 2,
+      s"approx $approx")
+    intercept[IllegalArgumentException](
+      QuantileFloor.thresholds(df, "grp", "score", "id", q = 1.5))
+  }
 }
