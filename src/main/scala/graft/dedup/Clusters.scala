@@ -38,8 +38,13 @@ object Clusters {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    // materialize the symmetrized edge set ONCE: `edges` is typically an
+    // expensive subtree (a near-dup pipeline), and the loop below would
+    // otherwise re-execute it every round for the join AND the
+    // convergence probe
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
