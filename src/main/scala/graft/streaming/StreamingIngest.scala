@@ -62,4 +62,21 @@ object StreamingIngest {
       .foreachBatch(appendBatch(store, s"$checkpointDir/graft-committed") _)
       .trigger(trigger)
       .start()
+
+  /** Source-level dedup for at-least-once upstreams (a queue redelivering
+    * a listen is a different failure than a replayed micro-batch, which
+    * the marker ledger above already absorbs): drop rows whose identity
+    * columns repeat within the watermark horizon. State is keyed on
+    * `idCols` only and expires with the watermark, so it is bounded by
+    * the duplicate-arrival window — never by history — which is what
+    * makes it runnable forever. Duplicates arriving later than the
+    * watermark are left for the batch-side exact dedup (q41's shape) at
+    * compaction time; same layered guarantee as the reference's
+    * listen-import dedup on (user, ts, track). */
+  def dedupWithinWatermark(
+      listens: DataFrame, tsCol: String, watermark: String,
+      idCols: Seq[String]): DataFrame =
+    listens
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
 }

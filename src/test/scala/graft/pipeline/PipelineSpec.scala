@@ -266,4 +266,39 @@ class PipelineSpec extends SparkSpec {
     graft.streaming.StreamingIngest.appendBatch(store, markers)(chunk, 8L)
     assert(store.incrementalListens.count() == 2)
   }
+
+  test("streaming source dedup drops redelivered rows within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val in = MemoryStream[(Int, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingIngest.dedupWithinWatermark(
+      in.toDS().toDF("user_id", "ts", "entity"),
+      "ts", watermark = "10 minutes", idCols = Seq("user_id", "ts", "entity"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+
+    // batch 1: a row plus its same-batch duplicate
+    in.addData((1, ts("2024-01-01 10:00:00"), "A"),
+      (1, ts("2024-01-01 10:00:00"), "A"),
+      (2, ts("2024-01-01 10:01:00"), "B"))
+    q.processAllAvailable()
+    // batch 2: cross-batch redelivery of user 1's row (within the
+    // watermark) plus one genuinely new row
+    in.addData((1, ts("2024-01-01 10:00:00"), "A"),
+      (3, ts("2024-01-01 10:02:00"), "C"))
+    q.processAllAvailable()
+
+    val rows = spark.table("dedup_out")
+      .as[(Int, java.sql.Timestamp, String)].collect().toSeq
+    assert(rows.size == 3, s"redeliveries dropped: $rows")
+    assert(rows.map(_._1).sorted == Seq(1, 2, 3))
+    // a row differing in ANY identity column is not a duplicate
+    in.addData((1, ts("2024-01-01 10:00:00"), "A2"))
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").count() == 4)
+    q.stop()
+  }
 }
