@@ -28,4 +28,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"un-broadcast cartesian plans (quadratic shuffle at scale): $offenders")
   }
+
+  test("split assignment is a pure projection; quantile floor never shuffles the corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.core.Bucketing
+    // q146's operator: no exchange at all before the caller's sink — the
+    // assignment must fuse into the scan at 100 TB
+    val assigned = graft.operators.DataSplit.assign(
+      graft.core.Tables.documents(spark, sf("")).select(col("doc_id"),
+        col("source")), "source", salt = "s")
+    assert(Bucketing.isExchangeFree(assigned),
+      "split assignment must not shuffle")
+    // q147's filter pass: thresholds broadcast, so the only shuffles are
+    // pass 1's per-GROUP stats (grouping key, not corpus rows)
+    val stats = graft.core.Tables.documents(spark, sf(""))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val floored = graft.operators.QuantileFloor.applyFloor(stats,
+      graft.operators.QuantileFloor.thresholds(
+        stats, "lang", "n_tokens", "doc_id", 0.1),
+      "lang", "n_tokens")
+    val plan = floored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold join must broadcast:\n$plan")
+  }
 }
