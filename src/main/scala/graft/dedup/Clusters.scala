@@ -103,4 +103,30 @@ object Clusters {
       .filter(col("is_keeper")).select(col(idCol))
     docs.join(keepers, Seq(idCol), "left_semi")
   }
+
+  /** Quality-ranked variant of [[keepCanonical]]: per cluster, keep the
+    * member with the HIGHEST `scoreCol` (id ascending as the
+    * deterministic tiebreak) — the curation policy when duplicates
+    * differ in quality (longest extraction, least boilerplate). One
+    * extra rank window over the clustered rows; unpaired rows keep
+    * themselves untouched, so the window only ever sees the near-dup
+    * subset, not the corpus. */
+  def keepBest(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol, maxIter)
+      .withColumnRenamed("id", idCol)
+    val clustered = docs.join(cc, Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val best = clustered
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol))
+    val unpaired = docs.join(cc.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol))
+    docs.join(best.unionByName(unpaired), Seq(idCol), "left_semi")
+  }
 }

@@ -305,6 +305,16 @@ class DedupSpec extends SparkSpec {
         edges.toDF("id_a", "id_b"))
       .collect().map(_.getLong(0)).toSet
     assert(kept == want.values.toSet)
+    // keepBest keeps the HIGHEST-scoring member per component (score =
+    // doc_id here, so the max id replaces the min id for every
+    // multi-member cluster) and exactly one row per component overall
+    val bestWant = (0 until n).groupBy(i => want(i.toLong))
+      .values.map(_.max.toLong).toSet
+    val best = Clusters.keepBest(
+        (0L until n.toLong).map(i => (i, i)).toDF("doc_id", "score"),
+        "doc_id", "score", edges.toDF("id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(best == bestWant)
   }
 
   test("polyHash62 votes match xxhash64 pipeline shape and are stable") {
