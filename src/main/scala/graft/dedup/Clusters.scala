@@ -1,6 +1,7 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: near-dup detection (MinHash / SimHash /
@@ -32,12 +33,20 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  private def requireFree(df: DataFrame, who: String, names: String*): Unit =
+    names.foreach(n => require(!df.columns.contains(n),
+      s"$who writes a `$n` column — rename the input's existing `$n` first"))
+
   /** (id, component) for every node appearing in `edges`, where
     * `component` is the minimum node id of the node's connected
-    * component. Orientation of the input pairs does not matter. */
+    * component. Orientation of the input pairs does not matter.
+    * `maxIter` bounds label-UPDATE rounds (≥ component diameter);
+    * certifying the fixpoint costs one additional zero-change round on
+    * top. */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     // materialize the symmetrized edge set ONCE: `edges` is typically an
     // expensive subtree (a near-dup pipeline), and the loop below would
     // otherwise re-execute it every round for the join AND the
@@ -50,7 +59,9 @@ object Clusters {
       .localCheckpoint()
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    // `<=`: the final certification round performs no update, so maxIter
+    // genuinely bounds the update rounds, not updates-plus-certification
+    while (iter <= maxIter && !converged) {
       val neigh = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
       val next = labels.union(neigh)
@@ -75,11 +86,16 @@ object Clusters {
     * its component id (its own id when it is in no near-dup pair), the
     * cluster size, and a keeper flag (the minimum id of each cluster is
     * canonical). `docs` must contain `idCol`; `pairs` is any near-dup
-    * pair frame (id_a, id_b). */
+    * pair frame (id_a, id_b) whose ids come from `docs` — when pairs may
+    * reference ids OUTSIDE docs (a batch deduped against a wider corpus,
+    * q139-style), `is_keeper` can be false for every present member; use
+    * [[keepCanonical]]/[[keepBest]], which rank among present members
+    * only. */
   def assign(
       docs: DataFrame, idCol: String,
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
       maxIter: Int = 25): DataFrame = {
+    requireFree(docs, "assign", "component", "cluster_size", "is_keeper")
     val cc = connectedComponents(pairs, idACol, idBCol, maxIter)
       .withColumnRenamed("id", idCol)
     docs.select(col(idCol))
@@ -87,46 +103,51 @@ object Clusters {
       .withColumn("component", coalesce(col("comp"), col(idCol)))
       .drop("comp")
       .withColumn("cluster_size",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+        count(lit(1)).over(Window.partitionBy(col("component"))))
       .withColumn("is_keeper", col(idCol) === col("component"))
   }
 
-  /** The dedup pass itself: keep one row per cluster (the minimum-id
-    * member) plus every unpaired row — the corpus that ships to
-    * training. */
-  def keepCanonical(
-      docs: DataFrame, idCol: String,
-      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
-    val keepers = assign(docs, idCol, pairs, idACol, idBCol, maxIter)
-      .filter(col("is_keeper")).select(col(idCol))
-    docs.join(keepers, Seq(idCol), "left_semi")
-  }
-
-  /** Quality-ranked variant of [[keepCanonical]]: per cluster, keep the
-    * member with the HIGHEST `scoreCol` (id ascending as the
-    * deterministic tiebreak) — the curation policy when duplicates
-    * differ in quality (longest extraction, least boilerplate). One
-    * extra rank window over the clustered rows; unpaired rows keep
-    * themselves untouched, so the window only ever sees the near-dup
-    * subset, not the corpus. */
-  def keepBest(
-      docs: DataFrame, idCol: String, scoreCol: String,
-      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+  /** Shared keep-one-per-cluster pass: rank each component's PRESENT
+    * members by `order`, keep rank 1, pass unpaired rows through — so a
+    * cluster whose top-ranked graph member is absent from `docs` (pairs
+    * computed over a wider set) still keeps exactly one representative
+    * instead of silently losing the whole cluster. The rank window only
+    * ever sees the near-dup subset, never the corpus. */
+  private def keepRanked(
+      docs: DataFrame, idCol: String, order: Seq[Column],
+      pairs: DataFrame, idACol: String, idBCol: String,
+      maxIter: Int): DataFrame = {
+    requireFree(docs, "cluster dedup", "comp", "rn")
     val cc = connectedComponents(pairs, idACol, idBCol, maxIter)
       .withColumnRenamed("id", idCol)
     val clustered = docs.join(cc, Seq(idCol))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("comp"))
-      .orderBy(col(scoreCol).desc, col(idCol))
     val best = clustered
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("comp")).orderBy(order: _*)))
       .filter(col("rn") === 1)
       .select(col(idCol))
     val unpaired = docs.join(cc.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol))
     docs.join(best.unionByName(unpaired), Seq(idCol), "left_semi")
   }
+
+  /** The dedup pass itself: keep one row per cluster (the minimum-id
+    * PRESENT member) plus every unpaired row — the corpus that ships to
+    * training. */
+  def keepCanonical(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
+      maxIter: Int = 25): DataFrame =
+    keepRanked(docs, idCol, Seq(col(idCol)), pairs, idACol, idBCol, maxIter)
+
+  /** Quality-ranked variant of [[keepCanonical]]: per cluster, keep the
+    * member with the HIGHEST `scoreCol` (id ascending as the
+    * deterministic tiebreak) — the curation policy when duplicates
+    * differ in quality (longest extraction, least boilerplate). */
+  def keepBest(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
+      maxIter: Int = 25): DataFrame =
+    keepRanked(docs, idCol, Seq(col(scoreCol).desc, col(idCol)),
+      pairs, idACol, idBCol, maxIter)
 }

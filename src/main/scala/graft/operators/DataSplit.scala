@@ -24,7 +24,10 @@ object DataSplit {
 
   /** Adds a `split` column ("train" | "val" | "test") keyed on `keyCol`.
     * `trainFrac`/`valFrac` snap to 1/256 resolution; the remainder is
-    * test. Changing `salt` re-deals every key. */
+    * test. `valFrac = 0` gives a two-way train/test split. Changing
+    * `salt` re-deals every key. NULL keys land in "test" (null
+    * propagates through the hash, identical to the `key || ':' || salt`
+    * SQL form — never silently hashed as salt-alone). */
   def assign(
       df: DataFrame, keyCol: String, salt: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
@@ -34,7 +37,7 @@ object DataSplit {
       "input already has a split column — rename it before splitting")
     val cut1 = math.round(256 * trainFrac).toInt
     val cut2 = math.round(256 * (trainFrac + valFrac)).toInt
-    require(cut1 >= 1 && cut2 > cut1 && cut2 < 256,
+    require(cut1 >= 1 && cut2 >= cut1 && cut2 < 256,
       s"fractions too small for 1/256 resolution: cuts $cut1/$cut2")
     df.withColumn("split", splitExpr(col(keyCol), salt, cut1, cut2))
   }
@@ -42,10 +45,13 @@ object DataSplit {
   /** The assignment expression itself (for fusing into a wider select):
     * bucket = first byte of md5(key:salt), ranges [0,cut1) train,
     * [cut1,cut2) val, [cut2,256) test. The comparison is lexicographic
-    * on the two-hex-char prefix, which equals the numeric byte order. */
+    * on the two-hex-char prefix, which equals the numeric byte order.
+    * `concat` (not concat_ws) so a NULL key yields a NULL hash and both
+    * WHEN branches fall through to "test" — the same result the SQL
+    * `||` form produces. */
   def splitExpr(key: Column, salt: String, cut1: Int, cut2: Int): Column = {
     val h = substring(
-      md5(concat_ws(":", key.cast("string"), lit(salt)).cast("binary")), 1, 2)
+      md5(concat(key.cast("string"), lit(":" + salt)).cast("binary")), 1, 2)
     when(h < lit(f"$cut1%02x"), "train")
       .when(h < lit(f"$cut2%02x"), "val")
       .otherwise("test")

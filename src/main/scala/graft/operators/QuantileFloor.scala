@@ -11,31 +11,39 @@ import org.apache.spark.sql.functions._
   * group, so the second pass is a broadcast join — the corpus itself is
   * scanned, never shuffled.
   *
-  * The exact path uses a rank window (value at row ceil(q·n), the
-  * discrete percentile — deterministic, tie-stable, cross-engine
-  * replayable); pass 1 does shuffle on the group key, which is fine
-  * while groups are few (languages, sources). When even pass 1 must not
-  * shuffle the corpus, [[approxThresholds]] swaps in percentile_approx —
-  * a t-digest-style mergeable sketch whose partials combine map-side, so
-  * the exchange carries sketches, not rows; its error bound is spec'd
-  * against the exact path.
+  * The exact path aggregates a (group, score) HISTOGRAM first — a hash
+  * agg with map-side combine, so the shuffle carries one row per
+  * distinct score value — and walks its cumulative counts to the
+  * discrete percentile (min score with cum ≥ ceil(q·n)). The rank
+  * window therefore sees histogram rows, never corpus rows: with few
+  * groups (languages) a per-ROW rank window would funnel each group's
+  * entire corpus through one task — fewer groups means WORSE skew —
+  * while the histogram form is bounded by score cardinality. When the
+  * score is high-cardinality (continuous), [[approxThresholds]] swaps
+  * in percentile_approx — a mergeable sketch whose partials combine
+  * map-side, so the exchange carries sketches; its error bound is
+  * spec'd against the exact path.
   */
 object QuantileFloor {
 
   /** One row per group: (group, threshold) where threshold is the
-    * discrete q-th percentile of `scoreCol` (value at row ceil(q·n) in
-    * (score, tiebreak) order). */
+    * discrete q-th percentile of `scoreCol` — the value at position
+    * ceil(q·n) in score order, computed as the least score whose
+    * cumulative histogram count reaches that position (tie-independent,
+    * cross-engine replayable). */
   def thresholds(
       df: DataFrame, groupCol: String, scoreCol: String,
-      tieCol: String, q: Double): DataFrame = {
+      q: Double): DataFrame = {
     require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol), col(tieCol))
-    df.select(col(groupCol), col(scoreCol), col(tieCol))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-      .filter(col("rn") === ceil(lit(q) * col("n")))
-      .select(col(groupCol), col(scoreCol).as("threshold"))
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("cnt"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col(groupCol))))
+      .filter(col("cum") >= ceil(lit(q) * col("n")))
+      .groupBy(col(groupCol)).agg(min(col(scoreCol)).as("threshold"))
   }
 
   /** Sketch-path thresholds: percentile_approx per group. `accuracy`

@@ -194,20 +194,29 @@ object SimOps {
     * the same bounded-candidates property as MinHash banding, with recall
     * tunable by H and multi-probe. Never all-pairs.
     */
+  /** Signed-random-projection bucket per vector: 8 deterministic
+    * hyperplanes (vec_ids 16..23, a stand-in for sampled Gaussian
+    * planes), bucket = the sign-bit signature of the plane dots. The ONE
+    * definition of the bucketing rule — q127 scores its candidates on
+    * floats, q144 on int8 codes; both must keep identical buckets or
+    * their oracles silently diverge. */
+  private def lshBuckets(e: DataFrame): DataFrame = {
+    val planes = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      .select((col("vec_id") - 16).as("pid"), col("embedding").as("pv"))
+    e.crossJoin(broadcast(planes))
+      .select(col("vec_id"),
+        when(GraftFunctions.vecDot(col("embedding"), col("pv")) > 0,
+          expr("shiftleft(1L, cast(pid as int))")).otherwise(0L).as("bit"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).as("bucket"))
+  }
+
   val q127AnnLsh = Q(
     "q127_ann_lsh",
     (s, d) => {
       GraftFunctions.register(s)
       val e = withNorms(Tables.embeddings(s, d))
-      val planes = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
-        .select((col("vec_id") - 16).as("pid"), col("embedding").as("pv"))
-      val buckets = e.crossJoin(broadcast(planes))
-        .select(col("vec_id"),
-          when(GraftFunctions.vecDot(col("embedding"), col("pv")) > 0,
-            expr("shiftleft(1L, cast(pid as int))")).otherwise(0L).as("bit"))
-        .groupBy(col("vec_id"))
-        .agg(sum(col("bit")).as("bucket"))
-      val assigned = e.join(buckets, Seq("vec_id"))
+      val assigned = e.join(lshBuckets(e), Seq("vec_id"))
       val queries = assigned.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("n2").as("qn2"), col("bucket"))
@@ -319,17 +328,9 @@ object SimOps {
       GraftFunctions.register(s)
       import graft.operators.VectorQuantization._
       val e = Tables.embeddings(s, d)
-      val planes = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
-        .select((col("vec_id") - 16).as("pid"), col("embedding").as("pv"))
-      val buckets = e.crossJoin(broadcast(planes))
-        .select(col("vec_id"),
-          when(GraftFunctions.vecDot(col("embedding"), col("pv")) > 0,
-            expr("shiftleft(1L, cast(pid as int))")).otherwise(0L).as("bit"))
-        .groupBy(col("vec_id"))
-        .agg(sum(col("bit")).as("bucket"))
       val assigned = quantizeInt8(e, "embedding")
         .select(col("vec_id"), col("q8"), col("qnorm2"))
-        .join(buckets, Seq("vec_id"))
+        .join(lshBuckets(e), Seq("vec_id"))
       val queries = assigned.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("q8").as("qa"),
           col("qnorm2").as("qn2a"), col("bucket"))

@@ -520,11 +520,12 @@ object TextOps {
     * ([[graft.operators.QuantileFloor]]): each language's p10 token count
     * becomes its floor, and the corpus is filtered against it — the
     * "drop the shortest 10% per language" two-pass recipe. Pass 1 is a
-    * rank window per group; pass 2 broadcasts the per-group thresholds,
-    * so the corpus is never shuffled. The oracle replays the discrete
-    * percentile (value at row ceil(q·n)) and both counts exactly; the
-    * percentile_approx sketch path is spec-bounded against this exact
-    * one. */
+    * (group, score) histogram walked to the percentile (the window sees
+    * distinct score values, never corpus rows); pass 2 broadcasts the
+    * per-group thresholds, so the corpus is never shuffled. The oracle
+    * replays the discrete percentile (value at row ceil(q·n)) and both
+    * counts exactly; the percentile_approx sketch path is spec-bounded
+    * against this exact one. */
   val q147QuantileFloor = Q(
     "q147_quantile_floor",
     (s, d) => {
@@ -532,8 +533,7 @@ object TextOps {
       val stats = Tables.documents(s, d).select(col("doc_id"), col("lang"),
         size(filter(split(col("text"), " "), t => t =!= ""))
           .cast("long").as("n_tokens"))
-      val thr = QuantileFloor.thresholds(stats, "lang", "n_tokens",
-        "doc_id", q = 0.1)
+      val thr = QuantileFloor.thresholds(stats, "lang", "n_tokens", q = 0.1)
       val kept = QuantileFloor.applyFloor(stats, thr, "lang", "n_tokens")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
       stats.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))

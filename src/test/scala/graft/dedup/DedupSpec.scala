@@ -277,6 +277,13 @@ class DedupSpec extends SparkSpec {
     val got2 = Clusters.assign(docs, "doc_id", rev).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 9L).forall(i => got2(i) == got(i)._1))
+    // pairs referencing ids ABSENT from docs (batch deduped against a
+    // wider corpus): the cluster must still keep one PRESENT member, not
+    // silently drop everyone because the graph's min id isn't here
+    val batch = Seq(2L, 3L, 9L).toDF("doc_id")
+    val keptB = Clusters.keepCanonical(batch, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptB == Set(2L, 9L), s"min PRESENT member kept: $keptB")
   }
 
   test("Clusters: randomized graph matches in-test union-find") {

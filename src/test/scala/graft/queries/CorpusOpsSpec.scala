@@ -109,6 +109,18 @@ class CorpusOpsSpec extends SparkSpec {
     val other = DataSplit.assign(rows, "source", salt = "s2")
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(full.exists { case (id, sp) => other(id) != sp })
+    // valFrac = 0 is a legal two-way train/test split
+    val two = DataSplit.assign(rows, "source", salt = "s1",
+      trainFrac = 0.8, valFrac = 0.0)
+    assert(two.filter(col("split") === "val").count() == 0)
+    assert(two.select("split").distinct().count() == 2)
+    // NULL keys propagate to "test" (matching the SQL || form), never
+    // hash as salt-alone
+    val withNull = Seq((Some("domain1"), 1L), (None, 2L))
+      .toDF("source", "doc_id")
+    val nullRow = DataSplit.assign(withNull, "source", salt = "s1")
+      .filter(col("doc_id") === 2L).select("split").head().getString(0)
+    assert(nullRow == "test", s"null key lands in test, got $nullRow")
     intercept[IllegalArgumentException](
       DataSplit.assign(rows, "source", "s", trainFrac = 0.999,
         valFrac = 0.0005))
@@ -124,12 +136,12 @@ class CorpusOpsSpec extends SparkSpec {
       .toDF("grp", "score", "id")
       .unionByName((1L to 7L).map(i => ("h", i * 2, i))
         .toDF("grp", "score", "id"))
-    val thr = QuantileFloor.thresholds(df, "grp", "score", "id", q = 0.1)
+    val thr = QuantileFloor.thresholds(df, "grp", "score", q = 0.1)
       .as[(String, Long)].collect().toMap
     // h: 7 rows → ceil(0.7)=1st value = 2
     assert(thr == Map("g" -> 10L, "h" -> 2L))
     val kept = QuantileFloor.applyFloor(df,
-      QuantileFloor.thresholds(df, "grp", "score", "id", q = 0.1),
+      QuantileFloor.thresholds(df, "grp", "score", q = 0.1),
       "grp", "score")
     assert(kept.filter(col("grp") === "g").count() == 91)
     // sketch path lands within a tight rank bound of the exact one
@@ -137,7 +149,14 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(math.abs(approx("g") - 10L) <= 2 && math.abs(approx("h") - 2L) <= 2,
       s"approx $approx")
+    // duplicated scores collapse into one histogram row but still count:
+    // 10 copies of score 1 + 90 distinct higher → p10 = 1
+    val dup = ((1 to 10).map(_ => ("d", 1L, 0L)) ++
+      (2L to 91L).map(v => ("d", v, v))).toDF("grp", "score", "id")
+    val dthr = QuantileFloor.thresholds(dup, "grp", "score", q = 0.1)
+      .as[(String, Long)].collect().toMap
+    assert(dthr == Map("d" -> 1L), s"tie handling: $dthr")
     intercept[IllegalArgumentException](
-      QuantileFloor.thresholds(df, "grp", "score", "id", q = 1.5))
+      QuantileFloor.thresholds(df, "grp", "score", q = 1.5))
   }
 }

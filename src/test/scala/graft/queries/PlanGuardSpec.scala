@@ -40,13 +40,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(Bucketing.isExchangeFree(assigned),
       "split assignment must not shuffle")
     // q147's filter pass: thresholds broadcast, so the only shuffles are
-    // pass 1's per-GROUP stats (grouping key, not corpus rows)
+    // pass 1's (group, score) histogram (distinct score values, not
+    // corpus rows)
     val stats = graft.core.Tables.documents(spark, sf(""))
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val floored = graft.operators.QuantileFloor.applyFloor(stats,
       graft.operators.QuantileFloor.thresholds(
-        stats, "lang", "n_tokens", "doc_id", 0.1),
+        stats, "lang", "n_tokens", 0.1),
       "lang", "n_tokens")
     val plan = floored.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
