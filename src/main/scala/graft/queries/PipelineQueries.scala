@@ -399,9 +399,80 @@ object PipelineQueries {
         (doc_id = component) AS is_keeper
       FROM comp ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q148
+  /** The end-to-end corpus-curation pipeline, five verified operators
+    * composed in ONE plan: token stats → quality gate (n_tokens ≥ 20) →
+    * SimHash near-dup pairs over the survivors → cluster dedup
+    * (Clusters.keepCanonical) → leakage-safe split (DataSplit on
+    * source) → per-(split, lang) corpus manifest. Every stage is
+    * individually oracled elsewhere (q42/q43, q47, q145, q146); this
+    * pins their COMPOSITION — filter-then-dedup ordering, keeper
+    * selection among the filtered survivors, split-after-dedup — which
+    * is exactly what a real training-data run executes. Per-doc
+    * fingerprints are corpus-independent, so pairs over the filtered
+    * docs equal all-pairs restricted to filtered endpoints, and the
+    * oracle exploits that to reuse the q47 fingerprint CTE. */
+  val q148CurationPipeline = Q(
+    "q148_curation_pipeline",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val stats = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"), col("text"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      val good = stats.filter(col("n_tokens") >= 20)
+      val pairs = SimHash.nearDuplicates(
+        good, "doc_id", "text", maxHamming = 4,
+        tokenHash = graft.functions.GraftFunctions.polyHash62,
+        totalBits = 62, hashDistinct = true)
+      val kept = Clusters.keepCanonical(good, "doc_id", pairs)
+      graft.operators.DataSplit.assign(
+          kept.select(col("doc_id"), col("lang"), col("source"),
+            col("n_tokens")),
+          "source", salt = "graft-r5", trainFrac = 0.8, valFrac = 0.1)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some(s"""WITH RECURSIVE $PolyFingerprintSql,
+      tok AS (SELECT doc_id, lang, source,
+          cast(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS bigint) AS n_tokens
+        FROM documents),
+      good AS (SELECT * FROM tok WHERE n_tokens >= 20),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        JOIN good ga ON a.doc_id = ga.doc_id
+        JOIN good gb ON b.doc_id = gb.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+      edges AS (
+        SELECT id_a AS s, id_b AS t FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(s, t) AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+      comp AS (
+        SELECT g.doc_id,
+          least(g.doc_id, coalesce(min(r.t), g.doc_id)) AS component
+        FROM good g LEFT JOIN reach r ON g.doc_id = r.s
+        GROUP BY g.doc_id),
+      kept AS (SELECT doc_id FROM comp WHERE doc_id = component)
+      SELECT CASE WHEN h < 'cd' THEN 'train'
+                  WHEN h < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+        lang, count(*) AS n_docs,
+        cast(sum(n_tokens) AS bigint) AS n_tokens_total
+      FROM (SELECT g.lang, g.n_tokens,
+          substr(md5(g.source || ':' || 'graft-r5'), 1, 2) AS h
+        FROM kept k JOIN good g ON k.doc_id = g.doc_id) t
+      GROUP BY split, lang ORDER BY split, lang"""))
+
   val all: Seq[Q] = Seq(
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
     q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact,
     q128FrameSample, q132SimhashCapped, q139IncrementalNeardup,
-    q145DupClusters)
+    q145DupClusters, q148CurationPipeline)
 }
