@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Corpus-composition operators over `documents`: segment-level exact
+  * dedup with reassembly, vocabulary/OOV scoring, deterministic mixture
+  * realization, and the cross-source overlap audit. These are the steps
+  * between per-document hygiene (TextOps) and the final training
+  * manifest: what survives, from which source, under which budget.
+  */
+object CorpusQueries {
+
+  // ---------------------------------------------------------------- q149
+  /** Segment-level exact dedup ([[graft.dedup.SegmentDedup]]): every
+    * verbatim 8-token span keeps only its first corpus-order occurrence,
+    * and documents are reassembled from the survivors — the pass that
+    * strips repeated boilerplate out of otherwise-distinct documents.
+    * The oracle replays segmentation, global keep-first ranking, AND the
+    * reassembled strings, so the hash verdict pins the cleaned corpus
+    * byte-for-byte, not just the drop counts. */
+  val q149SegmentDedup = Q(
+    "q149_segment_dedup",
+    (s, d) => graft.dedup.SegmentDedup.dedup(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", segTokens = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH n AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+        len(list_filter(string_split(text, ' '), t -> t <> '')) AS n
+      FROM documents),
+      segs AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+        FROM n, unnest(generate_series(0, (greatest(n, 1) - 1) // 8))
+          AS t(i)
+        WHERE array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') <> ''),
+      k AS (SELECT doc_id, pos, seg, row_number() OVER (
+          PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+        FROM segs),
+      reb AS (SELECT doc_id, count(*) AS n_kept,
+          string_agg(seg, ' ' ORDER BY pos) AS kept_text
+        FROM k WHERE rn = 1 GROUP BY doc_id)
+      SELECT n.doc_id, cast(ceil(n / 8.0) AS bigint) AS n_segs,
+        coalesce(n_kept, 0) AS n_kept,
+        coalesce(cast(len(list_filter(string_split(kept_text, ' '),
+          t -> t <> '')) AS bigint), 0) AS kept_tokens,
+        coalesce(kept_text, '') AS kept_text
+      FROM n LEFT JOIN reb USING (doc_id) ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q150
+  /** Vocabulary induction + OOV scoring ([[graft.operators.Vocabulary]]):
+    * the top-25 corpus words become the vocabulary (count desc, word asc
+    * — fully deterministic), and every document is scored by its
+    * out-of-vocabulary token rate against the BROADCAST vocab. A wrong
+    * vocabulary (wrong counts, wrong tie-break, wrong cut) shifts some
+    * document's n_oov, so the oracle pins the whole chain. */
+  val q150VocabOov = Q(
+    "q150_vocab_oov",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.operators.Vocabulary.build(docs, "text", n = 25)
+      graft.operators.Vocabulary.oovStats(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+      FROM documents),
+      v AS (SELECT word FROM (
+        SELECT word, count(*) AS c FROM w GROUP BY word
+        ORDER BY c DESC, word LIMIT 25) t)
+      SELECT doc_id, count(*) AS n_tokens,
+        cast(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS bigint)
+          AS n_oov,
+        cast(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS bigint)
+          / count(*) AS oov_rate
+      FROM w LEFT JOIN v ON w.word = v.word
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q151
+  /** Deterministic mixture realization ([[graft.operators.SourceMix]]):
+    * each source gets a token budget (300·(i mod 4 + 1) for src_i — four
+    * budget tiers), documents fill it greedily in md5 order, and the
+    * ACCEPTED manifest is the result. The oracle replays the hash
+    * ranking, the running token sum, and the acceptance boundary, so the
+    * verdict pins exactly which documents make the mixture. */
+  val q151SourceMix = Q(
+    "q151_source_mix",
+    (s, d) => graft.operators.SourceMix.fillToBudget(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id",
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long"),
+        budgets = (0 until 20).map(i =>
+          s"src$i" -> (300L * (i % 4 + 1))).toMap,
+        salt = "mix-r5")
+      .select(col("source"), col("mix_rank"), col("doc_id"),
+        col("cum_start"))
+      .orderBy(col("source"), col("mix_rank")),
+    Some("""WITH t AS (SELECT source, doc_id,
+        cast(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS bigint) AS tok,
+        md5(cast(doc_id AS varchar) || ':' || 'mix-r5') AS h
+      FROM documents),
+      b AS (SELECT 'src' || i AS source,
+          cast(300 * (i % 4 + 1) AS bigint) AS budget
+        FROM unnest(generate_series(0, 19)) AS u(i)),
+      r AS (SELECT t.source, doc_id, tok, budget,
+          row_number() OVER (PARTITION BY t.source ORDER BY h, doc_id)
+            AS mix_rank,
+          coalesce(sum(tok) OVER (PARTITION BY t.source ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_start
+        FROM t JOIN b USING (source))
+      SELECT source, mix_rank, doc_id, cum_start FROM r
+      WHERE cum_start < budget ORDER BY source, mix_rank"""))
+
+  // ---------------------------------------------------------------- q152
+  /** Cross-source overlap audit ([[graft.operators.SourceOverlap]]):
+    * distinct shared 3-gram count and containment for every source pair.
+    * The engine emits pairs from each shingle's sorted source SET
+    * (bounded by the source count), never a shingle self-join; the
+    * oracle IS the naive self-join, so agreement proves the set-based
+    * plan computes exactly the quadratic semantics it avoids paying. */
+  val q152SourceOverlap = Q(
+    "q152_source_overlap",
+    (s, d) => graft.operators.SourceOverlap.matrix(
+        Tables.documents(s, d), "source", "text", n = 3)
+      .orderBy(col("src_a"), col("src_b")),
+    Some("""WITH toks AS (SELECT source,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+      sh AS (SELECT DISTINCT source,
+          array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3),
+      sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      ov AS (SELECT a.source AS src_a, b.source AS src_b,
+          count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+          AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+        n_shared / least(sa.n, sb.n) AS containment
+      FROM ov JOIN sz sa ON src_a = sa.source
+        JOIN sz sb ON src_b = sb.source
+      ORDER BY src_a, src_b"""))
+
+  val all: Seq[Q] = Seq(
+    q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap)
+}
