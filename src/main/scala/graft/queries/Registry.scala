@@ -6,7 +6,7 @@ object Registry {
     Relational.all ++ Windows.all ++ Activity.all ++ TextOps.all ++
       SimOps.all ++ EngineQueries.all ++ PipelineQueries.all ++
       MiscQueries.all ++ EdgeQueries.all ++ MusicQueries.all ++
-      IngestQueries.all ++ CorpusQueries.all
+      IngestQueries.all ++ CorpusQueries.all ++ SketchQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.CountMin
+
+/** Count-min sketch: overestimate guarantee, mergeability, guards. */
+class SketchOpsSpec extends SparkSpec {
+
+  test("cms never underestimates, and is exact on a sparse key space") {
+    import spark.implicits._
+    val items = (0 until 400).map(i => s"key${i % 16}").toDF("k")
+    val sk = CountMin.sketch(items, "k", depth = 4, hexChars = 3)
+    val exact = items.groupBy("k").agg(count(lit(1)).as("exact"))
+    val est = CountMin.estimate(sk, exact, "k", depth = 4, hexChars = 3)
+      .select(col("k"), col("cms_count"), col("exact"))
+      .as[(String, Long, Long)].collect()
+    assert(est.length == 16)
+    est.foreach { case (k, cms, ex) =>
+      assert(cms >= ex, s"$k: cms $cms < exact $ex")
+    }
+    // 16 keys in 4096 buckets × 4 rows: no key collides in ALL rows on
+    // this fixture (deterministic md5 layout), so estimates are exact
+    est.foreach { case (k, cms, ex) =>
+      assert(cms == ex, s"$k: cms $cms != exact $ex on sparse fixture")
+    }
+  }
+
+  test("cms estimate is 0 for never-seen keys") {
+    import spark.implicits._
+    val sk = CountMin.sketch(
+      Seq("a", "b", "a").toDF("k"), "k", depth = 4, hexChars = 3)
+    val est = CountMin.estimate(
+        sk, Seq("zzz-not-there").toDF("k"), "k", depth = 4, hexChars = 3)
+      .select(col("cms_count")).as[Long].collect()
+    assert(est.sameElements(Array(0L)))
+  }
+
+  test("cms merge equals the sketch of the union, cell for cell") {
+    import spark.implicits._
+    val a = (0 until 100).map(i => s"w${i % 7}").toDF("k")
+    val b = (0 until 130).map(i => s"w${i % 11}").toDF("k")
+    val merged = CountMin.merge(
+        CountMin.sketch(a, "k", 4, 2), CountMin.sketch(b, "k", 4, 2))
+      .as[(Int, String, Long)].collect().toSet
+    val whole = CountMin.sketch(a.unionByName(b), "k", 4, 2)
+      .as[(Int, String, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("cms drops null keys and rejects bad params") {
+    import spark.implicits._
+    val withNull = Seq(Some("a"), None, Some("a")).toDF("k")
+    val sk = CountMin.sketch(withNull, "k", depth = 2, hexChars = 2)
+    // only "a" contributes: exactly `depth` populated cells of count 2
+    val cells = sk.as[(Int, String, Long)].collect()
+    assert(cells.length == 2 && cells.forall(_._3 == 2L))
+    intercept[IllegalArgumentException](
+      CountMin.sketch(withNull, "k", depth = 0, hexChars = 2))
+    intercept[IllegalArgumentException](
+      CountMin.sketch(withNull, "k", depth = 4, hexChars = 9))
+    intercept[IllegalArgumentException](
+      CountMin.estimate(sk, withNull.withColumnRenamed("k", "cms_count"),
+        "cms_count", 2, 2))
+  }
+}
