@@ -540,10 +540,37 @@ object MiscQueries {
       TRUE AS approx_within_rsd
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q154
+  /** Salted JOIN end-to-end ([[graft.core.Salting.saltedJoin]] — q119's
+    * skew treatment applied to the join itself): the fact side carries a
+    * row-derived salt, the dim side is replicated once per salt value,
+    * and the join runs on (key, salt) so a hot orderkey spreads over 8
+    * reducers instead of pinning one. The plain-join oracle asserts the
+    * exact contract: salting must not change a single joined row.
+    * Quantities snap to cents so the downstream sums are exact. */
+  val q154SaltedJoin = Q(
+    "q154_salted_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val ords = Tables.orders(s, d).select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.core.Salting.saltedJoin(li, ords, Seq("l_orderkey"), buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("price_c")) / 100.0).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS cnt,
+        cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint)
+          / 100.0 AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
-    q130AsofJoin, q131RangeJoin, q134PopularityApprox)
+    q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin)
 }

@@ -60,4 +60,24 @@ class PlaylistsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(salted == direct)
   }
+
+  test("salted join equals direct join, multiplicities included") {
+    import spark.implicits._
+    // skewed facts (one hot key) against a dim with DUPLICATE key rows —
+    // the join must preserve the 2× multiplicity for k=hot
+    val facts = (Seq.fill(500)(("hot", 1)) ++
+      (1 to 60).map(i => (s"k${i % 6}", i))).toDF("k", "v")
+    val dim = Seq(("hot", "a"), ("hot", "b"), ("k1", "c"), ("k2", "d"),
+      ("kX", "unmatched")).toDF("k", "tag")
+    val direct = facts.join(dim, Seq("k"))
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Salting.saltedJoin(facts, dim, Seq("k"), buckets = 7)
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == direct)
+    assert(salted.count(_.contains("hot")) == 1000, "2 dim rows x 500 facts")
+    intercept[IllegalArgumentException](
+      Salting.saltedJoin(facts, dim, Seq("k"), buckets = 0))
+    intercept[IllegalArgumentException](
+      Salting.saltedJoin(facts.withColumn("_salt", lit(1)), dim, Seq("k"), 4))
+  }
 }
