@@ -384,6 +384,51 @@ object SimOps {
       SELECT qid, rank, vid, qdot, round(qcos, 6) AS qcos_r FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---------------------------------------------------------------- q155
+  /** Quantized k-means assignment ([[graft.operators.QuantizedKMeans]]):
+    * every embedding assigned to its nearest of 6 deterministic seed
+    * centroids by EXACT integer squared distance on int8 codes
+    * (|a|² + |c|² − 2·a·c), ties to the lowest centroid id. Because
+    * every distance is an integer, the oracle replays quantization,
+    * seeding, all 6 distances, and the argmin EXACTLY — the
+    * hash-verifiable clustering step float k-means cannot offer. */
+  val q155KmeansAssign = Q(
+    "q155_kmeans_assign",
+    (s, d) => {
+      import graft.operators.{QuantizedKMeans, VectorQuantization}
+      val q = VectorQuantization
+        .quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("q8"), col("qnorm2"))
+      val cents = QuantizedKMeans.seedCentroids(q, "vec_id", k = 6)
+      QuantizedKMeans.assign(q, cents, "vec_id")
+        .select(col("vec_id"), col("cluster_id"), col("qd2"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      s AS (SELECT vec_id, v,
+        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+          AS scale FROM e),
+      q AS (SELECT vec_id,
+        list_transform(v, x -> cast(round(x * scale) AS BIGINT)) AS qv
+        FROM s),
+      n AS (SELECT vec_id, qv,
+        cast(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT)
+          AS qn2 FROM q),
+      c AS (SELECT vec_id AS cluster_id, qv AS cv, qn2 AS cn2
+        FROM n ORDER BY vec_id LIMIT 6),
+      d AS (SELECT n.vec_id, c.cluster_id,
+          n.qn2 + c.cn2 - 2 * cast(
+            list_dot_product(n.qv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT)
+            AS qd2,
+          row_number() OVER (PARTITION BY n.vec_id
+            ORDER BY n.qn2 + c.cn2 - 2 * cast(
+              list_dot_product(n.qv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT),
+              c.cluster_id) AS rk
+        FROM n CROSS JOIN c)
+      SELECT vec_id, cluster_id, qd2 FROM d WHERE rk = 1
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
-    q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized)
+    q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized, q155KmeansAssign)
 }
