@@ -146,6 +146,41 @@ object CorpusQueries {
         JOIN sz sb ON src_b = sb.source
       ORDER BY src_a, src_b"""))
 
+  // ---------------------------------------------------------------- q156
+  /** One-pass dataset profile ([[graft.operators.Profile]]): every
+    * column of `events` audited in a single aggregation scan — row/null/
+    * distinct counts, numeric min/max as doubles, string min/max as
+    * strings. Min/max are actual element values (no accumulation), so
+    * the whole report is hash-exact; the oracle states each column's
+    * stats independently and the union must match row-for-row. */
+  val q156ProfileEvents = Q(
+    "q156_profile_events",
+    (s, d) => graft.operators.Profile.profile(Tables.events(s, d)),
+    Some {
+      val branch = Seq(
+        ("event_id", "min(event_id)::DOUBLE", "max(event_id)::DOUBLE",
+          "NULL::VARCHAR", "NULL::VARCHAR"),
+        ("event_type", "NULL::DOUBLE", "NULL::DOUBLE",
+          "min(event_type)", "max(event_type)"),
+        ("props", "NULL::DOUBLE", "NULL::DOUBLE",
+          "min(props)", "max(props)"),
+        ("ts", "NULL::DOUBLE", "NULL::DOUBLE",
+          "NULL::VARCHAR", "NULL::VARCHAR"),
+        ("user_id", "min(user_id)::DOUBLE", "max(user_id)::DOUBLE",
+          "NULL::VARCHAR", "NULL::VARCHAR"),
+        ("value", "min(value)::DOUBLE", "max(value)::DOUBLE",
+          "NULL::VARCHAR", "NULL::VARCHAR"))
+        .map { case (c, mn, mx, ms, xs) =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+            count(*) - count($c) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            $mn AS min_num, $mx AS max_num,
+            $ms AS min_str, $xs AS max_str FROM events"""
+        }
+      branch.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   val all: Seq[Q] = Seq(
-    q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap)
+    q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
+    q156ProfileEvents)
 }
