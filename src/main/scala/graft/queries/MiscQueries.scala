@@ -567,10 +567,38 @@ object MiscQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q157
+  /** Z-order (Morton) key computation ([[graft.operators.ZOrder]] — the
+    * multi-dimensional layout key under which one sorted write gives
+    * every file a tight min/max envelope in EVERY constituent dimension,
+    * so footer stats prune scans on any of them). The z-value is pure
+    * bit arithmetic, so the oracle replays the interleave bit-for-bit;
+    * ZOrderSpec separately proves the locality property the key buys. */
+  val q157ZorderKey = Q(
+    "q157_zorder_key",
+    (s, d) => {
+      import graft.operators.ZOrder
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          ZOrder.zValue(Seq(
+            ZOrder.zBucket(col("user_id"), 8),
+            ZOrder.zBucket(col("event_id"), 8)), bits = 8).as("zval"))
+        .orderBy(col("zval"), col("event_id")).limit(300)
+        .orderBy(col("zval"), col("event_id"))
+    },
+    Some {
+      val terms = (0 until 8).flatMap(b => Seq(
+        s"((((user_id & 255) >> $b) & 1) << ${2 * b})",
+        s"((((event_id & 255) >> $b) & 1) << ${2 * b + 1})"))
+      s"""SELECT event_id, user_id, ${terms.mkString(" + ")} AS zval
+        FROM events ORDER BY zval, event_id LIMIT 300"""
+    })
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
-    q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin)
+    q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
+    q157ZorderKey)
 }
