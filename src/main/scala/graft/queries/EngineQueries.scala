@@ -331,6 +331,50 @@ object EngineQueries {
       count(DISTINCT event_type) AS n_types, max(ts) AS last_listen
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // ---------------------------------------------------------------- q158
+  /** Persisted mergeable HLL sketch state
+    * ([[graft.popularity.SketchDistinct]]): the event stream is split
+    * into three increment chunks, each chunk's per-event-type sketch
+    * partial is WRITTEN TO PARQUET and read back (sketch binaries as
+    * durable columns — the q121 disk-round-trip recipe applied to sketch
+    * state), and distinct-user estimates are served by unioning ONLY the
+    * sketch rows. The oracle pins the exact distinct counts, the
+    * exactness of the merged row counts (counts merge by sum — the same
+    * partial/combine algebra), and the HLL error envelope as booleans
+    * the driver verifies row-by-row. */
+  val q158SketchDistinct = Q(
+    "q158_sketch_distinct",
+    (s, d) => {
+      import graft.popularity.SketchDistinct
+      val ev = graft.core.Tables.events(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q158").toString
+      (0 until 3).foreach { c =>
+        SketchDistinct
+          .partial(ev.filter(pmod(col("event_id"), lit(3)) === c),
+            Seq("event_type"), "user_id")
+          .write.parquet(s"$work/chunk$c")
+      }
+      val partials = s.read.parquet(
+        s"$work/chunk0", s"$work/chunk1", s"$work/chunk2")
+      val served = SketchDistinct.serve(partials, Seq("event_type"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))
+      val rsd = 1.04 / math.sqrt((1 << 12).toDouble)
+      exact.join(served, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"), col("n_events"),
+          (col("n_rows") === col("n_events")).as("counts_merge_exact"),
+          (abs(col("distinct_est").cast("double") - col("exact_users")) <=
+            greatest(col("exact_users") * (3 * rsd), lit(2.0)))
+            .as("est_within_rsd"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      count(*) AS n_events, TRUE AS counts_merge_exact,
+      TRUE AS est_within_rsd
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- q89
   /** Cache-joined genre activity via CacheJoinedStats.GenreActivity: the
     * part table plays the dimension cache (partkey → brand ≙ recording →
@@ -591,5 +635,5 @@ object EngineQueries {
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
     q89GenreActivity, q90ListeningTime, q91FreshReleases,
     q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
-    q129BucketedAgg, q135StreamingIngest)
+    q129BucketedAgg, q135StreamingIngest, q158SketchDistinct)
 }
