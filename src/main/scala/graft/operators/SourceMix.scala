@@ -61,4 +61,38 @@ object SourceMix {
       .filter(col("cum_start") < col("__budget"))
       .drop("__tok", "__budget")
   }
+
+  /** Temperature-scaled budget allocation — the multilingual/multi-source
+    * rebalancing rule (sample ∝ size^α, α < 1, so small sources are
+    * up-weighted relative to their share): splits `totalBudget` tokens
+    * across groups proportionally to the SQUARE ROOT of each group's
+    * token count (α = 0.5). Computed entirely in integer arithmetic —
+    * per-group exact token counts, `floor(sqrt(count))` integer weights
+    * (IEEE sqrt is correctly rounded, so the floor is engine-portable),
+    * and `floor(totalBudget × weight / Σweights)` integer division — so
+    * the allocation is bit-reproducible cross-engine, unlike a
+    * float-normalized softmax whose sum depends on accumulation order.
+    * Returns `(group, n_tokens, weight, budget)`; Σbudget ≤ totalBudget
+    * (the floor remainder is deliberately left unallocated rather than
+    * distributed by an arbitrary tie-break). One map-side-combinable
+    * aggregation over the corpus; the result is config-sized. The
+    * `totalBudget × weight` product runs in checked bigint arithmetic
+    * (ANSI mode fails fast on overflow); at the 10^19-token extreme,
+    * allocate in coarser granules (budget in millions of tokens) to keep
+    * the product in range. */
+  def temperatureBudgets(
+      df: DataFrame, groupCol: String, tokensCol: Column,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(tokensCol.cast("long")).as("n_tokens"))
+    val weighted = counts.withColumn("weight",
+      floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val total = Window.partitionBy() // all groups: config-sized, one task
+    weighted.withColumn("__tw", sum(col("weight")).over(total))
+      // `div`: true integer division end-to-end — a double-typed `/`
+      // would round above 2^53 and drift from the oracle's exact split
+      .withColumn("budget", expr(s"($totalBudget * weight) div __tw"))
+      .select(col(groupCol), col("n_tokens"), col("weight"), col("budget"))
+  }
 }

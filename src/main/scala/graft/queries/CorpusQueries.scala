@@ -180,7 +180,59 @@ object CorpusQueries {
       branch.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  // ---------------------------------------------------------------- q159
+  /** Temperature-scaled mixture realization
+    * ([[graft.operators.SourceMix.temperatureBudgets]] + fillToBudget):
+    * a third of the corpus's tokens are allocated across sources
+    * proportionally to √(source tokens) — the α=0.5 up-weighting of
+    * small sources — with the allocation computed in INTEGER arithmetic
+    * (floor(sqrt) weights, integer-division splits), so unlike a
+    * float-softmax the budgets are bit-reproducible and the oracle
+    * replays weights, splits, hash ranking, and the acceptance boundary
+    * end-to-end. */
+  val q159TemperatureMix = Q(
+    "q159_temperature_mix",
+    (s, d) => {
+      import graft.operators.SourceMix
+      val tok = size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long")
+      val withTok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), tok.as("tok"))
+      val totalTok = withTok.agg(sum(col("tok")))
+        .collect()(0).getLong(0) // scalar anchor: one number to the driver
+      val budgets = SourceMix.temperatureBudgets(
+        withTok, "source", col("tok"), totalTok / 3)
+      val bmap = budgets.select(col("source"), col("budget"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      SourceMix.fillToBudget(
+          withTok, "source", "doc_id", col("tok"), bmap, salt = "temp-r5")
+        .select(col("source"), col("mix_rank"), col("doc_id"),
+          col("cum_start"))
+        .orderBy(col("source"), col("mix_rank"))
+    },
+    Some("""WITH t AS (SELECT source, doc_id,
+        cast(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS bigint) AS tok,
+        md5(cast(doc_id AS varchar) || ':' || 'temp-r5') AS h
+      FROM documents),
+      c AS (SELECT source, sum(tok) AS n_tokens,
+          cast(floor(sqrt(cast(sum(tok) AS double))) AS bigint) AS w
+        FROM t GROUP BY source),
+      b AS (SELECT source,
+          ((SELECT sum(tok) FROM t) // 3) * w // (SELECT sum(w) FROM c)
+            AS budget
+        FROM c),
+      r AS (SELECT t.source, doc_id, tok, budget,
+          row_number() OVER (PARTITION BY t.source ORDER BY h, doc_id)
+            AS mix_rank,
+          coalesce(sum(tok) OVER (PARTITION BY t.source ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_start
+        FROM t JOIN b USING (source))
+      SELECT source, mix_rank, doc_id, cum_start FROM r
+      WHERE cum_start < budget ORDER BY source, mix_rank"""))
+
   val all: Seq[Q] = Seq(
     q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
-    q156ProfileEvents)
+    q156ProfileEvents, q159TemperatureMix)
 }

@@ -159,4 +159,31 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       QuantileFloor.thresholds(df, "grp", "score", q = 1.5))
   }
+
+  test("temperature budgets: integer sqrt weights, floor split, bounds") {
+    import spark.implicits._
+    import graft.operators.SourceMix
+    // sources with token totals 400, 100, 25 → weights 20, 10, 5
+    val docs = (Seq.fill(4)(("a", 100L)) ++ Seq.fill(2)(("b", 50L)) ++
+      Seq(("c", 25L))).zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "tok")
+    val got = SourceMix
+      .temperatureBudgets(docs, "source", col("tok"), totalBudget = 350L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == ("a", 400L, 20L, 200L)) // 350*20/35
+    assert(got("b") == ("b", 100L, 10L, 100L))
+    assert(got("c") == ("c", 25L, 5L, 50L))
+    // α=0.5 up-weights the small source: c holds 4.8% of tokens but
+    // 14.3% of the budget
+    assert(got.values.map(_._4).sum <= 350L, "never over-allocates")
+    // non-divisible case floors, remainder unallocated
+    val g2 = SourceMix
+      .temperatureBudgets(docs, "source", col("tok"), totalBudget = 100L)
+      .as[(String, Long, Long, Long)].collect().map(_._4).sum
+    assert(g2 <= 100L && g2 >= 97L)
+    intercept[IllegalArgumentException](
+      SourceMix.temperatureBudgets(docs, "source", col("tok"), -1L))
+  }
 }
