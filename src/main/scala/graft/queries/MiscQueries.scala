@@ -594,11 +594,45 @@ object MiscQueries {
         FROM events ORDER BY zval, event_id LIMIT 300"""
     })
 
+  // ---------------------------------------------------------------- q160
+  /** Ordered funnel ([[graft.operators.Funnel]]): per user, the earliest
+    * view, the earliest click STRICTLY after it, the earliest purchase
+    * after that — computed in ONE user-keyed shuffle with a k-slot fold
+    * over each user's time-sorted events, never the k-way self-join. The
+    * oracle states the same semantics as the textbook chain of
+    * min-subqueries, so a hash match proves the fold implements exactly
+    * the strict-sequence contract. */
+  val q160Funnel = Q(
+    "q160_funnel",
+    (s, d) => graft.operators.Funnel.completions(
+        Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("user_id")),
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (SELECT user_id, min(ts) AS step_1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS step_2 FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.step_1
+        GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS step_3 FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.step_2
+        GROUP BY e.user_id)
+      SELECT u.user_id, step_1, step_2, step_3,
+        cast(CASE WHEN step_3 IS NOT NULL THEN 3
+          WHEN step_2 IS NOT NULL THEN 2
+          WHEN step_1 IS NOT NULL THEN 1 ELSE 0 END AS bigint)
+          AS steps_completed
+      FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+      ORDER BY u.user_id"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
     q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
-    q157ZorderKey)
+    q157ZorderKey, q160Funnel)
 }
