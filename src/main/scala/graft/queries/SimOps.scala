@@ -200,16 +200,12 @@ object SimOps {
     * definition of the bucketing rule — q127 scores its candidates on
     * floats, q144 on int8 codes; both must keep identical buckets or
     * their oracles silently diverge. */
-  private def lshBuckets(e: DataFrame): DataFrame = {
-    val planes = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+  private[queries] def lshPlanes(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
       .select((col("vec_id") - 16).as("pid"), col("embedding").as("pv"))
-    e.crossJoin(broadcast(planes))
-      .select(col("vec_id"),
-        when(GraftFunctions.vecDot(col("embedding"), col("pv")) > 0,
-          expr("shiftleft(1L, cast(pid as int))")).otherwise(0L).as("bit"))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("bit")).as("bucket"))
-  }
+
+  private def lshBuckets(e: DataFrame): DataFrame =
+    graft.operators.AnnIndex.buckets(e, "vec_id", "embedding", lshPlanes(e))
 
   val q127AnnLsh = Q(
     "q127_ann_lsh",
@@ -429,6 +425,75 @@ object SimOps {
       SELECT vec_id, cluster_id, qd2 FROM d WHERE rk = 1
       ORDER BY vec_id"""))
 
+  // ---------------------------------------------------------------- q161
+  /** Incrementally-maintained ANN index ([[graft.operators.AnnIndex]] —
+    * the embedding twin of q139's incremental MinHash index): the
+    * corpus's (bucket, int8 code) rows are indexed to parquet ONCE, a
+    * new embedding batch APPENDS its rows in O(batch), and the probe set
+    * top-ks against the stored index — corpus embeddings are never
+    * re-read. The oracle replays buckets, quantization, integer dots,
+    * and ranking over exactly the indexed id range, so the verdict pins
+    * both the index contents and the probe. */
+  val q161AnnIncremental = Q(
+    "q161_ann_incremental",
+    (s, d) => {
+      GraftFunctions.register(s)
+      import graft.operators.AnnIndex
+      val e = Tables.embeddings(s, d)
+      val planes = lshPlanes(e)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q161").toString
+      // epoch 0: the standing corpus, indexed once
+      AnnIndex.indexRows(e.filter(col("vec_id") >= 16),
+          "vec_id", "embedding", planes)
+        .write.parquet(s"$work/index")
+      // epoch 1: a new batch lands — append ONLY its rows
+      AnnIndex.indexRows(
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+          "vec_id", "embedding", planes)
+        .write.mode("append").parquet(s"$work/index")
+      // probes (fresh queries) against the stored index
+      val probes = AnnIndex.indexRows(e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", planes)
+      AnnIndex.topK(s.read.parquet(s"$work/index"), probes, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      planes AS (
+        SELECT vec_id - 16 AS pid, v AS pv FROM e
+        WHERE vec_id >= 16 AND vec_id < 24),
+      buckets AS (
+        SELECT e.vec_id, sum(CASE
+            WHEN list_dot_product(e.v, p.pv) > 0
+            THEN cast(1 << p.pid AS bigint) ELSE 0 END) AS bucket
+        FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+      s AS (SELECT vec_id, v,
+        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+          AS scale FROM e),
+      q AS (SELECT vec_id,
+        list_transform(v, x -> cast(round(x * scale) AS BIGINT)) AS qv
+        FROM s),
+      n AS (SELECT q.vec_id, qv,
+        cast(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT)
+          AS qn2, b.bucket
+        FROM q JOIN buckets b ON q.vec_id = b.vec_id),
+      scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+          cast(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) AS BIGINT)
+            AS qdot,
+          list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+            / sqrt(a.qn2::DOUBLE * b.qn2::DOUBLE) AS qcos
+        FROM n a JOIN n b ON a.bucket = b.bucket
+        WHERE a.vec_id < 8 AND b.vec_id >= 8),
+      ranked AS (
+        SELECT qid, vid, qdot, qcos, row_number() OVER (
+          PARTITION BY qid ORDER BY qcos DESC, vid) AS rank
+        FROM scored)
+      SELECT qid, rank, vid, qdot, round(qcos, 6) AS qcos_r FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
-    q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized, q155KmeansAssign)
+    q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized, q155KmeansAssign,
+    q161AnnIncremental)
 }
