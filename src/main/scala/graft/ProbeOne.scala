@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-query scale prober: runMain graft.ProbeOne <queryName> <sfDir>
+  * [explain] — times a single registry query in a fresh JVM (the
+  * adjudication tool for Bench-run outliers, per the noise protocol). */
+object ProbeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = args(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = graft.queries.Registry.byName(name)
+    if (args.contains("explain")) q.run(spark, dir).explain("formatted")
+    // warmup absorbs JVM/codegen/footer-cache startup (~15 s) so the
+    // timed run measures plan execution, like Bench's warmup does
+    q.run(spark, dir).write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    q.run(spark, dir).write.format("noop").mode("overwrite").save()
+    println(s"$name $dir: ${(System.nanoTime() - t0) / 1e9} s")
+    spark.stop()
+  }
+}

@@ -36,5 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_poly_hash62"),
       new ExpressionInfo(classOf[StringPolyHash62].getName, "graft_poly_hash62"),
       withArity("graft_poly_hash62", 1)(e => StringPolyHash62(e(0)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int8_quantize"),
+      new ExpressionInfo(
+        classOf[Int8QuantizeCodes].getName, "graft_int8_quantize"),
+      withArity("graft_int8_quantize", 1)(e => Int8QuantizeCodes(e(0)))))
   }
 }

@@ -121,10 +121,91 @@ object StringPolyHash62 {
   }
 }
 
+/** Int8 scalar quantization as ONE generated-loop expression:
+  * `array<float>` → `struct<q8: array<int>, qnorm2: bigint>` with the
+  * exact semantics of the declarative form in
+  * [[graft.operators.VectorQuantization]] — scale = 127 / max(|x|,
+  * 1e-30), codes rounded half-away-from-zero (Spark's `round`, DuckDB's
+  * `round`), qnorm2 = Σ code².
+  *
+  * The declarative chain (`array_max` + two `transform`s + the
+  * `zip_with`/`aggregate` norm) evaluates five interpreted higher-order
+  * lambdas per row with per-element boxing — measured at ~0.4 ms/row on
+  * 64-dim vectors, it dominates every quantized path's runtime. This is
+  * the same (b)-case hot-path rationale as [[FloatVectorDot]]: one pass
+  * computes the max, one pass emits codes and the norm. A null element
+  * nulls the whole result (the declarative form nulls qnorm2 and leaves
+  * a null code — neither occurs on real embedding columns; the codegen
+  * form chooses the stricter, documented behaviour).
+  */
+case class Int8QuantizeCodes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = Int8QuantizeCodes.outType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == ArrayType(FloatType, false) ||
+        child.dataType == ArrayType(FloatType, true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be array<float>, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    Int8QuantizeCodes.quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.Int8QuantizeCodes.quantize($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8QuantizeCodes {
+  val outType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "q8", ArrayType(org.apache.spark.sql.types.IntegerType, false)),
+      org.apache.spark.sql.types.StructField(
+        "qnorm2", org.apache.spark.sql.types.LongType)))
+
+  /** Two tight passes; shared by eval and generated code. */
+  def quantize(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > mx) mx = v
+      i += 1
+    }
+    val scale = 127.0 / math.max(mx, 1e-30)
+    val codes = new Array[Int](n)
+    var qn2 = 0L
+    i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble * scale
+      // round half away from zero — Spark round() and DuckDB round()
+      val c = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toInt
+      codes(i) = c
+      qn2 += c.toLong * c
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes), qn2)
+  }
+}
+
 /** Registration + Column-level API for the custom expressions. */
 object GraftFunctions {
   private val Name = "graft_vec_dot"
   private val PolyName = "graft_poly_hash62"
+  private val QuantName = "graft_int8_quantize"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -132,6 +213,8 @@ object GraftFunctions {
       Name, exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       PolyName, exprs => StringPolyHash62(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      QuantName, exprs => Int8QuantizeCodes(exprs(0)), "built-in")
   }
 
   /** Dot product of two array<float> columns (register first). */
@@ -139,4 +222,7 @@ object GraftFunctions {
 
   /** Codegen'd 62-bit polynomial string hash (register first). */
   def polyHash62(s: Column): Column = call_function(PolyName, s)
+
+  /** One-pass int8 quantization struct (register first). */
+  def int8Quantize(v: Column): Column = call_function(QuantName, v)
 }

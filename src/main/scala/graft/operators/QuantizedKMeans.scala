@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K-means over int8-quantized embeddings — corpus-curation clustering
@@ -41,23 +40,42 @@ object QuantizedKMeans {
   }
 
   /** Assign every vector to its nearest centroid: adds `cluster_id` and
-    * the exact integer squared distance `qd2`. Centroids are broadcast;
-    * the per-vector argmin runs inside one projection + one bounded
-    * window (k candidate rows per vector), ties to the lowest
-    * cluster_id. */
+    * the exact integer squared distance `qd2`, ties to the lowest
+    * cluster_id. Plan shape: centroids broadcast into a per-row scoring
+    * projection (codegen'd integer dots), and the argmin is `min` over
+    * ONE packed long — `qd2 << 20 | dense-centroid-index` — so the
+    * aggregate is a map-side-combinable codegen HashAggregate on a
+    * primitive (a struct-ordered min_by would fall back to
+    * SortAggregate and sort every candidate row). The code arrays never
+    * cross an exchange; the corpus is re-joined once, id-keyed, to carry
+    * them to the output. Limits (ANSI-checked, generous): ≤ 2^20
+    * centroids, qd2 < 2^43 (dims × 254² — holds beyond 10^8 dims). */
   def assign(q: DataFrame, centroids: DataFrame, idCol: String): DataFrame = {
     val clash = Seq("cluster_id", "qd2").filter(q.columns.contains)
     require(clash.isEmpty,
       s"input already has ${clash.mkString(", ")} — rename before assigning")
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("qd2"), col("cluster_id"))
-    q.crossJoin(broadcast(centroids))
-      .withColumn("qd2",
-        col("qnorm2") + col("cnorm2") -
-          lit(2L) * VectorQuantization.int8Dot(col("q8"), col("c8")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__rk", "c8", "cnorm2")
+    graft.functions.GraftFunctions.register(q.sparkSession)
+    // dense 0-based index in cluster_id order: packed-min tie-break on the
+    // index IS the tie-break on the id. k rows — the one-partition window
+    // sees only the (broadcast-sized) centroid frame.
+    val cw = org.apache.spark.sql.expressions.Window.orderBy(col("cluster_id"))
+    val cents = centroids.withColumn("cidx",
+      (row_number().over(cw) - 1).cast("long"))
+    val packed = shiftleft(
+      col("qnorm2") + col("cnorm2") -
+        lit(2L) * VectorQuantization.int8DotFast(col("q8"), col("c8")),
+      20) + col("cidx")
+    val best = q.select(col(idCol), col("q8"), col("qnorm2"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), packed.as("__p"))
+      .groupBy(col(idCol))
+      .agg(min(col("__p")).as("__p"))
+      .select(col(idCol), shiftright(col("__p"), 20).as("qd2"),
+        pmod(col("__p"), lit(1L << 20)).as("cidx"))
+      .join(broadcast(cents.select(col("cidx"), col("cluster_id"))),
+        Seq("cidx"))
+      .select(col(idCol), col("cluster_id"), col("qd2"))
+    q.join(best, Seq(idCol))
   }
 
   /** Centroid update in long form: per (cluster_id, dim_pos) the exact

@@ -21,8 +21,30 @@ object VectorQuantization {
 
   /** Add `q8` (int8-range codes; array<int> for arithmetic headroom) and
     * `qnorm2` (integer squared norm of the codes) for `vecCol`. Zero
-    * vectors quantize to all-zero codes. */
+    * vectors quantize to all-zero codes. Runs through the codegen'd
+    * [[graft.functions.Int8QuantizeCodes]] loop (registered on the
+    * session here, idempotently) — value-identical to
+    * [[quantizeInt8Declarative]], which stays as the registration-free
+    * executable statement of the semantics. */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val reserved = Seq("q8", "qnorm2", "__qz").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input already has output column(s) ${reserved.mkString(", ")} — " +
+        "rename them before quantizing")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__qz",
+        graft.functions.GraftFunctions.int8Quantize(col(vecCol)))
+      .withColumn("q8", col("__qz.q8"))
+      .withColumn("qnorm2", col("__qz.qnorm2"))
+      .drop("__qz")
+  }
+
+  /** The declarative reference form of [[quantizeInt8]] — five chained
+    * higher-order functions, exactly the construction the DuckDB oracles
+    * replay. Interpreted (≈0.4 ms/row at 64 dims), so the hot paths use
+    * the codegen expression; QuantizationSpec holds the two equal on
+    * randomized vectors. */
+  def quantizeInt8Declarative(df: DataFrame, vecCol: String): DataFrame = {
     val reserved = Seq("q8", "qnorm2", "__scale").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"input already has output column(s) ${reserved.mkString(", ")} — " +
@@ -52,4 +74,16 @@ object VectorQuantization {
     * anywhere, unlike a float-accumulated cosine. */
   def quantizedCosine(dot: Column, qn2a: Column, qn2b: Column): Column =
     dot.cast("double") / sqrt(qn2a.cast("double") * qn2b.cast("double"))
+
+  /** [[int8Dot]] through the codegen'd [[graft.functions.FloatVectorDot]]
+    * loop: int8 codes are exact in float32 (|v| ≤ 127 ≪ 2^24), per-term
+    * products are exact in the double accumulator, and every partial sum
+    * stays far below 2^53 — so the result EQUALS int8Dot bit-for-bit
+    * while replacing the interpreted zip_with/aggregate lambdas with a
+    * generated primitive loop. Requires
+    * [[graft.functions.GraftFunctions.register]] on the session (the
+    * declarative [[int8Dot]] stays the registration-free form). */
+  def int8DotFast(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions
+      .vecDot(a.cast("array<float>"), b.cast("array<float>")).cast("long")
 }

@@ -58,4 +58,35 @@ class QuantizationSpec extends SparkSpec {
       s"the a-cluster outranks the b-cluster, got $scored")
     assert(scored.drop(2).toSet == Set(3L, 4L))
   }
+
+  test("codegen quantize equals the declarative reference, dot for dot") {
+    import spark.implicits._
+    import graft.operators.VectorQuantization._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 300L).map { i =>
+      val dim = 1 + (i % 7).toInt * 9
+      (i, Seq.fill(dim)((rnd.nextFloat() - 0.5f) * (1 << rnd.nextInt(12))))
+    } ++ Seq(
+      300L -> Seq(0f, 0f, 0f),      // zero vector
+      301L -> Seq.empty[Float],     // empty array
+      302L -> Seq(-2.5f, 2.5f, 5f)) // exact .5 boundaries after scaling
+    val df = vecs.toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id", "q8", "qnorm2").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    val fast = rows(quantizeInt8(df, "embedding"))
+    val ref = rows(quantizeInt8Declarative(df, "embedding"))
+    assert(fast.keySet == ref.keySet)
+    fast.foreach { case (id, (codes, n2)) =>
+      assert(codes == ref(id)._1, s"vec $id codes differ")
+      assert(n2 == ref(id)._2, s"vec $id norms differ")
+    }
+    // the fast integer dot equals the interpreted one on the same codes
+    val q = quantizeInt8(df, "embedding")
+    val both = q.filter(col("vec_id") < 100)
+      .select(int8Dot(col("q8"), col("q8")).as("slow"),
+        int8DotFast(col("q8"), col("q8")).as("fast"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
