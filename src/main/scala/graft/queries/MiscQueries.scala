@@ -628,11 +628,59 @@ object MiscQueries {
         LEFT JOIN s3 USING (user_id)
       ORDER BY u.user_id"""))
 
+  // ---------------------------------------------------------------- q162
+  /** Integer-mass influence propagation ([[graft.operators.MassRank]] —
+    * PageRank semantics on the supplier→customer order graph, computed
+    * in EXACT integer mass units so every iteration is bit-reproducible:
+    * damped out-flow by integer division, remainders retained, dangling
+    * nodes keep everything, total mass conserved as an integer identity.
+    * The oracle replays all three iterations as chained CTEs with `//`
+    * and `%`, so a hash match pins the entire propagation, which float
+    * PageRank can never offer an independent engine. */
+  val q162MassRank = Q(
+    "q162_mass_rank",
+    (s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+        .distinct()
+      graft.operators.MassRank.rank(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    },
+    Some {
+      val pre = """WITH edges AS (
+          SELECT DISTINCT 's' || cast(l_suppkey AS varchar) AS src,
+            'c' || cast(o_custkey AS varchar) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst AS node FROM edges),
+        outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        m0 AS (SELECT node, cast(1000000 AS bigint) AS mass FROM nodes)"""
+      val rounds = (1 to 3).map { i =>
+        s""",
+        s$i AS (SELECT m.node, m.mass, o.od,
+            CASE WHEN o.od IS NULL THEN 0
+              ELSE (m.mass * 85) // 100 END AS out_mass,
+            CASE WHEN o.od IS NULL THEN NULL
+              ELSE ((m.mass * 85) // 100) // o.od END AS share
+          FROM m${i - 1} m LEFT JOIN outdeg o ON m.node = o.src),
+        r$i AS (SELECT e.dst AS node, sum(s.share) AS recv
+          FROM edges e JOIN s$i s ON e.src = s.node GROUP BY e.dst),
+        m$i AS (SELECT s.node,
+            cast(s.mass - s.out_mass +
+              CASE WHEN s.od IS NULL THEN 0 ELSE s.out_mass % s.od END +
+              coalesce(r.recv, 0) AS bigint) AS mass
+          FROM s$i s LEFT JOIN r$i r ON s.node = r.node)"""
+      }.mkString
+      pre + rounds + "\nSELECT node, mass FROM m3 ORDER BY node"
+    })
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
     q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
-    q157ZorderKey, q160Funnel)
+    q157ZorderKey, q160Funnel, q162MassRank)
 }
