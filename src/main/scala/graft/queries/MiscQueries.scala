@@ -676,11 +676,40 @@ object MiscQueries {
       pre + rounds + "\nSELECT node, mass FROM m3 ORDER BY node"
     })
 
+  // ---------------------------------------------------------------- q163
+  /** Trailing-window sequence extraction
+    * ([[graft.operators.EventWindows]]): every 4th position of each
+    * user's time-ordered history emits the trailing 8 event types as one
+    * training sequence — rank and the sliding collect share ONE window
+    * sort. The oracle replays ranks, fenceposts, and the sequence
+    * CONTENTS (as a joined string, sidestepping array-encoding
+    * differences), so the verdict pins every emitted sequence
+    * byte-for-byte. */
+  val q163EventWindows = Q(
+    "q163_event_windows",
+    (s, d) => graft.operators.EventWindows.trailing(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        col("event_type"), k = 8, stride = 4)
+      .select(col("user_id"), col("end_rank").cast("long").as("end_rank"),
+        concat_ws(" ", col("seq")).as("seq_str"),
+        size(col("seq")).cast("long").as("seq_len"))
+      .orderBy(col("user_id"), col("end_rank")),
+    Some("""WITH r AS (SELECT user_id, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS end_rank,
+        list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+      FROM events)
+      SELECT user_id, end_rank, array_to_string(win, ' ') AS seq_str,
+        cast(len(win) AS bigint) AS seq_len
+      FROM r WHERE end_rank >= 8 AND (end_rank - 8) % 4 = 0
+      ORDER BY user_id, end_rank"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
     q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
-    q157ZorderKey, q160Funnel, q162MassRank)
+    q157ZorderKey, q160Funnel, q162MassRank, q163EventWindows)
 }
