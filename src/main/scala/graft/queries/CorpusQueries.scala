@@ -108,9 +108,10 @@ object CorpusQueries {
       r AS (SELECT t.source, doc_id, tok, budget,
           row_number() OVER (PARTITION BY t.source ORDER BY h, doc_id)
             AS mix_rank,
-          coalesce(sum(tok) OVER (PARTITION BY t.source ORDER BY h, doc_id
+          cast(coalesce(sum(tok) OVER (PARTITION BY t.source
+            ORDER BY h, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS cum_start
+            AS bigint) AS cum_start
         FROM t JOIN b USING (source))
       SELECT source, mix_rank, doc_id, cum_start FROM r
       WHERE cum_start < budget ORDER BY source, mix_rank"""))
@@ -225,9 +226,10 @@ object CorpusQueries {
       r AS (SELECT t.source, doc_id, tok, budget,
           row_number() OVER (PARTITION BY t.source ORDER BY h, doc_id)
             AS mix_rank,
-          coalesce(sum(tok) OVER (PARTITION BY t.source ORDER BY h, doc_id
+          cast(coalesce(sum(tok) OVER (PARTITION BY t.source
+            ORDER BY h, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS cum_start
+            AS bigint) AS cum_start
         FROM t JOIN b USING (source))
       SELECT source, mix_rank, doc_id, cum_start FROM r
       WHERE cum_start < budget ORDER BY source, mix_rank"""))

@@ -327,7 +327,8 @@ object TextOps {
           PARTITION BY shard ORDER BY doc_id
           ROWS UNBOUNDED PRECEDING) - tok AS start
         FROM t)
-      SELECT shard, start // 512 AS pack_id, count(*) AS n_docs,
+      SELECT shard, cast(start // 512 AS bigint) AS pack_id,
+        count(*) AS n_docs,
         cast(sum(tok) AS bigint) AS pack_tokens,
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id"""))
