@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Classic OLAP surface rounding out the window/aggregate family:
+  * time-RANGE rolling frames, ROLLUP subtotal lattices, PIVOT
+  * crosstabs, and NTILE bucketing. All exact integer outputs, so every
+  * oracle is a direct restatement in DuckDB's dialect.
+  */
+object OlapQueries {
+
+  // ---------------------------------------------------------------- q164
+  /** Rolling 7-day activity per user — a RANGE frame over event-time
+    * (value-based, not row-based: the frame is "the last 7 DAYS", not
+    * "the last N rows", so gaps and bursts are handled correctly). The
+    * frame key is the epoch day number, making the window arithmetic
+    * pure integers; one user-keyed window sort serves count and sum. */
+  val q164RollingRange = Q(
+    "q164_rolling_range",
+    (s, d) => {
+      val day = floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), day.as("day"),
+          round(col("value") * 100).cast("long").as("value_c"))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("sum_7d", (sum(col("value_c")).over(w) / 100.0))
+        .select(col("user_id"), col("event_id"), col("day"),
+          col("n_7d"), col("sum_7d"))
+        .orderBy(col("user_id"), col("day"), col("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+        cast(floor(epoch(ts) / 86400) AS bigint) AS day,
+        cast(round(value * 100) AS bigint) AS value_c
+      FROM events)
+      SELECT user_id, event_id, day,
+        count(*) OVER w AS n_7d,
+        cast(sum(value_c) OVER w AS bigint) / 100.0 AS sum_7d
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, day, event_id"""))
+
+  // ---------------------------------------------------------------- q165
+  /** ROLLUP subtotal lattice over (source, lang): per-pair totals,
+    * per-source subtotals, and the grand total in ONE pass — Spark plans
+    * a single Expand + aggregation, not three scans. `grouping()` flags
+    * distinguish real NULLs from subtotal rows, the part naive
+    * GROUP BY unions get wrong. */
+  val q165Rollup = Q(
+    "q165_rollup",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("tok"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        grouping(col("source")).cast("long").as("g_source"),
+        grouping(col("lang")).cast("long").as("g_lang"))
+      .orderBy(col("g_source"), col("g_lang"), col("source"), col("lang")),
+    Some("""SELECT source, lang, count(*) AS n_docs,
+        cast(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+          AS bigint) AS n_tokens,
+        cast(grouping(source) AS bigint) AS g_source,
+        cast(grouping(lang) AS bigint) AS g_lang
+      FROM documents GROUP BY ROLLUP (source, lang)
+      ORDER BY g_source, g_lang, source, lang"""))
+
+  // ---------------------------------------------------------------- q166
+  /** PIVOT crosstab: per-user event counts spread into one column per
+    * event type (the report-shaped output). Spark's pivot with an
+    * EXPLICIT value list — never the implicit distinct-scan, which adds
+    * a blocking pass and makes the output schema data-dependent; the
+    * oracle is the standard conditional-aggregation expansion. */
+  val q166Pivot = Q(
+    "q166_pivot",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup",
+        "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+        count(*) FILTER (event_type = 'click') AS click,
+        count(*) FILTER (event_type = 'error') AS error,
+        count(*) FILTER (event_type = 'purchase') AS purchase,
+        count(*) FILTER (event_type = 'signup') AS signup,
+        count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q167
+  /** NTILE quartiles + cumulative rank stats per group: spend quartile
+    * within each order priority, plus percent_rank and cume_dist — the
+    * remaining rank-family windows (W1–W9 cover row_number/rank/
+    * dense_rank/lag/lead/percentile-by-rank). All three share one
+    * window sort. Ratios are exact-integer divisions through IEEE
+    * doubles, so they hash-match. */
+  val q167Ntile = Q(
+    "q167_ntile",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("total_c"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          (col("total_c") / 100.0).as("total"), col("quartile"),
+          round(col("pct_rank"), 6).as("pct_rank_r"),
+          round(col("cume"), 6).as("cume_r"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_orderpriority,
+        cast(round(o_totalprice * 100) AS bigint) AS total_c,
+        cast(ntile(4) OVER w AS bigint) AS quartile,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+        ORDER BY cast(round(o_totalprice * 100) AS bigint), o_orderkey))
+      SELECT o_orderpriority, o_orderkey, total_c / 100.0 AS total,
+        quartile, round(pct_rank, 6) AS pct_rank_r,
+        round(cume, 6) AS cume_r
+      FROM r WHERE o_orderkey % 10 = 0
+      ORDER BY o_orderpriority, o_orderkey"""))
+
+  val all: Seq[Q] = Seq(q164RollingRange, q165Rollup, q166Pivot, q167Ntile)
+}

@@ -6,7 +6,8 @@ object Registry {
     Relational.all ++ Windows.all ++ Activity.all ++ TextOps.all ++
       SimOps.all ++ EngineQueries.all ++ PipelineQueries.all ++
       MiscQueries.all ++ EdgeQueries.all ++ MusicQueries.all ++
-      IngestQueries.all ++ CorpusQueries.all ++ SketchQueries.all
+      IngestQueries.all ++ CorpusQueries.all ++ SketchQueries.all ++
+      OlapQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all
