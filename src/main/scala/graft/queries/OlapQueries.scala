@@ -131,5 +131,74 @@ object OlapQueries {
       FROM r WHERE o_orderkey % 10 = 0
       ORDER BY o_orderpriority, o_orderkey"""))
 
-  val all: Seq[Q] = Seq(q164RollingRange, q165Rollup, q166Pivot, q167Ntile)
+  // ---------------------------------------------------------------- q168
+  /** Recency-weighted popularity with EXACT integer decay: each event
+    * contributes `2^40 >> age_weeks` mass units (a half-life of one
+    * week), so "what's hot now" is a single aggregation whose scores are
+    * bit-reproducible — no float pow, no accumulation-order ambiguity.
+    * The anchor is the data's own max timestamp (the StatsRange
+    * discipline: stats anchor to the data, not the wall clock). Mass
+    * for events older than 40 weeks shifts to exactly 0 — the horizon
+    * is explicit, not a float underflow. */
+  val q168DecayedPopularity = Q(
+    "q168_decayed_popularity",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(max(unix_timestamp(col("ts"))))
+        .collect()(0).getLong(0) // scalar anchor: one number to the driver
+      val age = floor((lit(anchor) - unix_timestamp(col("ts")))
+        / lit(604800L)).cast("int")
+      ev.select(col("event_type"), age.as("age"))
+        // shiftright's Scala binding takes a literal shift; the SQL form
+        // accepts a column amount, which the decay needs
+        .withColumn("mass",
+          expr(s"shiftright(cast(${1L << 40} as bigint), least(age, 62))"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("mass")).as("decayed_mass"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH a AS (SELECT max(epoch(ts)) AS anchor FROM events),
+      m AS (SELECT event_type,
+        (cast(1 AS bigint) << 40) >> least(cast(floor(
+          ((SELECT anchor FROM a) - epoch(ts)) / 604800) AS int), 62)
+          AS mass
+      FROM events)
+      SELECT event_type, count(*) AS n_events,
+        cast(sum(mass) AS bigint) AS decayed_mass
+      FROM m GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q169
+  /** INTERSECT / EXCEPT set algebra (the U-family's missing members):
+    * users who both clicked AND purchased, users who clicked but NEVER
+    * purchased, with SQL set semantics (distinct). Spark plans these as
+    * left-semi/left-anti aggregates — no manual join needed. The union
+    * of both with a tag gives one ordered, oracled result. */
+  val q169SetAlgebra = Q(
+    "q169_set_algebra",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def typed(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id"))
+      val both = typed("click").intersect(typed("purchase"))
+        .withColumn("tag", lit("both"))
+      val only = typed("click").except(typed("purchase"))
+        .withColumn("tag", lit("click_only"))
+      both.unionByName(only).orderBy(col("tag"), col("user_id"))
+    },
+    Some("""WITH b AS (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'),
+      o AS (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+      SELECT user_id, 'both' AS tag FROM b
+      UNION ALL
+      SELECT user_id, 'click_only' AS tag FROM o
+      ORDER BY tag, user_id"""))
+
+  val all: Seq[Q] = Seq(q164RollingRange, q165Rollup, q166Pivot, q167Ntile,
+    q168DecayedPopularity, q169SetAlgebra)
 }
