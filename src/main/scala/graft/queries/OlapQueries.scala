@@ -199,6 +199,62 @@ object OlapQueries {
       SELECT user_id, 'click_only' AS tag FROM o
       ORDER BY tag, user_id"""))
 
+  // ---------------------------------------------------------------- q170
+  /** UNPIVOT (melt) — q166's inverse: the wide per-user crosstab back to
+    * long (user, event_type, n) form, dropping empty cells. Spark's
+    * native `unpivot` (stack under the hood — a per-row expand, no
+    * shuffle beyond the source agg); the oracle restates it as the
+    * filtered union DuckDB's UNPIVOT desugars to. */
+  val q170Unpivot = Q(
+    "q170_unpivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")),
+          types.map(col).toArray, "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""))
+
+  // ---------------------------------------------------------------- q171
+  /** Equi-width histogram: order totals binned into 10 equal-width
+    * buckets between the data's own min and max — the profiling
+    * companion to q147's quantile (equi-depth) path. Bin ids are exact
+    * integer arithmetic on cents (`div`), so edges are engine-portable;
+    * the top edge closes into the last bin, the textbook rule. */
+  val q171Histogram = Q(
+    "q171_histogram",
+    (s, d) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val mm = Tables.orders(s, d)
+        .agg(min(cents).as("lo"), max(cents).as("hi")).collect()(0)
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / 10 + 1 // +1 closes the top edge into bin 9
+      Tables.orders(s, d)
+        .select(cents.as("c"))
+        .withColumn("bin", expr(s"(c - $lo) div $width"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          (min(col("c")) / 100.0).as("bin_min"),
+          (max(col("c")) / 100.0).as("bin_max"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH c AS (SELECT cast(round(o_totalprice * 100) AS bigint)
+          AS c FROM orders),
+      mm AS (SELECT min(c) AS lo,
+          (max(c) - min(c)) // 10 + 1 AS width FROM c)
+      SELECT cast((c - lo) // width AS bigint) AS bin,
+        count(*) AS n_orders,
+        min(c) / 100.0 AS bin_min, max(c) / 100.0 AS bin_max
+      FROM c, mm GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q164RollingRange, q165Rollup, q166Pivot, q167Ntile,
-    q168DecayedPopularity, q169SetAlgebra)
+    q168DecayedPopularity, q169SetAlgebra, q170Unpivot, q171Histogram)
 }
