@@ -493,7 +493,58 @@ object SimOps {
       SELECT qid, rank, vid, qdot, round(qcos, 6) AS qcos_r FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---------------------------------------------------------------- q172
+  /** Cluster-balanced sampling — the diversity-quota curation step:
+    * embeddings are clustered (q155's integer-exact k-means assignment)
+    * and each cluster contributes exactly 20 md5-ranked vectors, so the
+    * sample covers the embedding space instead of mirroring its density
+    * skew. ONE plan composes two individually-oracled operators; the
+    * oracle replays quantization, seeding, argmin, AND the per-cluster
+    * hash ranking, pinning the composition end-to-end. */
+  val q172ClusterBalanced = Q(
+    "q172_cluster_balanced_sample",
+    (s, d) => {
+      import graft.operators.{QuantizedKMeans, StratifiedSample,
+        VectorQuantization}
+      val q = VectorQuantization
+        .quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("q8"), col("qnorm2"))
+      val assigned = QuantizedKMeans
+        .assign(q, QuantizedKMeans.seedCentroids(q, "vec_id", 6), "vec_id")
+        .select(col("vec_id"), col("cluster_id"))
+      StratifiedSample
+        .exactPerStratum(assigned, "cluster_id", "vec_id", k = 20)
+        .select(col("cluster_id"), col("sample_rank"), col("vec_id"))
+        .orderBy(col("cluster_id"), col("sample_rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      s AS (SELECT vec_id, v,
+        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+          AS scale FROM e),
+      q AS (SELECT vec_id,
+        list_transform(v, x -> cast(round(x * scale) AS BIGINT)) AS qv
+        FROM s),
+      n AS (SELECT vec_id, qv,
+        cast(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT)
+          AS qn2 FROM q),
+      c AS (SELECT vec_id AS cluster_id, qv AS cv, qn2 AS cn2
+        FROM n ORDER BY vec_id LIMIT 6),
+      d AS (SELECT n.vec_id, c.cluster_id,
+          row_number() OVER (PARTITION BY n.vec_id
+            ORDER BY n.qn2 + c.cn2 - 2 * cast(
+              list_dot_product(n.qv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT),
+              c.cluster_id) AS rk
+        FROM n CROSS JOIN c),
+      a AS (SELECT vec_id, cluster_id FROM d WHERE rk = 1),
+      r AS (SELECT cluster_id, vec_id, row_number() OVER (
+          PARTITION BY cluster_id
+          ORDER BY md5(cast(vec_id AS varchar)), vec_id) AS sample_rank
+        FROM a)
+      SELECT cluster_id, sample_rank, vec_id FROM r
+      WHERE sample_rank <= 20 ORDER BY cluster_id, sample_rank"""))
+
   val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
     q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized, q155KmeansAssign,
-    q161AnnIncremental)
+    q161AnnIncremental, q172ClusterBalanced)
 }
