@@ -375,6 +375,41 @@ object EngineQueries {
       TRUE AS est_within_rsd
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q173
+  /** Event-time windowed streaming aggregation, driver-oracled (the
+    * second oracled Structured Streaming path beside q135's ingest):
+    * the event table is replayed one file per micro-batch through
+    * [[graft.streaming.StreamingStats.windowedActivity]] — watermarked
+    * tumbling 1-day windows per event type — and the final window table
+    * must equal the batch statement of the same windows (DuckDB
+    * date_trunc). Proves window assignment, cross-batch accumulation,
+    * and event-time (not arrival-time) semantics survive the
+    * micro-batch boundaries. */
+  val q173StreamingWindows = Q(
+    "q173_streaming_windows",
+    (s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+        .select(col("ts"), col("event_type"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q173").toString
+      ev.repartition(4).write.parquet(s"$work/stage")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+      graft.streaming.StreamingStats
+        .windowedActivity(stream, "event_type", "ts", "1 day", "1 hour")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("q173_windows")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table("q173_windows")
+        .select(col("bucket_start").as("window_start"), col("event_type"),
+          col("listen_count"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""SELECT date_trunc('day', ts) AS window_start, event_type,
+        count(*) AS listen_count
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
   // ---------------------------------------------------------------- q89
   /** Cache-joined genre activity via CacheJoinedStats.GenreActivity: the
     * part table plays the dimension cache (partkey → brand ≙ recording →
@@ -635,5 +670,6 @@ object EngineQueries {
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
     q89GenreActivity, q90ListeningTime, q91FreshReleases,
     q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
-    q129BucketedAgg, q135StreamingIngest, q158SketchDistinct)
+    q129BucketedAgg, q135StreamingIngest, q158SketchDistinct,
+    q173StreamingWindows)
 }

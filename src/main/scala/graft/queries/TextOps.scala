@@ -560,10 +560,55 @@ object TextOps {
       FROM t JOIN thr ON t.lang = thr.lang
       GROUP BY t.lang, threshold ORDER BY t.lang"""))
 
+  // ---------------------------------------------------------------- q174
+  /** Bigram familiarity scoring — the count-based analogue of the KenLM
+    * perplexity quality gate: each document is scored by how common its
+    * word bigrams are in the corpus itself (average corpus frequency of
+    * the doc's bigram occurrences). Low scores flag boilerplate-free but
+    * alien text (wrong language, encoding damage, gibberish) without any
+    * external model. Exact integer counts end-to-end; the score is
+    * bigint/bigint through IEEE division, so the oracle is hash-exact —
+    * no log-space floats. Scale shape: one bigram count aggregation +
+    * one join back, both keyed on the bigram (at 100 TB the relaxed
+    * path broadcasts the top-K bigram table and treats the tail as
+    * count 1; this is the exact reference semantics that relaxation
+    * must approximate). Docs with fewer than 2 tokens have no bigrams
+    * and are absent. */
+  val q174BigramFamiliarity = Q(
+    "q174_bigram_familiarity",
+    (s, d) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val bi = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(when(size(toks) >= 2,
+            transform(sequence(lit(0), size(toks) - 2),
+              i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+            .otherwise(array().cast("array<string>"))).as("bigram"))
+      val counts = bi.groupBy(col("bigram"))
+        .agg(count(lit(1)).as("bg_count"))
+      bi.join(counts, Seq("bigram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("bg_count")).as("familiar_sum"))
+        .withColumn("score", col("familiar_sum") / col("n_bigrams"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+      b AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2),
+      c AS (SELECT bigram, count(*) AS bg_count FROM b GROUP BY bigram)
+      SELECT doc_id, count(*) AS n_bigrams,
+        cast(sum(bg_count) AS bigint) AS familiar_sum,
+        cast(sum(bg_count) AS bigint) / count(*) AS score
+      FROM b JOIN c USING (bigram) GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q41DedupExact, q42TokenStats, q43QualityScore, q44LangId,
     q45NgramJaccard, q117CorpusPipeline, q118RegexTokens,
     q136SeqPacking, q137StratifiedSample, q140PiiRedact, q141Decontaminate,
     q142DocChunks, q143RepetitionFilter, q146LeakageSafeSplit,
-    q147QuantileFloor)
+    q147QuantileFloor, q174BigramFamiliarity)
 }
