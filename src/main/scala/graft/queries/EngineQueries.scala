@@ -406,8 +406,8 @@ object EngineQueries {
           col("listen_count"))
         .orderBy(col("window_start"), col("event_type"))
     },
-    Some("""SELECT date_trunc('day', ts) AS window_start, event_type,
-        count(*) AS listen_count
+    Some("""SELECT cast(date_trunc('day', ts) AS timestamp)
+        AS window_start, event_type, count(*) AS listen_count
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
   // ---------------------------------------------------------------- q89
