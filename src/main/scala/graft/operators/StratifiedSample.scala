@@ -59,4 +59,46 @@ object StratifiedSample {
       .filter(col("sample_rank") <= col("__budget"))
       .drop("__budget")
   }
+
+  /** Deterministic WEIGHTED sampling by hash tickets: row i holds
+    * `weight_i` tickets (an integer column, clamped to [1, maxTickets]),
+    * every ticket draws the uniform value `md5(id ":" ticket ":" salt)`,
+    * and the row's key is its MINIMUM draw — so the probability that a
+    * row holds the globally smallest ticket is exactly weight_i / Σw,
+    * and taking the k smallest row-minima yields a weight-biased,
+    * fully reproducible sample (same salt → same sample on any engine
+    * with md5; the q79 determinism discipline extended to weights).
+    *
+    * Scale shape: the explode is bounded by Σ min(weight, maxTickets) —
+    * maxTickets caps the blow-up explicitly — and the per-row min is a
+    * map-side-combinable aggregate; the global top-k is a
+    * TakeOrderedAndProject (k rows per partition forwarded). Adds
+    * `ticket_min` (the winning draw) and `sample_rank` (1-based). */
+  def weightedByTickets(
+      df: DataFrame, idCol: String, weightCol: Column, k: Int,
+      salt: String, maxTickets: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxTickets >= 1 && maxTickets <= 4096,
+      s"maxTickets must be in [1,4096], got $maxTickets")
+    val reserved = Seq("ticket_min", "sample_rank", "__t")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input already has output column(s) ${reserved.mkString(", ")} — " +
+        "rename them before sampling")
+    val tickets = greatest(least(weightCol.cast("int"), lit(maxTickets)),
+      lit(1))
+    val mins = df
+      .select(col(idCol),
+        explode(sequence(lit(1), tickets)).as("__t"))
+      .select(col(idCol),
+        md5(concat(col(idCol).cast("string"), lit(":"), col("__t"),
+          lit(":" + salt)).cast("binary")).as("__draw"))
+      .groupBy(col(idCol))
+      .agg(min(col("__draw")).as("ticket_min"))
+      .orderBy(col("ticket_min"), col(idCol))
+      .limit(k)
+      .withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("ticket_min"), col(idCol))))
+    df.join(mins, Seq(idCol))
+  }
 }

@@ -605,10 +605,48 @@ object TextOps {
         cast(sum(bg_count) AS bigint) / count(*) AS score
       FROM b JOIN c USING (bigram) GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q175
+  /** Deterministic WEIGHTED sampling
+    * ([[graft.operators.StratifiedSample.weightedByTickets]]): the
+    * top-100 documents drawn with probability proportional to token
+    * count — each document holds min(tokens, 64) md5 tickets and its
+    * key is its smallest draw, so long documents win proportionally
+    * more often yet the whole sample is a pure function of (corpus,
+    * salt). The oracle replays every ticket draw, the per-doc minima,
+    * and the global ranking, pinning the sampled set and its order. */
+  val q175WeightedSample = Q(
+    "q175_weighted_sample",
+    (s, d) => {
+      val tok = size(filter(split(col("text"), " "), t => t =!= ""))
+      graft.operators.StratifiedSample.weightedByTickets(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), tok.as("w")),
+          "doc_id", col("w"), k = 100, salt = "wt-r5")
+        .select(col("doc_id"), col("lang"), col("w").cast("long").as("w"),
+          col("sample_rank").cast("long").as("sample_rank"),
+          col("ticket_min"))
+        .orderBy(col("sample_rank"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+        cast(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS int) AS w
+      FROM documents),
+      m AS (SELECT doc_id, min(md5(cast(doc_id AS varchar) || ':' ||
+          cast(u.t AS varchar) || ':wt-r5')) AS ticket_min
+        FROM t, unnest(generate_series(1, greatest(least(w, 64), 1)))
+          AS u(t)
+        GROUP BY doc_id),
+      r AS (SELECT doc_id, ticket_min, row_number() OVER (
+          ORDER BY ticket_min, doc_id) AS sample_rank FROM m)
+      SELECT r.doc_id, lang, cast(w AS bigint) AS w, sample_rank,
+        ticket_min
+      FROM r JOIN t USING (doc_id) WHERE sample_rank <= 100
+      ORDER BY sample_rank"""))
+
   val all: Seq[Q] = Seq(
     q41DedupExact, q42TokenStats, q43QualityScore, q44LangId,
     q45NgramJaccard, q117CorpusPipeline, q118RegexTokens,
     q136SeqPacking, q137StratifiedSample, q140PiiRedact, q141Decontaminate,
     q142DocChunks, q143RepetitionFilter, q146LeakageSafeSplit,
-    q147QuantileFloor, q174BigramFamiliarity)
+    q147QuantileFloor, q174BigramFamiliarity, q175WeightedSample)
 }

@@ -186,4 +186,34 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       SourceMix.temperatureBudgets(docs, "source", col("tok"), -1L))
   }
+
+  test("weighted tickets: heavy rows win proportionally, deterministic") {
+    import spark.implicits._
+    // one row with 60 tickets among 200 rows with 1 ticket each: the
+    // heavy row should appear in a small top-k far more often than
+    // uniform (it holds 60/260 of all tickets)
+    val docs = ((0L until 200L).map(i => (i, 1)) :+ (999L, 60))
+      .toDF("doc_id", "w")
+    val s1 = StratifiedSample.weightedByTickets(
+      docs, "doc_id", col("w"), k = 20, salt = "a")
+    assert(s1.count() == 20)
+    val s2 = StratifiedSample.weightedByTickets(
+      docs, "doc_id", col("w"), k = 20, salt = "a")
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSeq ==
+      s2.select("doc_id").collect().map(_.getLong(0)).toSeq,
+      "same salt must reproduce the sample exactly")
+    // across 30 salts, the heavy row lands in the top-20 far more often
+    // than a 1-ticket row would (deterministic given the salt list)
+    val hits = (0 until 30).count { s =>
+      StratifiedSample.weightedByTickets(
+        docs, "doc_id", col("w"), 20, s"salt$s")
+        .filter(col("doc_id") === 999L).count() == 1
+    }
+    assert(hits >= 20, s"heavy row hit only $hits/30 top-20s")
+    intercept[IllegalArgumentException](
+      StratifiedSample.weightedByTickets(docs, "doc_id", col("w"), 0, "x"))
+    intercept[IllegalArgumentException](
+      StratifiedSample.weightedByTickets(
+        docs, "doc_id", col("w"), 5, "x", maxTickets = 0))
+  }
 }
