@@ -41,5 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[Int8QuantizeCodes].getName, "graft_int8_quantize"),
       withArity("graft_int8_quantize", 1)(e => Int8QuantizeCodes(e(0)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[LongBloomMightContain].getName, "graft_bloom_contains"),
+      withArity("graft_bloom_contains", 2)(e =>
+        LongBloomMightContain(e(0), e(1)))))
   }
 }

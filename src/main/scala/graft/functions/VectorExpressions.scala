@@ -206,6 +206,7 @@ object GraftFunctions {
   private val Name = "graft_vec_dot"
   private val PolyName = "graft_poly_hash62"
   private val QuantName = "graft_int8_quantize"
+  private val BloomName = "graft_bloom_contains"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -215,6 +216,8 @@ object GraftFunctions {
       PolyName, exprs => StringPolyHash62(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       QuantName, exprs => Int8QuantizeCodes(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomName, exprs => LongBloomMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** Dot product of two array<float> columns (register first). */
@@ -225,4 +228,9 @@ object GraftFunctions {
 
   /** One-pass int8 quantization struct (register first). */
   def int8Quantize(v: Column): Column = call_function(QuantName, v)
+
+  /** Bloom-filter membership probe of a long key against a serialized
+    * filter literal (register first; see [[LongBloomMightContain]]). */
+  def bloomContains(key: Column, bloomBytes: Column): Column =
+    call_function(BloomName, key, bloomBytes)
 }

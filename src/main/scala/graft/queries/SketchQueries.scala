@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, functions => F}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{CountMin, Vocabulary}
+import graft.operators.{BloomPrune, CountMin, Vocabulary}
 
 /** Sketch-based approximate operators: sublinear structures whose
   * shuffles are bounded by the SKETCH size, not the data — the 100 TB
@@ -56,5 +57,76 @@ object SketchQueries {
         cms_count >= n_occurrences AS never_under
       FROM v JOIN est USING (word) ORDER BY v.word"""))
 
-  val all: Seq[Q] = Seq(q153CmsFrequency)
+  /** Spark-side mirror of [[Q.sqlCents]]. */
+  private def centsSum(e: Column, name: String, scale: Int = 2): Column = {
+    val f = math.pow(10, scale).toLong
+    (F.sum(round(e * f).cast("long")) / f.toDouble).as(name)
+  }
+
+  // ---------------------------------------------------------------- q176
+  /** Bloom-pruned fact⋈dim join ([[graft.operators.BloomPrune.pruneLong]]):
+    * high-value orders (~10% of the dim) drive a bloom filter that drops
+    * ~90% of lineitem BEFORE the join's exchange; the exact join then
+    * removes the bloom's false positives, so the result — and the oracle,
+    * a plain SQL join — is identical to the un-pruned plan. The pruning
+    * is the 100 TB point: the fact rows that cannot match never enter
+    * the shuffle (see BloomPrune scaladoc for the broadcast-vs-shuffle
+    * regime analysis). BloomPruneSpec separately asserts the differential
+    * equality, the no-false-negative guarantee, and that the probe
+    * filter sits under the join in the executed plan. */
+  val q176BloomJoin = Q(
+    "q176_bloom_join",
+    (s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      BloomPrune.pruneLong(fact, "l_orderkey", dim, "o_orderkey")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+            "revenue", 4),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority,
+      ${Q.sqlCents("l_extendedprice * (1 - l_discount)", "revenue", 4)},
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 450000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q177
+  /** Bloom-accelerated anti join ([[BloomPrune.antiJoinLong]]): lineitems
+    * of NON-urgent orders. Keys the bloom reports absent are GUARANTEED
+    * non-matching (blooms have no false negatives), so ~80% of the fact
+    * settles its anti-join verdict without shuffling; only might-contain
+    * rows take the exact anti join. Row-identical to a plain NOT EXISTS
+    * — which is exactly what the oracle runs. DuckDB's sum(bigint) is
+    * hugeint, hence the explicit casts back to bigint. */
+  val q177BloomAnti = Q(
+    "q177_bloom_anti",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      BloomPrune.antiJoinLong(fact, "l_orderkey", urgent, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          F.sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_items,
+        cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey
+          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(q153CmsFrequency, q176BloomJoin, q177BloomAnti)
 }
