@@ -41,8 +41,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts must stay a raw nanos long so the scaled dir remains
-    // drop-in compatible with Tables.events
+    // legacy-format sources (TIMESTAMP(NANOS) events.ts) read as a raw
+    // nanos long and re-write as INT64 — either way the scaled dir stays
+    // drop-in compatible with Tables.events, which branches on the
+    // resolved ts type
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

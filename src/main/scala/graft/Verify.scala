@@ -18,15 +18,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Loud end-of-run summary on BOTH streams: a registered query that
+    // errors must be impossible to miss — round 5 lost 57 queries to a
+    // testdata schema change that only whispered to stderr per-query.
+    val summary =
+      s"[verify] ${selected.size - failed.size}/${selected.size} queries " +
+        (if (failed.isEmpty) "dumped, 0 failed"
+         else s"dumped, ${failed.size} FAILED: ${failed.sorted.mkString(", ")}")
+    println(summary)
+    System.err.println(summary)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
