@@ -24,12 +24,13 @@ import org.apache.spark.sql.functions._
   *
   * Rounds needed = component diameter. Near-dup clusters are shallow
   * (near-cliques of boilerplate variants), so this converges in 2–4
-  * rounds on real corpora; for adversarially long chains the
-  * large-star/small-star algorithm (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", 2014) gives O(log² n) rounds —
-  * the same join/agg primitives, so it drops in here if a corpus ever
-  * needs it. Convergence detection reads ONE scalar per round
-  * (`limit(1).count`) — no data is collected to the driver.
+  * rounds on real corpora; for adversarially long chains,
+  * [[connectedComponentsStar]] implements the large-star/small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", 2014) — O(log² n) rounds regardless of diameter, same
+  * join/agg primitives, identical output contract. Convergence
+  * detection reads ONE scalar per round (`limit(1).count`) — no data
+  * is collected to the driver.
   */
 object Clusters {
 
@@ -78,8 +79,99 @@ object Clusters {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the bound; raise maxIter or switch " +
-        "to the large-star/small-star variant")
+        "to connectedComponentsStar (large-star/small-star)")
     labels
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al. 2014) —
+    * the adversarial-chain fallback to [[connectedComponents]]: where
+    * min-label propagation needs diameter-many rounds (a 10⁶-long chain
+    * of pairwise near-dups needs 10⁶ rounds), the alternating star
+    * operations converge in O(log² n) rounds on ANY topology, so
+    * `maxIter` is a small constant regardless of how pathological the
+    * pair graph is.
+    *
+    * Each round is two steps over a canonical edge set (kept as
+    * `hi > lo` pairs):
+    *   - LARGE-STAR: every node u, over its full neighborhood, connects
+    *     each LARGER neighbor v to m = min(N(u) ∪ {u}) — long chains
+    *     collapse toward local minima in parallel.
+    *   - SMALL-STAR: every node u, over its SMALLER neighbors, connects
+    *     itself and each such neighbor to their collective minimum —
+    *     partial stars flatten onto their centers.
+    * Both steps are one hash aggregation (per-center min) plus one join
+    * (neighbor × center-min) — the same shuffle primitives as label
+    * propagation, both keyed on node id, with `localCheckpoint` lineage
+    * truncation per round (reliable checkpoints on a real cluster).
+    * Fixpoint = the edge set is a union of stars centered at component
+    * minima; convergence is detected by a two-sided `exceptAll` probe
+    * reading one scalar per direction.
+    *
+    * Output contract is identical to [[connectedComponents]]:
+    * (id, comp) for every node appearing in `edges`, comp = the
+    * component's minimum node id (ids need only be orderable — longs
+    * and strings both work). Prefer the default label propagation for
+    * near-dup graphs (shallow components converge in 2–4 rounds with
+    * one shuffle per round, not two); switch here when diameter is
+    * unknown or adversarial — see SCALE.md. */
+  def connectedComponentsStar(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    var e = raw.select(
+        greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    // single-node components cannot appear in an edge list, but a node
+    // can momentarily lose all edges only if its component collapsed —
+    // track the full node set once so the final labeling covers everyone
+    val nodes = e.select(col("hi").as("id"))
+      .union(e.select(col("lo").as("id")))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = e.isEmpty
+    while (iter < maxIter && !converged) {
+      // large-star over the symmetrized neighborhoods
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val bigMin = sym.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val afterLarge = sym.join(bigMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star over the smaller-neighbor lists (edges are canonical,
+      // so the center IS `hi` and its smaller neighbors are `lo`)
+      val smallMin = afterLarge.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val next = afterLarge.join(smallMin, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(smallMin.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint()
+      val grew = next.exceptAll(e).limit(1).count() > 0
+      val shrank = if (grew) true else e.exceptAll(next).limit(1).count() > 0
+      converged = !grew && !shrank
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds " +
+        "(expected O(log² n)) — raise maxIter")
+    // fixpoint edges are stars (leaf hi → center lo = component min);
+    // the defensive groupBy-min also covers any node left edge-less by
+    // a fully collapsed component
+    nodes.join(
+        e.select(col("hi").as("id"), col("lo").as("c")), Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(min(col("c")).as("c"))
+      .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
   }
 
   /** Per-document cluster assignment over a full corpus: every doc gets
@@ -94,9 +186,10 @@ object Clusters {
   def assign(
       docs: DataFrame, idCol: String,
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, useStar: Boolean = false): DataFrame = {
     requireFree(docs, "assign", "component", "cluster_size", "is_keeper")
-    val cc = connectedComponents(pairs, idACol, idBCol, maxIter)
+    val cc = (if (useStar) connectedComponentsStar(pairs, idACol, idBCol)
+              else connectedComponents(pairs, idACol, idBCol, maxIter))
       .withColumnRenamed("id", idCol)
     docs.select(col(idCol))
       .join(cc, Seq(idCol), "left")

@@ -28,6 +28,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * lacks stats. The (b)-case custom-Expression rationale of
   * [[FloatVectorDot]] applies: built-ins can only express the probe as an
   * interpreted UDF, and this sits on every fact row of the hot path.
+  *
+  * Memory note: the serialized bytes travel in the `right` literal AND
+  * the deserialized filter is pinned as a codegen reference object, so a
+  * task transiently holds ~2× the filter size. Fine at the few-MB
+  * filters this engine builds; if filter sizes ever grow to hundreds of
+  * MB, replace the literal with a broadcast-variable-backed expression
+  * so executors hold one shared copy.
   */
 case class LongBloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -154,32 +154,63 @@ object CorpusQueries {
     * strings. Min/max are actual element values (no accumulation), so
     * the whole report is hash-exact; the oracle states each column's
     * stats independently and the union must match row-for-row. */
+  /** Per-column stat branches of the events profile oracle, shared by
+    * q156 (exact) and q181 (approx envelope); `extra` appends columns
+    * to every branch. */
+  private def profileEventsOracle(extra: String = ""): String =
+    Seq(
+      ("event_id", "min(event_id)::DOUBLE", "max(event_id)::DOUBLE",
+        "NULL::VARCHAR", "NULL::VARCHAR"),
+      ("event_type", "NULL::DOUBLE", "NULL::DOUBLE",
+        "min(event_type)", "max(event_type)"),
+      ("props", "NULL::DOUBLE", "NULL::DOUBLE",
+        "min(props)", "max(props)"),
+      ("ts", "NULL::DOUBLE", "NULL::DOUBLE",
+        "NULL::VARCHAR", "NULL::VARCHAR"),
+      ("user_id", "min(user_id)::DOUBLE", "max(user_id)::DOUBLE",
+        "NULL::VARCHAR", "NULL::VARCHAR"),
+      ("value", "min(value)::DOUBLE", "max(value)::DOUBLE",
+        "NULL::VARCHAR", "NULL::VARCHAR"))
+      .map { case (c, mn, mx, ms, xs) =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+          count(*) - count($c) AS n_nulls,
+          count(DISTINCT $c) AS n_distinct,
+          $mn AS min_num, $mx AS max_num,
+          $ms AS min_str, $xs AS max_str$extra FROM events"""
+      }
+      .mkString("", " UNION ALL ", " ORDER BY col_name")
+
   val q156ProfileEvents = Q(
     "q156_profile_events",
     (s, d) => graft.operators.Profile.profile(Tables.events(s, d)),
-    Some {
-      val branch = Seq(
-        ("event_id", "min(event_id)::DOUBLE", "max(event_id)::DOUBLE",
-          "NULL::VARCHAR", "NULL::VARCHAR"),
-        ("event_type", "NULL::DOUBLE", "NULL::DOUBLE",
-          "min(event_type)", "max(event_type)"),
-        ("props", "NULL::DOUBLE", "NULL::DOUBLE",
-          "min(props)", "max(props)"),
-        ("ts", "NULL::DOUBLE", "NULL::DOUBLE",
-          "NULL::VARCHAR", "NULL::VARCHAR"),
-        ("user_id", "min(user_id)::DOUBLE", "max(user_id)::DOUBLE",
-          "NULL::VARCHAR", "NULL::VARCHAR"),
-        ("value", "min(value)::DOUBLE", "max(value)::DOUBLE",
-          "NULL::VARCHAR", "NULL::VARCHAR"))
-        .map { case (c, mn, mx, ms, xs) =>
-          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-            count(*) - count($c) AS n_nulls,
-            count(DISTINCT $c) AS n_distinct,
-            $mn AS min_num, $mx AS max_num,
-            $ms AS min_str, $xs AS max_str FROM events"""
-        }
-      branch.mkString("", " UNION ALL ", " ORDER BY col_name")
-    })
+    Some(profileEventsOracle()))
+
+  // ---------------------------------------------------------------- q181
+  /** The profiler's 100 TB default, driver-gated: `exact = false` swaps
+    * the multi-distinct Expand plan for a single Expand-free pass whose
+    * distinct counts are HLL sketches ([[graft.operators.Profile]]
+    * scaladoc). The estimate is engine-specific, so — the q134
+    * error-envelope recipe — the oracled frame carries the EXACT stats
+    * (hash-checked) plus a boolean asserting each approx distinct lands
+    * within max(3·rsd·exact, 2) of truth, which the oracle states as
+    * TRUE. A green row certifies both the envelope and that the approx
+    * path produces the same non-distinct stats as the exact one. */
+  val q181ProfileApprox = Q(
+    "q181_profile_approx",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val rsd = 0.05 // approx_count_distinct's default relative std-dev
+      val approx = graft.operators.Profile.profile(ev, exact = false)
+        .select(col("col_name"), col("n_distinct").as("nd_approx"))
+      graft.operators.Profile.profile(ev)
+        .join(approx, Seq("col_name"))
+        .withColumn("approx_within_rsd",
+          abs(col("nd_approx") - col("n_distinct")) <=
+            greatest(col("n_distinct") * (3 * rsd), lit(2.0)))
+        .drop("nd_approx")
+        .orderBy(col("col_name"))
+    },
+    Some(profileEventsOracle(extra = ", TRUE AS approx_within_rsd")))
 
   // ---------------------------------------------------------------- q159
   /** Temperature-scaled mixture realization
@@ -236,5 +267,5 @@ object CorpusQueries {
 
   val all: Seq[Q] = Seq(
     q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
-    q156ProfileEvents, q159TemperatureMix)
+    q156ProfileEvents, q159TemperatureMix, q181ProfileApprox)
 }

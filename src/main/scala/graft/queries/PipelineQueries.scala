@@ -399,6 +399,30 @@ object PipelineQueries {
         (doc_id = component) AS is_keeper
       FROM comp ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q182
+  /** q145's cluster assignment computed by the OTHER algorithm
+    * ([[graft.dedup.Clusters.connectedComponentsStar]], Kiveris et al.
+    * large-star/small-star — O(log² n) rounds on any topology where
+    * min-label propagation needs O(diameter)): identical pairs,
+    * identical recursive-CTE oracle, so a green row proves the star
+    * fixpoint equals both the propagation fixpoint AND the
+    * from-first-principles transitive closure — three algorithms, one
+    * answer. This is the fallback to dispatch when a pair graph's
+    * diameter is unknown or adversarial (SCALE.md). */
+  val q182ClustersStar = Q(
+    "q182_clusters_star",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val pairs = SimHash.nearDuplicates(
+        docs, "doc_id", "text", maxHamming = 4,
+        tokenHash = graft.functions.GraftFunctions.polyHash62,
+        totalBits = 62, hashDistinct = true)
+      Clusters.assign(docs, "doc_id", pairs, useStar = true)
+        .orderBy(col("doc_id"))
+    },
+    q145DupClusters.oracle)
+
   // ---------------------------------------------------------------- q148
   /** The end-to-end corpus-curation pipeline, five verified operators
     * composed in ONE plan: token stats → quality gate (n_tokens ≥ 20) →
@@ -474,5 +498,5 @@ object PipelineQueries {
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
     q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact,
     q128FrameSample, q132SimhashCapped, q139IncrementalNeardup,
-    q145DupClusters, q148CurationPipeline)
+    q145DupClusters, q148CurationPipeline, q182ClustersStar)
 }

@@ -128,5 +128,46 @@ object SketchQueries {
           AND o.o_orderpriority = '1-URGENT')
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(q153CmsFrequency, q176BloomJoin, q177BloomAnti)
+  // ---------------------------------------------------------------- q178
+  /** String-keyed bloom prune ([[BloomPrune.pruneString]]) — the
+    * reference's actual join-key regime: listen facts join/anti-join
+    * metadata on STRING mbids (listenbrainz_spark/listens/data.py:73-75),
+    * not longs. Both sides reduce to 8-byte `xxhash64` keys so the
+    * bloom build and the codegen'd probe stay the long machinery —
+    * the filter never stores variable-length strings, and the fact-side
+    * shuffle still drops ~95% of rows (Brand#4 ≈ 5% of parts) before
+    * the exchange. The deterministic hash preserves no-false-negatives;
+    * collisions only add false positives, which the exact string join
+    * removes — so the oracle is the plain SQL join. The mbid-style
+    * key (`'mbid-' || partkey`) makes the string genuinely carry the
+    * join, not merely decorate a numeric one. */
+  val q178BloomStringJoin = Q(
+    "q178_bloom_string_join",
+    (s, d) => {
+      val dim = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#4")
+        .select(concat(lit("mbid-"), col("p_partkey")).as("part_mbid"),
+          col("p_type"))
+      val fact = Tables.lineitem(s, d)
+        .select(concat(lit("mbid-"), col("l_partkey")).as("fact_mbid"),
+          col("l_quantity"), col("l_extendedprice"))
+      BloomPrune.pruneString(fact, "fact_mbid", dim, "part_mbid")
+        .join(dim, col("fact_mbid") === col("part_mbid"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_items"),
+          F.sum(col("l_quantity").cast("long")).as("sum_qty"),
+          centsSum(col("l_extendedprice"), "sum_price"))
+        .orderBy(col("p_type"))
+    },
+    Some(s"""SELECT p_type, count(*) AS n_items,
+      cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty,
+      ${Q.sqlCents("l_extendedprice", "sum_price")}
+      FROM lineitem JOIN part
+        ON 'mbid-' || cast(l_partkey AS varchar)
+         = 'mbid-' || cast(p_partkey AS varchar)
+      WHERE p_brand = 'Brand#4'
+      GROUP BY p_type ORDER BY p_type"""))
+
+  val all: Seq[Q] =
+    Seq(q153CmsFrequency, q176BloomJoin, q177BloomAnti, q178BloomStringJoin)
 }

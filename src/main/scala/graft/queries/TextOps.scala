@@ -569,11 +569,13 @@ object TextOps {
     * external model. Exact integer counts end-to-end; the score is
     * bigint/bigint through IEEE division, so the oracle is hash-exact —
     * no log-space floats. Scale shape: one bigram count aggregation +
-    * one join back, both keyed on the bigram (at 100 TB the relaxed
-    * path broadcasts the top-K bigram table and treats the tail as
-    * count 1; this is the exact reference semantics that relaxation
-    * must approximate). Docs with fewer than 2 tokens have no bigrams
-    * and are absent. */
+    * one join back, both keyed on the bigram STRING — this is the
+    * verification baseline; the production paths are IMPLEMENTED as
+    * q179 ([[graft.operators.BigramFamiliarity.scoreHashed]], same
+    * scores on 8-byte xxhash64 shuffle keys) and q180
+    * ([[graft.operators.BigramFamiliarity.scoreTopK]], broadcast top-K
+    * with tail default 1 — no doc-side shuffle at all). Docs with
+    * fewer than 2 tokens have no bigrams and are absent. */
   val q174BigramFamiliarity = Q(
     "q174_bigram_familiarity",
     (s, d) => {
@@ -604,6 +606,63 @@ object TextOps {
         cast(sum(bg_count) AS bigint) AS familiar_sum,
         cast(sum(bg_count) AS bigint) / count(*) AS score
       FROM b JOIN c USING (bigram) GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q179
+  /** The PRODUCTION path of q174
+    * ([[graft.operators.BigramFamiliarity.scoreHashed]]): identical
+    * scores, but both shuffles — the corpus count aggregation and the
+    * join back to occurrences — exchange 8-byte `xxhash64` keys instead
+    * of bigram strings. The oracle is the SAME string-keyed SQL as
+    * q174, so a green row IS the proof that the hash-keyed relaxation
+    * computes the exact reference semantics (no collision among this
+    * corpus's bigrams; see the operator scaladoc for the collision
+    * arithmetic at 100 TB). */
+  val q179BigramHashed = Q(
+    "q179_bigram_hashed",
+    (s, d) => graft.operators.BigramFamiliarity
+      .scoreHashed(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+      b AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2),
+      c AS (SELECT bigram, count(*) AS bg_count FROM b GROUP BY bigram)
+      SELECT doc_id, count(*) AS n_bigrams,
+        cast(sum(bg_count) AS bigint) AS familiar_sum,
+        cast(sum(bg_count) AS bigint) / count(*) AS score
+      FROM b JOIN c USING (bigram) GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q180
+  /** The BROADCAST regime of q174
+    * ([[graft.operators.BigramFamiliarity.scoreTopK]]): only the top-100
+    * bigrams (count desc, bigram asc — deterministic, so the oracle
+    * replays the exact boundary) keep exact counts, the tail defaults
+    * to 1, and the scoring join broadcasts the 100-row table — the doc
+    * side never enters an exchange. This is the documented 100 TB
+    * default where even hashed count-join traffic is too much; the
+    * oracle replays the top-K selection and the tail default
+    * end-to-end, so the approximation itself is hash-exact. */
+  val q180BigramTopK = Q(
+    "q180_bigram_topk",
+    (s, d) => graft.operators.BigramFamiliarity
+      .scoreTopK(Tables.documents(s, d), "doc_id", "text", k = 100)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+      b AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2),
+      c AS (SELECT bigram, count(*) AS bg_count FROM b GROUP BY bigram),
+      top AS (SELECT bigram, bg_count FROM c
+        ORDER BY bg_count DESC, bigram LIMIT 100)
+      SELECT doc_id, count(*) AS n_bigrams,
+        cast(sum(coalesce(top.bg_count, 1)) AS bigint) AS familiar_sum,
+        cast(sum(coalesce(top.bg_count, 1)) AS bigint) / count(*) AS score
+      FROM b LEFT JOIN top USING (bigram)
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q175
   /** Deterministic WEIGHTED sampling
@@ -648,5 +707,6 @@ object TextOps {
     q45NgramJaccard, q117CorpusPipeline, q118RegexTokens,
     q136SeqPacking, q137StratifiedSample, q140PiiRedact, q141Decontaminate,
     q142DocChunks, q143RepetitionFilter, q146LeakageSafeSplit,
-    q147QuantileFloor, q174BigramFamiliarity, q175WeightedSample)
+    q147QuantileFloor, q174BigramFamiliarity, q175WeightedSample,
+    q179BigramHashed, q180BigramTopK)
 }

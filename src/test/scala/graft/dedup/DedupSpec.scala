@@ -324,6 +324,53 @@ class DedupSpec extends SparkSpec {
     assert(best == bestWant)
   }
 
+  test("star CC: long chain converges far under diameter rounds") {
+    import spark.implicits._
+    // a 257-node path (diameter 256): min-label propagation would need
+    // 256 rounds — the star variant must land the whole chain on node 0
+    // within its default O(log² n) budget (30), which propagation's own
+    // default (25) provably cannot
+    val chain = (0L until 256L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Clusters.connectedComponents(chain, "id_a", "id_b")
+    }
+    val got = Clusters.connectedComponentsStar(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 257 && got.values.forall(_ == 0L), s"${got.size}")
+  }
+
+  test("star CC equals label propagation on near-dup-shaped graphs") {
+    import spark.implicits._
+    // near-dup shape: small dense clusters (boilerplate variants) plus
+    // sparse bridge edges, random orientation, plus an isolated pair
+    val rnd = new scala.util.Random(7)
+    val clusters = Seq(0L until 6L, 10L until 13L, 20L until 28L)
+    val dense = clusters.flatMap(c =>
+      c.combinations(2).filter(_ => rnd.nextBoolean()).map(p => (p(0), p(1))))
+    val edges = (dense ++ Seq((5L, 10L), (100L, 101L)))
+      .map { case (a, b) => if (rnd.nextBoolean()) (a, b) else (b, a) }
+      .toDF("id_a", "id_b")
+    val prop = Clusters.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    val star = Clusters.connectedComponentsStar(edges, "id_a", "id_b")
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    assert(star == prop, s"star $star\nprop $prop")
+  }
+
+  test("star CC: string ids, self-loops, single edge, empty input") {
+    import spark.implicits._
+    val e = Seq(("b", "c"), ("c", "a"), ("d", "d"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val got = Clusters.connectedComponentsStar(e, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // self-loop (d,d) contributes no component; a-b-c collapse to "a"
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"), s"$got")
+    val empty = Clusters.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(empty.count() == 0)
+  }
+
   test("polyHash62 votes match xxhash64 pipeline shape and are stable") {
     val d = docs(1L -> baseText, 2L -> baseText, 3L -> farText)
     val fps = SimHash.fingerprints(d, "doc_id", "text",

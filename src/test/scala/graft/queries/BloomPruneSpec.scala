@@ -59,6 +59,52 @@ class BloomPruneSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("string prune equals the exact string join (xxhash64 reduction)") {
+    import spark.implicits._
+    val fact = spark.read.parquet(s"${sf("")}/lineitem.parquet")
+      .select(concat(lit("mbid-"), col("l_orderkey")).as("fk"),
+        col("l_extendedprice"))
+    val dim = spark.read.parquet(s"${sf("")}/orders.parquet")
+      .filter(col("o_totalprice") > 450000)
+      .select(concat(lit("mbid-"), col("o_orderkey")).as("dk"))
+    val exact = fact.join(dim, col("fk") === col("dk"), "left_semi")
+    val pruned = BloomPrune.pruneString(fact, "fk", dim, "dk")
+      .join(dim, col("fk") === col("dk"), "left_semi")
+    assert(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty)
+    // no false negatives, and the hash-keyed bloom still bites
+    val kept = BloomPrune.pruneString(fact, "fk", dim, "dk").count()
+    assert(kept >= exact.count() && kept < fact.count() / 2,
+      s"kept $kept of ${fact.count()}")
+  }
+
+  test("string anti join row-identical to left_anti incl. null keys") {
+    import spark.implicits._
+    val fact = Seq(
+      (Option("mbid-1"), "hit"), (Option("mbid-2"), "miss"),
+      (Option.empty[String], "nullkey"), (Option("mbid-3"), "hit2"))
+      .toDF("k", "tag")
+    val dim = Seq("mbid-1", "mbid-3").toDF("dk")
+    val exact = fact.join(dim, col("k") === col("dk"), "left_anti")
+    val fast = BloomPrune.antiJoinString(fact, "k", dim, "dk")
+    assert(fast.exceptAll(exact).isEmpty && exact.exceptAll(fast).isEmpty)
+    assert(fast.filter(col("tag") === "nullkey").count() == 1)
+  }
+
+  test("anti join tolerates identical fact/dim key names") {
+    import spark.implicits._
+    // regression: col(factKey) === col(dimKey) used to be ambiguous when
+    // both sides named the key identically — the dim key is now aliased
+    val fact = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val dim = Seq(2L, 4L).toDF("k")
+    val got = BloomPrune.antiJoinLong(fact, "k", dim, "k")
+      .as[Long].collect().sorted
+    assert(got.sameElements(Array(1L, 3L)))
+    val sGot = BloomPrune.antiJoinString(
+        Seq("a", "b", "c").toDF("k"), "k", Seq("b").toDF("k"), "k")
+      .as[String].collect().sorted
+    assert(sGot.sameElements(Array("a", "c")))
+  }
+
   test("expression rejects wrong arity and non-literal bloom bytes") {
     GraftFunctions.register(spark)
     import spark.implicits._
