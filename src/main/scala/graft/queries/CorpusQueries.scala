@@ -212,6 +212,33 @@ object CorpusQueries {
     },
     Some(profileEventsOracle(extra = ", TRUE AS approx_within_rsd")))
 
+  // ---------------------------------------------------------------- q184
+  /** Key-skew diagnostic ([[graft.operators.SkewReport.topKeys]]): the
+    * 20 heaviest `user_id`s of the events stream with exact counts,
+    * share of all rows, and ratio to the mean key load — the
+    * measurement that decides salting buckets (q119/q154) before a job
+    * discovers its hot key the hard way. Counts exact, both ratios
+    * single IEEE divisions of exact integers, rank ties by key — the
+    * whole report hash-exact. */
+  val q184SkewReport = Q(
+    "q184_skew_report",
+    (s, d) => graft.operators.SkewReport
+      .topKeys(Tables.events(s, d), "user_id", topN = 20)
+      .orderBy(col("key_rank")),
+    Some("""WITH c AS (SELECT cast(user_id AS varchar) AS key,
+        count(*) AS cnt FROM events GROUP BY 1),
+      a AS (SELECT cast(sum(cnt) AS bigint) AS total,
+        count(*) AS n_keys FROM c),
+      r AS (SELECT key, cnt,
+          cnt / (SELECT total FROM a) AS share,
+          (cnt * (SELECT n_keys FROM a)) / (SELECT total FROM a)
+            AS vs_mean,
+          row_number() OVER (ORDER BY cnt DESC, key ASC NULLS FIRST)
+            AS key_rank
+        FROM c)
+      SELECT key, cnt, share, vs_mean, key_rank
+      FROM r WHERE key_rank <= 20 ORDER BY key_rank"""))
+
   // ---------------------------------------------------------------- q159
   /** Temperature-scaled mixture realization
     * ([[graft.operators.SourceMix.temperatureBudgets]] + fillToBudget):
@@ -267,5 +294,6 @@ object CorpusQueries {
 
   val all: Seq[Q] = Seq(
     q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
-    q156ProfileEvents, q159TemperatureMix, q181ProfileApprox)
+    q156ProfileEvents, q159TemperatureMix, q181ProfileApprox,
+    q184SkewReport)
 }

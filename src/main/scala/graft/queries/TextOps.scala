@@ -664,6 +664,31 @@ object TextOps {
       FROM b LEFT JOIN top USING (bigram)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q183
+  /** TF-IDF keyword extraction ([[graft.operators.TfIdf.topTerms]]):
+    * every document's top-5 terms by the RATIONAL score tf × N / df —
+    * no log-space idf, so the one double division is IEEE-exact
+    * cross-engine and the full ranking (ties by term asc) is
+    * hash-exact. The oracle replays tokenization, tf, df, N, every
+    * score, and the rank cut. */
+  val q183TfidfKeywords = Q(
+    "q183_tfidf_keywords",
+    (s, d) => graft.operators.TfIdf
+      .topTerms(Tables.documents(s, d), "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"), col("term_rank")),
+    Some("""WITH t AS (SELECT doc_id, unnest(
+        list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      s AS (SELECT doc_id, term, tf, df,
+          (tf * (SELECT count(*) FROM documents)) / df AS score
+        FROM tf JOIN df USING (term)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS term_rank FROM s)
+      SELECT doc_id, term, tf, df, score, term_rank
+      FROM r WHERE term_rank <= 5 ORDER BY doc_id, term_rank"""))
+
   // ---------------------------------------------------------------- q175
   /** Deterministic WEIGHTED sampling
     * ([[graft.operators.StratifiedSample.weightedByTickets]]): the
@@ -708,5 +733,5 @@ object TextOps {
     q136SeqPacking, q137StratifiedSample, q140PiiRedact, q141Decontaminate,
     q142DocChunks, q143RepetitionFilter, q146LeakageSafeSplit,
     q147QuantileFloor, q174BigramFamiliarity, q175WeightedSample,
-    q179BigramHashed, q180BigramTopK)
+    q179BigramHashed, q180BigramTopK, q183TfidfKeywords)
 }

@@ -357,6 +357,32 @@ class DedupSpec extends SparkSpec {
     assert(star == prop, s"star $star\nprop $prop")
   }
 
+  test("star CC: randomized graphs match in-test union-find") {
+    import spark.implicits._
+    // three seeds × (sparse chain-y, dense clique-y) shapes — star must
+    // agree with a plain-JVM union-find on every assignment
+    for (seed <- Seq(3, 17, 42); m <- Seq(30, 120)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50
+      val edges = (1 to m)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val present = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val want = present.map(i => i -> find(i.toInt).toLong).toMap
+      val got = Clusters.connectedComponentsStar(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed m=$m")
+    }
+  }
+
   test("star CC: string ids, self-loops, single edge, empty input") {
     import spark.implicits._
     val e = Seq(("b", "c"), ("c", "a"), ("d", "d"), ("x", "y"))
