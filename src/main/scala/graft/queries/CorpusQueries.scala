@@ -239,6 +239,45 @@ object CorpusQueries {
       SELECT key, cnt, share, vs_mean, key_rank
       FROM r WHERE key_rank <= 20 ORDER BY key_rank"""))
 
+  // ---------------------------------------------------------------- q185
+  /** Corpus version diff ([[graft.operators.CorpusDiff]]): documents vs
+    * a deterministically-mutated "next release" — every 7th doc
+    * removed, every remaining 11th doc's text edited, every 13th doc
+    * re-added under a shifted id — and the per-row
+    * added/removed/changed/unchanged verdicts plus the summary counts.
+    * Both derive from the same table, so the oracle replays the
+    * mutation and the full-outer CASE exactly; content compare is the
+    * exact (non-fingerprint) path, `<=>` null-safe. */
+  val q185CorpusDiff = Q(
+    "q185_corpus_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val span = 100000L
+      val next = docs
+        .filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + span).as("doc_id"), col("text")))
+      graft.operators.CorpusDiff.diff(docs, next, "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH o AS (SELECT doc_id, text FROM documents),
+      n AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+          AND doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id, text || ' v2' FROM documents
+          WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 13 = 0)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- q159
   /** Temperature-scaled mixture realization
     * ([[graft.operators.SourceMix.temperatureBudgets]] + fillToBudget):
@@ -295,5 +334,5 @@ object CorpusQueries {
   val all: Seq[Q] = Seq(
     q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
     q156ProfileEvents, q159TemperatureMix, q181ProfileApprox,
-    q184SkewReport)
+    q184SkewReport, q185CorpusDiff)
 }
