@@ -255,6 +255,78 @@ object OlapQueries {
         min(c) / 100.0 AS bin_min, max(c) / 100.0 AS bin_max
       FROM c, mm GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q187
+  /** SCD Type-2 dimension build ([[graft.operators.Scd2.history]]):
+    * each user's event-type log collapsed into state RUNS with
+    * `[valid_from, valid_to)` validity intervals, per-user version
+    * numbers, and the open interval flagged current — the warehouse
+    * dimension-history operator that point-in-time feature joins read.
+    * Everything is selection and window arithmetic (no floats), so the
+    * oracle replays change detection, interval stitching, versions,
+    * and flags row-for-row. */
+  val q187Scd2History = Q(
+    "q187_scd2_history",
+    (s, d) => graft.operators.Scd2
+      .history(Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id")),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("user_id"), col("version")),
+    Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
+        lag(event_type) OVER w AS prev,
+        row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      c AS (SELECT user_id, event_type, ts, event_id FROM o
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+      v AS (SELECT user_id, event_type, ts AS valid_from,
+          lead(ts) OVER w2 AS valid_to,
+          cast(row_number() OVER w2 AS bigint) AS version
+        FROM c
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_type, valid_from, valid_to, version,
+        (valid_to IS NULL) AS is_current
+      FROM v ORDER BY user_id, version"""))
+
+  // ---------------------------------------------------------------- q188
+  /** Robust anomaly gate ([[graft.operators.RobustStats.profile]]):
+    * per-event-type median and MAD over exact cents with a
+    * `|x − median| > 3·MAD` outlier count — the mean/stddev-free
+    * data-quality gate (one corrupted batch cannot shift the
+    * thresholds). Lower-median by rank SELECTION (the value at rank
+    * `(n+1) div 2`), so every statistic is an exact bigint and the
+    * single share division is IEEE-exact. */
+  val q188RobustOutliers = Q(
+    "q188_robust_outliers",
+    (s, d) => graft.operators.RobustStats
+      .profile(Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("value_c")),
+        "event_type", "value_c", k = 3)
+      .orderBy(col("event_type")),
+    Some("""WITH v AS (SELECT event_type,
+        cast(round(value * 100) AS bigint) AS c FROM events),
+      r AS (SELECT event_type, c,
+          row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM v),
+      med AS (SELECT event_type, n, c AS median FROM r
+        WHERE rn = (n + 1) // 2),
+      d AS (SELECT v.event_type, n, median, abs(c - median) AS dev
+        FROM v JOIN med USING (event_type)),
+      r2 AS (SELECT event_type, dev,
+          row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n2 FROM d),
+      mad AS (SELECT event_type, dev AS mad FROM r2
+        WHERE rn = (n2 + 1) // 2),
+      agg AS (SELECT d.event_type, n, median, mad,
+          cast(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
+            AS bigint) AS n_outliers
+        FROM d JOIN mad USING (event_type) GROUP BY 1, 2, 3, 4)
+      SELECT event_type, n, median, mad, n_outliers,
+        cast(n_outliers AS double) / cast(n AS double) AS outlier_share
+      FROM agg ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q164RollingRange, q165Rollup, q166Pivot, q167Ntile,
-    q168DecayedPopularity, q169SetAlgebra, q170Unpivot, q171Histogram)
+    q168DecayedPopularity, q169SetAlgebra, q170Unpivot, q171Histogram,
+    q187Scd2History, q188RobustOutliers)
 }

@@ -727,11 +727,52 @@ object TextOps {
       FROM r JOIN t USING (doc_id) WHERE sample_rank <= 100
       ORDER BY sample_rank"""))
 
+  // ---------------------------------------------------------------- q186
+  /** BM25 retrieval ([[graft.operators.Bm25.retrieve]]): top-20
+    * documents for the query `hash join scan vector`, scored by the
+    * rational-exact BM25 rearrangement (k1 = 6/5, b = 3/4 multiplied
+    * through to bigint numerators/denominators, three IEEE double ops,
+    * fixed-point floor ×10⁶) so the cross-term SUM is a bigint sum —
+    * order-independent and driver-exact. The oracle replays
+    * tokenization, df, both rational factors, the floor, the sum, and
+    * the rank cut end-to-end. */
+  val q186Bm25Retrieve = Q(
+    "q186_bm25_retrieve",
+    (s, d) => graft.operators.Bm25
+      .retrieve(Tables.documents(s, d), "doc_id", "text",
+        "hash join scan vector", k = 20)
+      .orderBy(col("doc_rank")),
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+      stats AS (SELECT count(*) AS n,
+        cast(sum(len(toks)) AS bigint) AS tot FROM t),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        WHERE term IN ('hash', 'join', 'scan', 'vector')
+        GROUP BY 1, 2),
+      dl AS (SELECT doc_id, cast(len(toks) AS bigint) AS dl FROM t),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      s AS (SELECT doc_id,
+          cast(floor(
+            (cast(2 * n - 2 * df + 1 AS double)
+              / cast(2 * df + 1 AS double))
+            * (cast(22 * tot * tf AS double)
+              / cast(10 * tot * tf + 3 * tot + 9 * n * dl AS double))
+            * 1000000e0) AS bigint) AS score_fp
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats),
+      agg AS (SELECT doc_id, cast(sum(score_fp) AS bigint) AS score_fp,
+          count(*) AS n_terms_hit FROM s GROUP BY doc_id),
+      r AS (SELECT *, row_number() OVER (ORDER BY score_fp DESC, doc_id)
+          AS doc_rank FROM agg)
+      SELECT doc_id, score_fp, n_terms_hit, doc_rank
+      FROM r WHERE doc_rank <= 20 ORDER BY doc_rank"""))
+
   val all: Seq[Q] = Seq(
     q41DedupExact, q42TokenStats, q43QualityScore, q44LangId,
     q45NgramJaccard, q117CorpusPipeline, q118RegexTokens,
     q136SeqPacking, q137StratifiedSample, q140PiiRedact, q141Decontaminate,
     q142DocChunks, q143RepetitionFilter, q146LeakageSafeSplit,
     q147QuantileFloor, q174BigramFamiliarity, q175WeightedSample,
-    q179BigramHashed, q180BigramTopK, q183TfidfKeywords)
+    q179BigramHashed, q180BigramTopK, q183TfidfKeywords, q186Bm25Retrieve)
 }
