@@ -410,6 +410,55 @@ object EngineQueries {
         AS window_start, event_type, count(*) AS listen_count
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
+  // ---------------------------------------------------------------- q189
+  /** Stream-stream event-time interval join, driver-oracled (the third
+    * oracled Structured Streaming path): clicks and errors are replayed
+    * as TWO independent file-per-micro-batch streams and inner-joined
+    * per user where the error lands within 30 minutes AFTER the click
+    * ([[graft.streaming.StreamJoins.intervalJoin]]) — the "reaction
+    * within T" pattern whose state Spark bounds by watermark + window,
+    * never history. The replay's watermark delay exceeds the dataset's
+    * time span (files arrive in no event-time order), so the streamed
+    * result must equal the batch self-join row-for-row. */
+  val q189StreamIntervalJoin = Q(
+    "q189_stream_interval_join",
+    (s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q189").toString
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .repartition(4).write.parquet(s"$work/clicks")
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"),
+          col("event_id").as("err_id"))
+        .repartition(4).write.parquet(s"$work/errors")
+      def stream(sub: String) = {
+        val schema = s.read.parquet(s"$work/$sub").schema
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/$sub")
+      }
+      graft.streaming.StreamJoins.intervalJoin(
+          stream("clicks"), stream("errors"), "user_id",
+          "click_ts", "err_ts", "30 MINUTE", "60 days")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q189_pairs")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table("q189_pairs")
+        .select(col("user_id"), col("click_id"), col("err_id"),
+          col("click_ts"), col("err_ts"))
+        .orderBy(col("click_id"), col("err_id"))
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+        e.event_id AS err_id, c.ts AS click_ts, e.ts AS err_ts
+      FROM events c JOIN events e
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+        AND e.event_type = 'error'
+        AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+      ORDER BY click_id, err_id"""))
+
   // ---------------------------------------------------------------- q89
   /** Cache-joined genre activity via CacheJoinedStats.GenreActivity: the
     * part table plays the dimension cache (partkey → brand ≙ recording →
@@ -671,5 +720,5 @@ object EngineQueries {
     q89GenreActivity, q90ListeningTime, q91FreshReleases,
     q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
     q129BucketedAgg, q135StreamingIngest, q158SketchDistinct,
-    q173StreamingWindows)
+    q173StreamingWindows, q189StreamIntervalJoin)
 }

@@ -705,11 +705,45 @@ object MiscQueries {
       FROM r WHERE end_rank >= 8 AND (end_rank - 8) % 4 = 0
       ORDER BY user_id, end_rank"""))
 
+  // ---------------------------------------------------------------- q191
+  /** Triangle counting ([[graft.operators.Triangles.perNode]]) over the
+    * part co-order graph (edges = part pairs sharing an order — the
+    * market-basket co-occurrence graph; pair generation bounded per
+    * order like J7's session pairs): per-node triangle participation
+    * via DEGREE ORIENTATION — wedges only from out-neighbor pairs
+    * (Σ d_out² with d_out ≤ O(√m), hub-proof), each triangle exactly
+    * one wedge, closed by a pure equi-join. The oracle enumerates
+    * ordered triples x<y<z directly — a differential against an
+    * independent formulation, not a replay. */
+  val q191Triangles = Q(
+    "q191_triangles",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.operators.Triangles.perNode(e, "src", "dst")
+        .orderBy(col("node"))
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+        FROM lineitem),
+      e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      n AS (SELECT x AS node FROM t
+        UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+      SELECT node, count(*) AS n_triangles FROM n
+      GROUP BY node ORDER BY node"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
     q93NewDiscovered, q109DenseIds, q110CollectSet, q111WatermarkJoin,
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
     q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
-    q157ZorderKey, q160Funnel, q162MassRank, q163EventWindows)
+    q157ZorderKey, q160Funnel, q162MassRank, q163EventWindows,
+    q191Triangles)
 }

@@ -326,7 +326,53 @@ object OlapQueries {
         cast(n_outliers AS double) / cast(n AS double) AS outlier_share
       FROM agg ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q190
+  /** Peak concurrency sweep ([[graft.operators.Sweep]]): 30-minute-gap
+    * sessions per user swept as ±1 breakpoints — the maximum number of
+    * simultaneously-active sessions and the first instant it occurs.
+    * The global running sum rides [[graft.operators.PrefixSum]] (range
+    * exchange + parallel per-partition sorts + broadcast offsets), not
+    * a single-partition window; the oracle replays sessionization,
+    * breakpoint order (starts before ends at equal instants), the full
+    * cumulative sweep, and both peak statistics. */
+  val q190PeakConcurrency = Q(
+    "q190_peak_concurrency",
+    (s, d) => {
+      val iv = graft.operators.Sweep.sessions(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id")),
+        "user_id", "ts", "event_id", gapSeconds = 1800L)
+      graft.operators.Sweep
+        .peakConcurrency(iv, "s_start", "s_end",
+          Seq("user_id", "session_id"))
+        .select(col("peak"), col("first_peak_ts"),
+          col("n_intervals").as("n_sessions"))
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS pus FROM events),
+      b AS (SELECT user_id, ts, event_id,
+        CASE WHEN pus IS NULL OR us - pus <= 1800000000 THEN 0 ELSE 1
+          END AS brk FROM e),
+      s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS session_id FROM b),
+      iv AS (SELECT user_id, session_id, min(ts) AS s_start,
+        max(ts) AS s_end FROM s GROUP BY 1, 2),
+      bp AS (SELECT s_start AS t, 0 AS kind, 1 AS delta, user_id,
+          session_id FROM iv
+        UNION ALL SELECT s_end AS t, 1 AS kind, -1 AS delta, user_id,
+          session_id FROM iv),
+      r AS (SELECT t, sum(delta) OVER (ORDER BY t, kind, user_id,
+          session_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS conc FROM bp),
+      p AS (SELECT cast(max(conc) AS bigint) AS peak FROM r)
+      SELECT peak,
+        (SELECT min(t) FROM r WHERE conc = (SELECT peak FROM p))
+          AS first_peak_ts,
+        (SELECT count(*) FROM iv) AS n_sessions
+      FROM p"""))
+
   val all: Seq[Q] = Seq(q164RollingRange, q165Rollup, q166Pivot, q167Ntile,
     q168DecayedPopularity, q169SetAlgebra, q170Unpivot, q171Histogram,
-    q187Scd2History, q188RobustOutliers)
+    q187Scd2History, q188RobustOutliers, q190PeakConcurrency)
 }

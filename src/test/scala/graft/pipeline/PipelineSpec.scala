@@ -25,6 +25,49 @@ class PipelineSpec extends SparkSpec {
     assert(byId(1L).byte_len == 11)
   }
 
+  test("stream-stream interval join: window bounds, key isolation, order") {
+    import graft.streaming.StreamJoins
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = StreamJoins.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      errors.toDF().toDF("user_id", "err_ts", "err_id"),
+      "user_id", "click_ts", "err_ts", "30 MINUTE", "1 hour")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sj_out").start()
+
+    clicks.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 11:00:00"), 2L),
+      (2L, ts("2024-01-01 10:00:00"), 3L))
+    q.processAllAvailable()
+    errors.addData(
+      (1L, ts("2024-01-01 10:15:00"), 10L), // in window of click 1
+      (1L, ts("2024-01-01 11:45:00"), 11L), // 45 min after click 2: out
+      (2L, ts("2024-01-01 09:50:00"), 12L), // before the click: out
+      (2L, ts("2024-01-01 10:30:00"), 14L), // exactly +30 min: boundary in
+      (3L, ts("2024-01-01 10:05:00"), 13L)) // no such click user
+    q.processAllAvailable()
+
+    val got = spark.table("sj_out")
+      .select(col("user_id"), col("click_id"), col("err_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((1L, 1L, 10L), (2L, 3L, 14L)))
+    q.stop()
+
+    intercept[IllegalArgumentException] {
+      StreamJoins.intervalJoin(
+        clicks.toDF().toDF("user_id", "t", "a"),
+        errors.toDF().toDF("user_id", "t", "b"),
+        "user_id", "t", "t", "30 MINUTE", "1 hour")
+    }
+  }
+
   test("streaming sessionization: gap rolls sessions, timeout flushes state") {
     import graft.streaming.StreamingSessions
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.{PrefixSum, Sweep, Triangles}
+
+/** Distributed prefix sum, interval sweep, and triangle counting. */
+class GraphSweepSpec extends SparkSpec {
+
+  test("prefix sum equals the single-partition window, negatives included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(21) - 10L))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = PrefixSum.runningTotal(df, Seq(col("k")), col("v"),
+        out = "run", partitions = 5)
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want = df.withColumn("run", sum(col("v")).over(
+        Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("prefix sum: empty input and guards") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(PrefixSum.runningTotal(empty, Seq(col("k")), col("v"), "run")
+      .count() === 0)
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningTotal(empty, Seq.empty, col("v"), "run")
+    }
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningTotal(empty, Seq(col("k")), col("v"), "run", 0)
+    }
+  }
+
+  test("sweep sessions split on the gap, inclusive bounds kept") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:20:00"), 2L),
+      (1L, ts("2024-01-01 12:00:00"), 3L), // 100 min gap: new session
+      (2L, ts("2024-01-01 10:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val s = Sweep.sessions(ev, "user_id", "ts", "event_id", 1800L)
+      .orderBy(col("user_id"), col("session_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3)))
+    assert(s.toSeq === Seq(
+      (1L, 0L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00")),
+      (1L, 1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00")),
+      (2L, 0L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"))))
+  }
+
+  test("peak concurrency: overlap, touching intervals, first-peak time") {
+    import spark.implicits._
+    // A[1,5] B[5,8] touch at 5 (inclusive: concurrent); C[2,3] overlaps A
+    val iv = Seq((1L, 5L, 1L), (5L, 8L, 2L), (2L, 3L, 3L))
+      .toDF("s", "e", "id")
+    val r = Sweep.peakConcurrency(iv, "s", "e", Seq("id"), partitions = 3)
+      .collect().head
+    assert(r.getLong(0) === 2L) // peak
+    assert(r.getLong(1) === 2L) // first instant of 2-concurrency: C start
+    assert(r.getLong(2) === 3L) // n_intervals
+  }
+
+  test("triangles: K4, star, pendant fixtures") {
+    import spark.implicits._
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield
+      (a.toLong, b.toLong)).toDF("s", "t")
+    assert(Triangles.triangles(k4, "s", "t").count() === 4)
+    assert(Triangles.perNode(k4, "s", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (1 to 4).map(n => (n.toLong, 3L)).toSet)
+
+    val star = (2 to 6).map(b => (1L, b.toLong)).toDF("s", "t")
+    assert(Triangles.triangles(star, "s", "t").count() === 0)
+
+    // duplicate + reversed + self-loop edges canonicalize away
+    val pendant = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 4L)).toDF("s", "t")
+    assert(Triangles.perNode(pendant, "s", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("triangles: randomized differential vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val edges = (for { a <- 0 until n; b <- 0 until n
+        if a < b && rnd.nextDouble() < 0.3 } yield (a.toLong, b.toLong))
+      val eset = edges.toSet
+      val brute = (for { x <- 0 until n; y <- x + 1 until n;
+        z <- y + 1 until n
+        if eset((x.toLong, y.toLong)) && eset((y.toLong, z.toLong)) &&
+          eset((x.toLong, z.toLong)) } yield 1).size
+      val got = Triangles.triangles(edges.toDF("s", "t"), "s", "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length === brute, s"trial $trial")
+      assert(got.toSet.size === got.length, s"trial $trial: duplicates")
+      got.foreach { case (x, y, z) =>
+        assert(x < y && y < z)
+        assert(eset((x, y)) && eset((y, z)) && eset((x, z)))
+      }
+    }
+  }
+}
