@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Product-analytics surface over the events fact: cohort retention,
+  * cumulative-distinct growth curves, event-transition (Markov) matrices,
+  * and the CUBE subtotal lattice. These are the report shapes the
+  * reference's listening-activity family computes per time range
+  * (listenbrainz_spark/stats/common/listening_activity.py:39,
+  * stats/incremental/sitewide/listening_activity.py) generalized to the
+  * standard cohort/growth formulations.
+  *
+  * Every output is exact: counts are longs, every ratio is ONE IEEE
+  * division of two exact longs, so the driver's bit-level hash compare
+  * holds across engines.
+  */
+object AnalyticsQueries {
+
+  private val WeekSecs = 604800L
+  private val DaySecs = 86400L
+
+  // ---------------------------------------------------------------- q192
+  /** Weekly cohort retention matrix. A user's cohort is their first-seen
+    * epoch week; for every (cohort, weeks-since) cell, the number of
+    * cohort members active that week and the retention ratio against the
+    * cohort's week-0 size.
+    *
+    * Scale shape: the fact collapses to distinct (user, week) in one
+    * user-keyed exchange; the cohort table derives from THAT (a per-user
+    * min — same key, AQE-coalesced), so the join back is user-keyed on
+    * both sides. The final aggregate is cohort×weeks cells — thousands of
+    * rows at any corpus size — and the week-0 denominator is a window
+    * over those cells, not another pass over the fact. At 100 TB exactly
+    * one fact-sized shuffle (the distinct) survives.
+    */
+  val q192CohortRetention = Q(
+    "q192_cohort_retention",
+    (s, d) => {
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_timestamp(ts) div $WeekSecs").as("week"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val cells = uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+      val wc = Window.partitionBy(col("cohort_week"))
+      cells
+        .withColumn("cohort_size",
+          sum(when(col("weeks_since") === 0, col("n_users"))
+            .otherwise(lit(0L))).over(wc))
+        .withColumn("retention", col("n_users") / col("cohort_size"))
+        .select(col("cohort_week"), col("weeks_since"), col("n_users"),
+          col("cohort_size"), col("retention"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    },
+    Some(s"""WITH uw AS (
+        SELECT DISTINCT user_id,
+          epoch_us(ts) // 1000000 // $WeekSecs AS week
+        FROM events),
+      cohort AS (
+        SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+      cells AS (
+        SELECT c.cohort_week, uw.week - c.cohort_week AS weeks_since,
+          count(*) AS n_users
+        FROM uw JOIN cohort c USING (user_id)
+        GROUP BY 1, 2)
+      SELECT cohort_week, weeks_since, n_users,
+        cast(sum(CASE WHEN weeks_since = 0 THEN n_users ELSE 0 END)
+          OVER (PARTITION BY cohort_week) AS bigint) AS cohort_size,
+        n_users / cast(sum(CASE WHEN weeks_since = 0 THEN n_users ELSE 0
+          END) OVER (PARTITION BY cohort_week) AS bigint) AS retention
+      FROM cells ORDER BY cohort_week, weeks_since"""))
+
+  // ---------------------------------------------------------------- q193
+  /** Daily growth curve: new users (first-seen that day), daily active
+    * users, and the cumulative distinct-user count — computed WITHOUT a
+    * distinct-over-expanding-window. The classic trick: cumulative
+    * distinct at day D equals the running sum of first-seen counts, so
+    * the expensive formulation (distinct over an unbounded frame —
+    * O(days × users)) collapses to one per-user min plus a running sum
+    * over the per-day aggregate. The only global window runs over
+    * #days rows, driver-sized at any corpus scale.
+    */
+  val q193CumulativeDistinct = Q(
+    "q193_cumulative_distinct",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_timestamp(ts) div $DaySecs").as("day"))
+      val newPerDay = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      val activePerDay = ev.distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+      val wcum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      activePerDay.join(newPerDay, Seq("day"), "left")
+        .na.fill(0L, Seq("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(wcum))
+        .select(col("day"), col("new_users"), col("active_users"),
+          col("cum_users"))
+        .orderBy(col("day"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 1000000 // $DaySecs AS day
+        FROM events),
+      new_per_day AS (
+        SELECT day, count(*) AS new_users FROM (
+          SELECT user_id, min(day) AS day FROM ev GROUP BY 1) f
+        GROUP BY 1),
+      active_per_day AS (
+        SELECT day, count(*) AS active_users FROM (
+          SELECT DISTINCT user_id, day FROM ev) a GROUP BY 1)
+      SELECT a.day, coalesce(n.new_users, 0) AS new_users,
+        a.active_users,
+        cast(sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+          AS cum_users
+      FROM active_per_day a LEFT JOIN new_per_day n ON a.day = n.day
+      ORDER BY a.day"""))
+
+  // ---------------------------------------------------------------- q194
+  /** First-order Markov transition matrix over per-user event streams:
+    * order each user's events by (ts, event_id), lag the type, count
+    * (prev → next) transitions, and normalize per source state. The
+    * probability is one IEEE division of two exact longs. One user-keyed
+    * window sort produces every transition; the transition matrix itself
+    * is |types|² rows, so the normalizing window is over a bounded
+    * aggregate, never the fact.
+    */
+  val q194MarkovTransitions = Q(
+    "q194_markov_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wp = Window.partitionBy(col("prev"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("out_total", sum(col("n")).over(wp))
+        .withColumn("p", col("n") / col("out_total"))
+        .select(col("prev"), col("next"), col("n"), col("out_total"),
+          col("p"))
+        .orderBy(col("prev"), col("next"))
+    },
+    Some("""WITH t AS (
+        SELECT lag(event_type, 1) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          event_type AS next
+        FROM events),
+      m AS (
+        SELECT prev, next, count(*) AS n FROM t
+        WHERE prev IS NOT NULL GROUP BY 1, 2)
+      SELECT prev, next, n,
+        cast(sum(n) OVER (PARTITION BY prev) AS bigint) AS out_total,
+        n / cast(sum(n) OVER (PARTITION BY prev) AS bigint) AS p
+      FROM m ORDER BY prev, next"""))
+
+  // ---------------------------------------------------------------- q195
+  /** CUBE subtotal lattice over (l_returnflag, l_linestatus): all four
+    * grouping sets — per-pair, per-flag, per-status, grand total — in
+    * ONE pass (a single Expand + hash aggregate, vs four scans for the
+    * UNION formulation). Completes the lattice family next to q165's
+    * ROLLUP; per-column `grouping()` flags distinguish subtotal rows
+    * from genuine NULL groups. Money stays in exact cents (Q.sqlCents
+    * discipline). */
+  val q195CubeLattice = Q(
+    "q195_cube_lattice",
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("price_c")) / 100.0).as("revenue"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
+        col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint)
+          / 100.0 AS revenue,
+        cast(grouping(l_returnflag) AS bigint) AS g_flag,
+        cast(grouping(l_linestatus) AS bigint) AS g_status
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status, l_returnflag, l_linestatus"""))
+
+  // ---------------------------------------------------------------- q199
+  /** Session co-occurrence LIFT: for every event-type pair, observed
+    * co-session frequency over the independence expectation,
+    * `lift = (N·c_ab) / (c_a·c_b)` at session granularity — the
+    * association score behind "listeners of X also play Y" surfaces
+    * (the reference scores session pairs by raw counts,
+    * listenbrainz_spark/similarity/recording.py; lift normalizes away
+    * item popularity). Sessionization is q71's 30-minute-gap window.
+    *
+    * Exactness: both products stay exact in int64 (session counts), the
+    * score is ONE IEEE division — bit-reproducible. Scale: presence
+    * collapses to distinct (user, session, type) in one user-keyed
+    * exchange; pairs expand within session only (bounded by the q71 cap
+    * rationale); N is one scalar anchor; the marginals table is
+    * |types|-sized and broadcast into the pair join.
+    */
+  val q199CooccurLift = Q(
+    "q199_cooccur_lift",
+    (s, d) => {
+      val gapUs = 1800L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("new_sess",
+          when(unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w) > gapUs, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("session_id"),
+          col("event_type").as("e"))
+        .distinct()
+        // the presence set feeds the scalar count, the marginals, and
+        // BOTH sides of the pair join — pin it (the q191 lesson) so the
+        // sessionization window runs once, not four times
+        .localCheckpoint()
+      val nSessions = sess.select(col("user_id"), col("session_id"))
+        .distinct().count()
+      val marginals = sess.groupBy(col("e")).agg(count(lit(1)).as("n_e"))
+      val pairs = sess.as("a")
+        .join(sess.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.session_id") === col("b.session_id") &&
+            col("a.e") < col("b.e"))
+        .groupBy(col("a.e").as("e_a"), col("b.e").as("e_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(marginals.select(col("e").as("e_a"),
+          col("n_e").as("n_a"))), Seq("e_a"))
+        .join(broadcast(marginals.select(col("e").as("e_b"),
+          col("n_e").as("n_b"))), Seq("e_b"))
+        .withColumn("n_sessions", lit(nSessions))
+        .withColumn("lift",
+          (col("n_sessions") * col("n_ab")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))
+        .select(col("e_a"), col("e_b"), col("n_ab"), col("n_a"),
+          col("n_b"), col("n_sessions"), col("lift"))
+        .orderBy(col("e_a"), col("e_b"))
+    },
+    Some("""WITH sess AS (
+        SELECT DISTINCT user_id, session_id, event_type AS e FROM (
+          SELECT user_id, event_type, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (
+            SELECT user_id, event_type, ts, CASE WHEN
+              epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                PARTITION BY user_id ORDER BY ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+            FROM events) x) y),
+      n AS (SELECT count(*) AS n_sessions FROM (
+        SELECT DISTINCT user_id, session_id FROM sess) z),
+      marg AS (SELECT e, count(*) AS n_e FROM sess GROUP BY e),
+      pairs AS (
+        SELECT a.e AS e_a, b.e AS e_b, count(*) AS n_ab
+        FROM sess a JOIN sess b
+          ON a.user_id = b.user_id AND a.session_id = b.session_id
+            AND a.e < b.e
+        GROUP BY 1, 2)
+      SELECT e_a, e_b, n_ab, ma.n_e AS n_a, mb.n_e AS n_b,
+        n.n_sessions,
+        cast(n.n_sessions * n_ab AS double)
+          / cast(ma.n_e * mb.n_e AS double) AS lift
+      FROM pairs JOIN marg ma ON pairs.e_a = ma.e
+        JOIN marg mb ON pairs.e_b = mb.e, n
+      ORDER BY e_a, e_b"""))
+
+  def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
+    q194MarkovTransitions, q195CubeLattice, q199CooccurLift)
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.FuzzyJoin
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(rows: Seq[(Long, String)], k: Int): Set[(Long, Long, Long)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      dist = lev(sa, sb)
+      if dist <= k
+    } yield (ia, ib, dist.toLong)).toSet
+  }
+
+  private def run(rows: Seq[(Long, String)], k: Int, q: Int = 2): Set[(Long, Long, Long)] =
+    FuzzyJoin.selfJoin(rows.toDF("id", "s"), "id", "s", k, q)
+      .select($"a_id", $"b_id", $"dist").as[(Long, Long, Long)]
+      .collect().toSet
+
+  test("blocked join equals brute force on a mixed fixture") {
+    val rows = Seq(
+      1L -> "Customer#000000010", 2L -> "Customer#000000011",
+      3L -> "Customer#000000110", 4L -> "Customer#000001010",
+      5L -> "Custamer#000000010", 6L -> "Customer#00000001",
+      7L -> "completely different", 8L -> "Customer#999999999")
+    assert(run(rows, 1) == brute(rows, 1))
+    assert(run(rows, 2) == brute(rows, 2))
+  }
+
+  test("repeated-gram strings (the multiset trap) still match brute force") {
+    // aaaa… runs collapse under set-of-grams blocking; the occurrence
+    // numbering must keep them apart.
+    val rows = Seq(
+      1L -> "aaaaaaaaaa", 2L -> "aaaaaaaaab", 3L -> "aaaaabaaaa",
+      4L -> "aaaaaaaaaa", 5L -> "bbbbbbbbbb", 6L -> "aaaaabbaaa")
+    assert(run(rows, 1) == brute(rows, 1))
+    assert(run(rows, 2) == brute(rows, 2))
+  }
+
+  test("short strings below the gram bound go through the fallback pool") {
+    val rows = Seq(
+      1L -> "ab", 2L -> "ac", 3L -> "b", 4L -> "xy", 5L -> "abcd",
+      6L -> "abce", 7L -> "", 8L -> "a")
+    assert(run(rows, 1) == brute(rows, 1))
+    assert(run(rows, 2) == brute(rows, 2))
+  }
+
+  test("distance values are the exact levenshtein distances") {
+    val rows = Seq(1L -> "kitten", 2L -> "sitten", 3L -> "sittin")
+    val got = run(rows, 2)
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 2L)))
+  }
+}
