@@ -7,7 +7,8 @@ object Registry {
       SimOps.all ++ EngineQueries.all ++ PipelineQueries.all ++
       MiscQueries.all ++ EdgeQueries.all ++ MusicQueries.all ++
       IngestQueries.all ++ CorpusQueries.all ++ SketchQueries.all ++
-      OlapQueries.all ++ AnalyticsQueries.all ++ MatchQueries.all
+      OlapQueries.all ++ AnalyticsQueries.all ++ MatchQueries.all ++
+      GovernanceQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all
