@@ -280,6 +280,43 @@ object AnalyticsQueries {
         JOIN marg mb ON pairs.e_b = mb.e, n
       ORDER BY e_a, e_b"""))
 
+  // ---------------------------------------------------------------- q202
+  /** Association rules over order baskets (Apriori level 2,
+    * [[graft.operators.FrequentItemsets]]): parts co-purchased in ≥ 3
+    * orders, both rule directions, exact confidence and lift. The
+    * support prune runs BEFORE the pair expansion — the quadratic step
+    * only ever sees frequent items. */
+  val q202BasketRules = Q(
+    "q202_basket_rules",
+    (s, d) => graft.operators.FrequentItemsets.rules(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 3L)
+      .orderBy(col("antecedent"), col("consequent")),
+    Some("""WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        WHERE l_partkey IS NOT NULL),
+      n AS (SELECT count(*) AS n_baskets FROM (
+        SELECT DISTINCT b FROM items) z),
+      freq AS (SELECT i, count(*) AS n_i FROM items GROUP BY i
+        HAVING count(*) >= 3),
+      pruned AS (SELECT items.b, items.i, freq.n_i
+        FROM items JOIN freq ON items.i = freq.i),
+      pairs AS (
+        SELECT x.i AS i_a, y.i AS i_b, count(*) AS n_ab,
+          min(x.n_i) AS n_a, min(y.n_i) AS n_b
+        FROM pruned x JOIN pruned y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      dirs AS (
+        SELECT i_a AS antecedent, i_b AS consequent, n_ab, n_a, n_b
+        FROM pairs
+        UNION ALL
+        SELECT i_b, i_a, n_ab, n_b, n_a FROM pairs)
+      SELECT antecedent, consequent, n_ab, n_a, n_b, n.n_baskets,
+        cast(n_ab AS double) / cast(n_a AS double) AS confidence,
+        cast(n.n_baskets * n_ab AS double)
+          / cast(n_a * n_b AS double) AS lift
+      FROM dirs, n ORDER BY antecedent, consequent"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
-    q194MarkovTransitions, q195CubeLattice, q199CooccurLift)
+    q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
+    q202BasketRules)
 }

@@ -129,5 +129,90 @@ object MatchQueries {
         AS fused_rank
       FROM r WHERE fused_rank <= 10 ORDER BY fused_rank"""))
 
-  def all: Seq[Q] = Seq(q196FuzzyJoin, q197Skyline, q198HybridRrf)
+  // ---------------------------------------------------------------- q203
+  /** Nearest-centroid label diagnostics over the labeled embeddings:
+    * per-label centroids on the INTEGER code lattice (round(Σcode/n) of
+    * int8 codes — the q155 exactness discipline, so the whole confusion
+    * matrix is bit-reproducible, which float centroids cannot be), every
+    * vector assigned to its nearest label centroid by exact integer
+    * squared distance, and the (label, pred) confusion cells with
+    * per-label share (diagonal = per-class recall). The standard quick
+    * health check on an embedding table's labels — label noise and
+    * cluster overlap show up as off-diagonal mass.
+    *
+    * Scale: centroids are |labels|×dims integers (broadcast);
+    * assignment is the one-pass map [[QuantizedKMeans.assign]];
+    * the confusion aggregate is |labels|² cells.
+    */
+  val q203LabelConfusion = Q(
+    "q203_label_confusion",
+    (s, d) => {
+      import graft.operators.{QuantizedKMeans, VectorQuantization}
+      val q = VectorQuantization
+        .quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("q8"), col("qnorm2"))
+      val cents = q
+        .select(col("label"), posexplode(col("q8"))
+          .as(Seq("dim_pos", "c")))
+        .groupBy(col("label"), col("dim_pos"))
+        .agg(sum(col("c")).as("code_sum"), count(lit(1)).as("n"))
+        .withColumn("cc", round(col("code_sum") / col("n")).cast("int"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim_pos"), col("cc")))),
+          x => x.getField("cc")).as("c8"))
+        .select(col("label").as("cluster_id"), col("c8"),
+          VectorQuantization.int8Dot(col("c8"), col("c8")).as("cnorm2"))
+      val assigned = QuantizedKMeans.assign(
+        q.select(col("vec_id"), col("q8"), col("qnorm2")), cents,
+        "vec_id")
+      val wl = Window.partitionBy(col("label"))
+      assigned
+        .join(q.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("label"), col("cluster_id").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("label_total", sum(col("n")).over(wl))
+        .withColumn("share", col("n") / col("label_total"))
+        .select(col("label"), col("pred"), col("n"), col("label_total"),
+          col("share"))
+        .orderBy(col("label"), col("pred"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label::BIGINT AS label,
+        embedding::DOUBLE[] AS v FROM embeddings),
+      sc AS (SELECT vec_id, label, v,
+        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+          AS scale FROM e),
+      q AS (SELECT vec_id, label,
+        list_transform(v, x -> cast(round(x * scale) AS BIGINT)) AS qv
+        FROM sc),
+      nn AS (SELECT vec_id, label, qv,
+        cast(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT)
+          AS qn2 FROM q),
+      dims AS (SELECT label, g.dim_pos, qv[g.dim_pos] AS c
+        FROM q, unnest(generate_series(1, len(qv))) AS g(dim_pos)),
+      cdim AS (SELECT label, dim_pos,
+          cast(round(sum(c) / count(*)) AS BIGINT) AS cc
+        FROM dims GROUP BY 1, 2),
+      cents AS (SELECT label AS cluster_id,
+          list(cc ORDER BY dim_pos) AS cv
+        FROM cdim GROUP BY 1),
+      cn AS (SELECT cluster_id, cv,
+        cast(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]) AS BIGINT)
+          AS cn2 FROM cents),
+      d AS (SELECT nn.vec_id, nn.label, cn.cluster_id,
+          row_number() OVER (PARTITION BY nn.vec_id
+            ORDER BY nn.qn2 + cn.cn2 - 2 * cast(
+              list_dot_product(nn.qv::DOUBLE[], cn.cv::DOUBLE[])
+                AS BIGINT), cn.cluster_id) AS rk
+        FROM nn, cn),
+      conf AS (SELECT label, cluster_id AS pred, count(*) AS n
+        FROM d WHERE rk = 1 GROUP BY 1, 2)
+      SELECT label, pred, n,
+        cast(sum(n) OVER (PARTITION BY label) AS BIGINT) AS label_total,
+        n / cast(sum(n) OVER (PARTITION BY label) AS BIGINT) AS share
+      FROM conf ORDER BY label, pred"""))
+
+  def all: Seq[Q] = Seq(q196FuzzyJoin, q197Skyline, q198HybridRrf,
+    q203LabelConfusion)
 }
