@@ -47,5 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[LongBloomMightContain].getName, "graft_bloom_contains"),
       withArity("graft_bloom_contains", 2)(e =>
         LongBloomMightContain(e(0), e(1)))))
+    // evaluation-strategy rewrite, not a semantic change — see the rule's
+    // scaladoc for the exact predicate forms it covers
+    ext.injectOptimizerRule(_ => LevenshteinRewrite)
   }
 }

@@ -69,6 +69,31 @@ object CountMin {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Equi-join cardinality estimate from TWO sketches built with the
+    * same (depth, hexChars): |A ⋈ B| on the sketched key is
+    * Σ_k fA(k)·fB(k), and each sketch row's cell-wise inner product
+    * Σ_b cntA[r,b]·cntB[r,b] over-counts that by hash collisions only —
+    * so the MIN over rows is a guaranteed OVER-estimate that needs
+    * neither relation, just two depth×16^hexChars cell tables (the
+    * AMS/CMS join-size technique; this is how a planner sizes a shuffle
+    * join before running it, from sketches maintained incrementally via
+    * [[merge]]). Returns one row: `(join_size_est)`.
+    *
+    * Tightness: a shared key populates its bucket in EVERY row on both
+    * sides, so any row with NO coinciding populated cells proves the
+    * true join is empty — the estimate is 0 unless all `depth` rows
+    * collide somewhere, in which case it's the minimum row product. */
+  def innerProduct(skA: DataFrame, skB: DataFrame, depth: Int = 4): DataFrame =
+    skA.join(skB.select(col("sk_row"), col("sk_bucket"),
+        col("cnt").as("__cnt_b")), Seq("sk_row", "sk_bucket"))
+      .groupBy(col("sk_row"))
+      .agg(sum(col("cnt") * col("__cnt_b")).as("__row_ip"))
+      .agg(min(col("__row_ip")).as("__est"),
+        count(lit(1)).as("__rows_hit"))
+      .select(when(col("__rows_hit") < depth, lit(0L))
+        .otherwise(coalesce(col("__est"), lit(0L)))
+        .as("join_size_est"))
+
   /** Point estimates for `items` (a broadcast-sized key list): adds
     * `cms_count` = min over the key's `depth` cells, 0 for keys whose
     * cells are all empty. Guaranteed `cms_count >= true count` for every

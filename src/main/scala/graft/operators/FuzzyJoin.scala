@@ -40,6 +40,18 @@ import org.apache.spark.sql.functions._
   * window (id-keyed), one gram-keyed candidate join whose blocks are
   * rare-gram-bounded, then a verify over candidates only. No global
   * sort, no cross join; the q·k+1 prefix caps the per-string fan-out.
+  * The candidate join and dedup shuffle BARE ID PAIRS — strings join
+  * back id-keyed only for the final verify.
+  *
+  * Choosing `q` (measured, see SCALE.md round 6): block sizes scale with
+  * corpus ÷ |distinct prefix grams|, so `q` must give the gram alphabet
+  * enough entropy for the corpus. LOW-ENTROPY structured keys (zero-
+  * padded IDs, fixed prefixes — the "Customer#000…" shape) have ~100
+  * distinct informative bigrams: at 45k strings q=2 degenerates to
+  * ~10⁸ candidate pairs while q=3 (10³ informative trigrams) keeps
+  * blocks ~10× smaller and candidates ~100× fewer. Rule of thumb:
+  * alphabet^q ≫ corpus/expected-block; natural-language names are fine
+  * at q=2, digit-structured keys want q=3+.
   */
 object FuzzyJoin {
 
@@ -78,22 +90,25 @@ object FuzzyJoin {
         Window.partitionBy(col("id"))
           .orderBy(col("gf"), col("gram"), col("occ"))))
       .filter(col("rk") <= prefixLen)
-      .select(col("id"), col("s"), col("gram"), col("occ"))
+      .select(col("id"), col("gram"), col("occ"))
     val gramPairs = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.s").as("a_str"), col("b.s").as("b_str"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
 
     // ---- short pool (vacuous-bound strings + their len-k neighbors) -
     val pool = base.filter(length(col("s")) < shortLen)
     val shortPairs = pool.as("a")
       .join(pool.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.s").as("a_str"), col("b.s").as("b_str"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
 
+    // dedup on bare id pairs, THEN attach strings id-keyed for verify
     gramPairs.unionByName(shortPairs).distinct()
+      .join(base.select(col("id").as("a_id"), col("s").as("a_str")),
+        Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("s").as("b_str")),
+        Seq("b_id"))
       .filter(abs(length(col("a_str")) - length(col("b_str"))) <= k)
       .withColumn("dist",
         levenshtein(col("a_str"), col("b_str"), k).cast("long"))

@@ -316,7 +316,86 @@ object AnalyticsQueries {
           / cast(n_a * n_b AS double) AS lift
       FROM dirs, n ORDER BY antecedent, consequent"""))
 
+  // ---------------------------------------------------------------- q204
+  /** Seasonal-baseline anomaly report: the per-(type, day-of-week, hour)
+    * mean is the baseline; the 50 largest deviations from their own
+    * seasonal cell are the anomalies. Exactness trick: the residual is
+    * ranked by `|value_c·n − sum_c|` — an EXACT long per row (cents ×
+    * cell count minus cell cents-sum) — normalized only at output
+    * (`/ 100·n`, one IEEE division), so ranking never compares floats
+    * with different accumulation histories. The day/hour keys derive
+    * from epoch arithmetic, not calendar functions, so both engines bin
+    * identically regardless of locale conventions. Baseline cells are
+    * |types|·7·24 rows — broadcast back, no second fact shuffle.
+    * Cross-cell ranking note: |resid| = resid_abs/(100·n) IS a float
+    * compare across cells, but each is one exact-integer÷exact-integer
+    * IEEE division — identical in any engine (the q194/q199 rule). */
+  val q204SeasonalAnomalies = Q(
+    "q204_seasonal_anomalies",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"),
+        expr(s"(unix_timestamp(ts) div $DaySecs) % 7").as("dow"),
+        expr("(unix_timestamp(ts) div 3600) % 24").as("hr"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      val base = ev.groupBy(col("event_type"), col("dow"), col("hr"))
+        .agg(sum(col("value_c")).as("sum_c"), count(lit(1)).as("n"))
+      ev.join(broadcast(base), Seq("event_type", "dow", "hr"))
+        .withColumn("resid_scaled",
+          col("value_c") * col("n") - col("sum_c"))
+        .withColumn("resid",
+          col("resid_scaled").cast("double") / (lit(100.0) * col("n")))
+        .withColumn("baseline",
+          col("sum_c").cast("double") / (lit(100.0) * col("n")))
+        .orderBy(abs(col("resid")).desc, col("event_id"))
+        .limit(50)
+        .select(col("event_id"), col("event_type"), col("dow"),
+          col("hr"), (col("value_c") / 100.0).as("value"),
+          col("baseline"), col("resid"))
+        .orderBy(abs(col("resid")).desc, col("event_id"))
+    },
+    Some(s"""WITH ev AS (SELECT event_id, event_type,
+        (epoch_us(ts) // 1000000 // $DaySecs) % 7 AS dow,
+        (epoch_us(ts) // 1000000 // 3600) % 24 AS hr,
+        cast(round(value * 100) AS bigint) AS value_c
+      FROM events),
+      base AS (SELECT event_type, dow, hr,
+          cast(sum(value_c) AS bigint) AS sum_c, count(*) AS n
+        FROM ev GROUP BY 1, 2, 3)
+      SELECT event_id, event_type, dow, hr, value_c / 100.0 AS value,
+        cast(sum_c AS double) / (100.0 * n) AS baseline,
+        cast(value_c * n - sum_c AS double) / (100.0 * n) AS resid
+      FROM ev JOIN base USING (event_type, dow, hr)
+      ORDER BY abs(cast(value_c * n - sum_c AS double) / (100.0 * n))
+        DESC, event_id
+      LIMIT 50"""))
+
+  // ---------------------------------------------------------------- q205
+  /** Hopping (sliding) event-time windows via Spark's native `window()`
+    * TVF — 2-hour windows every 30 minutes, so each event lands in
+    * exactly 4 overlapping windows (the tumbling q173 generalized).
+    * Spark plans this as one generate+aggregate, no self-join; the
+    * oracle replays the window algebra: starts are the 4 slide
+    * multiples in (t − size, t]. Epoch-aligned in UTC, counts and
+    * cents-sums exact. */
+  val q205HoppingWindows = Q(
+    "q205_hopping_windows",
+    (s, d) => Tables.events(s, d)
+      .select(window(col("ts"), "2 hours", "30 minutes").as("w"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .groupBy(unix_timestamp(col("w.start")).as("w_start"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value_c")) / 100.0).as("sum_value"))
+      .orderBy(col("w_start")),
+    Some("""WITH ev AS (SELECT epoch_us(ts) // 1000000 AS t,
+        cast(round(value * 100) AS bigint) AS value_c FROM events),
+      hop AS (SELECT 1800 * (t // 1800 - u.k) AS w_start, value_c
+        FROM ev, unnest(generate_series(0, 3)) AS u(k))
+      SELECT w_start, count(*) AS n,
+        cast(sum(value_c) AS bigint) / 100.0 AS sum_value
+      FROM hop GROUP BY w_start ORDER BY w_start"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
     q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
-    q202BasketRules)
+    q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows)
 }

@@ -31,7 +31,7 @@ object GovernanceQueries {
       val seg = sample.select(col("c_custkey").as("sid"),
         col("c_mktsegment").as("sseg"))
       val pairs = FuzzyJoin.selfJoin(sample, "c_custkey", "c_name",
-          k = 1, q = 2)
+          k = 1, q = 3)
         .join(seg.select(col("sid").as("a_id"), col("sseg").as("seg_a")),
           Seq("a_id"))
         .join(seg.select(col("sid").as("b_id"), col("sseg").as("seg_b")),

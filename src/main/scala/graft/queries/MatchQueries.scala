@@ -23,7 +23,7 @@ object MatchQueries {
     "q196_fuzzy_join",
     (s, d) => FuzzyJoin.selfJoin(
       Tables.customer(s, d).filter(col("c_custkey") % 10 === 0),
-      idCol = "c_custkey", strCol = "c_name", k = 1, q = 2)
+      idCol = "c_custkey", strCol = "c_name", k = 1, q = 3)
       .orderBy(col("a_id"), col("b_id")),
     Some("""WITH c AS (
         SELECT c_custkey AS id, c_name AS s FROM customer

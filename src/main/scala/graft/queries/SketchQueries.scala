@@ -168,6 +168,58 @@ object SketchQueries {
       WHERE p_brand = 'Brand#4'
       GROUP BY p_type ORDER BY p_type"""))
 
+  // ---------------------------------------------------------------- q206
+  /** Sketch-based join-cardinality estimation: |lineitem ⋈ σ(part)| on
+    * partkey predicted from two CMS sketches' row-wise inner products
+    * ([[graft.operators.CountMin.innerProduct]] — the AMS/CMS planner
+    * technique: size a shuffle join from two depth×width cell tables
+    * WITHOUT touching either relation), reported beside the exact join
+    * count and the guaranteed-≥1 over-ratio. Sketches are md5-bucketed,
+    * so the oracle replays every cell, the row inner products, the min,
+    * and the exact join. */
+  val q206CmsJoinEstimate = Q(
+    "q206_cms_join_estimate",
+    (s, d) => {
+      val fact = Tables.lineitem(s, d).select(col("l_partkey"))
+      val dim = Tables.part(s, d).filter(col("p_size") > 45)
+        .select(col("p_partkey"))
+      val est = CountMin.innerProduct(
+        CountMin.sketch(fact, "l_partkey", depth = 4, hexChars = 3),
+        CountMin.sketch(dim, "p_partkey", depth = 4, hexChars = 3))
+      val exact = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(exact)
+        .withColumn("over_ratio",
+          col("join_size_est").cast("double") /
+            col("exact_join_size").cast("double"))
+        .select(col("join_size_est"), col("exact_join_size"),
+          col("over_ratio"))
+    },
+    Some("""WITH fa AS (SELECT l_partkey AS k FROM lineitem
+        WHERE l_partkey IS NOT NULL),
+      di AS (SELECT p_partkey AS k FROM part
+        WHERE p_size > 45 AND p_partkey IS NOT NULL),
+      ca AS (SELECT u.r AS sk_row,
+          substr(md5(cast(k AS varchar) || ':cms' || cast(u.r AS varchar)),
+            1, 3) AS sk_bucket, count(*) AS cnt
+        FROM fa, unnest(generate_series(0, 3)) AS u(r) GROUP BY 1, 2),
+      cb AS (SELECT u.r AS sk_row,
+          substr(md5(cast(k AS varchar) || ':cms' || cast(u.r AS varchar)),
+            1, 3) AS sk_bucket, count(*) AS cnt
+        FROM di, unnest(generate_series(0, 3)) AS u(r) GROUP BY 1, 2),
+      ip AS (SELECT ca.sk_row,
+          cast(sum(ca.cnt * cb.cnt) AS bigint) AS row_ip
+        FROM ca JOIN cb USING (sk_row, sk_bucket) GROUP BY 1),
+      est AS (SELECT CASE WHEN count(*) < 4 THEN 0
+          ELSE cast(min(row_ip) AS bigint) END AS join_size_est FROM ip),
+      ex AS (SELECT count(*) AS exact_join_size
+        FROM fa JOIN di ON fa.k = di.k)
+      SELECT join_size_est, exact_join_size,
+        cast(join_size_est AS double) / cast(exact_join_size AS double)
+          AS over_ratio
+      FROM est, ex"""))
+
   val all: Seq[Q] =
-    Seq(q153CmsFrequency, q176BloomJoin, q177BloomAnti, q178BloomStringJoin)
+    Seq(q153CmsFrequency, q176BloomJoin, q177BloomAnti, q178BloomStringJoin,
+      q206CmsJoinEstimate)
 }

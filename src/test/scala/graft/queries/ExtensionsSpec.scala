@@ -48,6 +48,49 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("levenshtein threshold rewrite: plan rewritten, semantics identical") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      val df = Seq(("kitten", "sitten"), ("kitten", "sittin"),
+        ("abc", "abc"), (null.asInstanceOf[String], "x"))
+        .toDF("a", "b").createOrReplaceTempView("lv")
+
+      def thresholds(q: String): Seq[Option[_]] = {
+        val b = Seq.newBuilder[Option[_]]
+        s.sql(q).queryExecution.optimizedPlan.transformAllExpressions {
+          case l: Levenshtein => b += l.threshold; l
+        }
+        b.result()
+      }
+      // <= k and mirrored k >= become thresholded; > k stays exact
+      assert(thresholds("SELECT * FROM lv WHERE levenshtein(a, b) <= 1")
+        .forall(_.isDefined))
+      assert(thresholds("SELECT * FROM lv WHERE 2 > levenshtein(a, b)")
+        .forall(_.isDefined))
+      assert(thresholds("SELECT * FROM lv WHERE levenshtein(a, b) > 1")
+        .forall(_.isEmpty))
+      // semantics: distance-1 pair kept, distance-2 dropped, null dropped
+      val kept = s.sql(
+        "SELECT a, b FROM lv WHERE levenshtein(a, b) <= 1")
+        .as[(String, String)].collect().toSet
+      assert(kept == Set(("kitten", "sitten"), ("abc", "abc")))
+      val strict = s.sql(
+        "SELECT a, b FROM lv WHERE levenshtein(a, b) < 1")
+        .as[(String, String)].collect().toSet
+      assert(strict == Set(("abc", "abc")))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("GraftSession.builder wires confs and functions in one call") {
     val prev = spark
     SparkSession.clearActiveSession()

@@ -7,6 +7,29 @@ import graft.operators.CountMin
 /** Count-min sketch: overestimate guarantee, mergeability, guards. */
 class SketchOpsSpec extends SparkSpec {
 
+  test("innerProduct join-size estimate: never under, exact when sparse") {
+    import spark.implicits._
+    // A: key_i with multiplicity i+1 (i<8); B: keys 4..11 once each.
+    // True join size on the sketched key = sum_{i=4..7} (i+1) = 26.
+    val a = (0 until 8).flatMap(i => Seq.fill(i + 1)(s"key$i")).toDF("k")
+    val b = (4 until 12).map(i => s"key$i").toDF("k")
+    val est = CountMin.innerProduct(
+        CountMin.sketch(a, "k", depth = 4, hexChars = 3),
+        CountMin.sketch(b, "k", depth = 4, hexChars = 3))
+      .as[Long].head()
+    assert(est >= 26L)
+    // 16 keys in 4096 buckets: no colliding cells on this fixture, so
+    // the estimate is exactly the true join cardinality
+    assert(est == 26L)
+    // disjoint key spaces: some sketch row has no coinciding populated
+    // cell, which PROVES emptiness — the estimate must be exactly 0
+    val disj = CountMin.innerProduct(
+        CountMin.sketch(Seq("x1", "x2").toDF("k"), "k"),
+        CountMin.sketch(Seq("y1", "y2").toDF("k"), "k"))
+      .as[Long].head()
+    assert(disj == 0L)
+  }
+
   test("cms never underestimates, and is exact on a sparse key space") {
     import spark.implicits._
     val items = (0 until 400).map(i => s"key${i % 16}").toDF("k")
