@@ -55,27 +55,24 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** All unordered pairs (a_id < b_id) of distinct-id rows whose
-    * `strCol` values are within Levenshtein distance `k`. Output:
-    * (a_id, b_id, a_str, b_str, dist).
-    */
-  def selfJoin(
-      df: DataFrame, idCol: String, strCol: String,
-      k: Int, q: Int = 2): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(q >= 1, s"q must be >= 1, got $q")
-    val prefixLen = q * k + 1
-    // strings with fewer than prefixLen grams (len < q(k+1)) get a
-    // vacuous overlap bound; anything within len+k of them joins the
-    // same all-pairs pool so short-vs-longer pairs are still covered.
-    val shortLen = q * (k + 1) + k
+  /** Persisted blocking state for incremental matching: the corpus
+    * side's normalized rows, canonical-prefix elements, gram-frequency
+    * order, and short-string pool, all keyed by the (k, q) they were
+    * built under. Write the four frames to parquet and an arriving batch
+    * matches in O(batch), never O(corpus²) — the daily-ingest economics
+    * of [[graft.dedup.MinHash]]'s incremental index applied to entity
+    * matching. */
+  final case class FuzzyIndex(
+      base: DataFrame, prefixes: DataFrame, freq: DataFrame,
+      pool: DataFrame, k: Int, q: Int)
 
-    val base = df.select(col(idCol).cast("long").as("id"),
+  private def normalized(df: DataFrame, idCol: String, strCol: String) =
+    df.select(col(idCol).cast("long").as("id"),
       col(strCol).as("s")).filter(col("s").isNotNull)
 
-    // ---- gram path (strings long enough for the prefix bound) -------
-    val grams = base
-      .filter(length(col("s")) >= q)
+  /** (id, s, gram, occ) occurrence-numbered grams of `base`. */
+  private def gramsOf(base: DataFrame, q: Int): DataFrame =
+    base.filter(length(col("s")) >= q)
       .select(col("id"), col("s"),
         posexplode(expr(s"transform(sequence(0, length(s) - $q), " +
           s"i -> substring(s, i + 1, $q))")))
@@ -83,31 +80,32 @@ object FuzzyJoin {
       .withColumn("occ", row_number().over(
         Window.partitionBy(col("id"), col("gram")).orderBy(col("pos"))))
       .select(col("id"), col("s"), col("gram"), col("occ"))
-    val freq = grams.groupBy(col("gram"), col("occ"))
-      .agg(count(lit(1)).as("gf"))
-    val prefixes = grams.join(freq, Seq("gram", "occ"))
+
+  /** Canonical (q·k+1)-element prefixes of `grams` under the rarity
+    * order `freq` defines. Grams absent from `freq` count as frequency
+    * 0 — rarer than anything seen — which keeps the order a consistent
+    * EXTENSION of the index's order, so corpus prefixes computed
+    * without knowledge of a later batch remain valid (the lemma only
+    * needs one shared total order). */
+  private def prefixesOf(
+      grams: DataFrame, freq: DataFrame, prefixLen: Int): DataFrame =
+    grams.join(freq, Seq("gram", "occ"), "left")
+      .withColumn("__gf", coalesce(col("gf"), lit(0L)))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id"))
-          .orderBy(col("gf"), col("gram"), col("occ"))))
+          .orderBy(col("__gf"), col("gram"), col("occ"))))
       .filter(col("rk") <= prefixLen)
       .select(col("id"), col("gram"), col("occ"))
-    val gramPairs = prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
 
-    // ---- short pool (vacuous-bound strings + their len-k neighbors) -
-    val pool = base.filter(length(col("s")) < shortLen)
-    val shortPairs = pool.as("a")
-      .join(pool.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-
-    // dedup on bare id pairs, THEN attach strings id-keyed for verify
-    gramPairs.unionByName(shortPairs).distinct()
-      .join(base.select(col("id").as("a_id"), col("s").as("a_str")),
+  /** Exact verify over candidate id pairs: dedup bare ids, attach
+    * strings id-keyed, length filter, early-exit levenshtein. */
+  private def verify(
+      pairs: DataFrame, aBase: DataFrame, bBase: DataFrame,
+      k: Int): DataFrame =
+    pairs.distinct()
+      .join(aBase.select(col("id").as("a_id"), col("s").as("a_str")),
         Seq("a_id"))
-      .join(base.select(col("id").as("b_id"), col("s").as("b_str")),
+      .join(bBase.select(col("id").as("b_id"), col("s").as("b_str")),
         Seq("b_id"))
       .filter(abs(length(col("a_str")) - length(col("b_str"))) <= k)
       .withColumn("dist",
@@ -115,5 +113,85 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("a_str"), col("b_str"),
         col("dist"))
+
+  /** Build the corpus-side index for [[probe]] (also the first half of
+    * [[selfJoin]]). Persist the four frames to serve repeated batches. */
+  def buildIndex(
+      df: DataFrame, idCol: String, strCol: String,
+      k: Int, q: Int = 2): FuzzyIndex = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val prefixLen = q * k + 1
+    // strings with fewer than prefixLen grams (len < q(k+1)) get a
+    // vacuous overlap bound; anything within len+k of them joins the
+    // same all-pairs pool so short-vs-longer pairs are still covered.
+    val shortLen = q * (k + 1) + k
+    val base = normalized(df, idCol, strCol)
+    val grams = gramsOf(base, q)
+    val freq = grams.groupBy(col("gram"), col("occ"))
+      .agg(count(lit(1)).as("gf"))
+    FuzzyIndex(
+      base = base,
+      prefixes = prefixesOf(grams, freq, prefixLen),
+      freq = freq,
+      pool = base.filter(length(col("s")) < shortLen),
+      k = k, q = q)
+  }
+
+  /** All unordered pairs (a_id < b_id) of distinct-id rows whose
+    * `strCol` values are within Levenshtein distance `k`. Output:
+    * (a_id, b_id, a_str, b_str, dist).
+    */
+  def selfJoin(
+      df: DataFrame, idCol: String, strCol: String,
+      k: Int, q: Int = 2): DataFrame = {
+    val idx = buildIndex(df, idCol, strCol, k, q)
+    val gramPairs = idx.prefixes.as("a")
+      .join(idx.prefixes.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    val shortPairs = idx.pool.as("a")
+      .join(idx.pool.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    verify(gramPairs.unionByName(shortPairs), idx.base, idx.base, k)
+  }
+
+  /** Incremental match of a NEW batch against an indexed corpus:
+    * corpus↔batch pairs plus batch-internal pairs, never corpus×corpus
+    * — per batch this costs O(batch) gram work, a batch-sized candidate
+    * join against the index, and the batch's own self-join. Ids must be
+    * disjoint from the corpus; output is [[selfJoin]]'s contract
+    * restricted to pairs touching the batch. Batch prefixes use the
+    * INDEX's gram frequencies (unseen grams rank rarest — see
+    * [[prefixesOf]] for why that stays sound), so the index is never
+    * recomputed. */
+  def probe(
+      idx: FuzzyIndex, batch: DataFrame,
+      idCol: String, strCol: String): DataFrame = {
+    val prefixLen = idx.q * idx.k + 1
+    val shortLen = idx.q * (idx.k + 1) + idx.k
+    val bBase = normalized(batch, idCol, strCol)
+    val bPrefixes = prefixesOf(gramsOf(bBase, idx.q), idx.freq, prefixLen)
+    val crossGram = idx.prefixes.as("a")
+      .join(bPrefixes.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ"))
+      .select(least(col("a.id"), col("b.id")).as("a_id"),
+        greatest(col("a.id"), col("b.id")).as("b_id"))
+    // batch short pool is batch-bounded: broadcast it into the corpus
+    // pool scan (never a CartesianProduct of two unbounded sides)
+    val bPool = bBase.filter(length(col("s")) < shortLen)
+      .select(col("id").as("__bp_id"))
+    val crossShort = idx.pool
+      .crossJoin(broadcast(bPool))
+      .select(least(col("id"), col("__bp_id")).as("a_id"),
+        greatest(col("id"), col("__bp_id")).as("b_id"))
+    val all = idx.base.unionByName(bBase)
+    val crossPairs = verify(
+      crossGram.unionByName(crossShort)
+        .filter(col("a_id") =!= col("b_id")),
+      all, all, idx.k)
+    crossPairs.unionByName(
+      selfJoin(batch, idCol, strCol, idx.k, idx.q)).distinct()
   }
 }

@@ -213,6 +213,35 @@ object MatchQueries {
         n / cast(sum(n) OVER (PARTITION BY label) AS BIGINT) AS share
       FROM conf ORDER BY label, pred"""))
 
+  // ---------------------------------------------------------------- q207
+  /** Incremental fuzzy matching: the day's new names probe a PERSISTED
+    * gram index of the existing corpus ([[graft.operators.FuzzyJoin]]
+    * buildIndex/probe) — corpus↔batch and batch-internal pairs only,
+    * never corpus×corpus. The oracle is the brute-force join over the
+    * union restricted to batch-touching pairs (the q139 incremental
+    * contract applied to entity matching). */
+  val q207FuzzyProbe = Q(
+    "q207_fuzzy_probe",
+    (s, d) => {
+      val sample = Tables.customer(s, d)
+        .filter(col("c_custkey") % 10 === 0)
+      val corpus = sample.filter(col("c_custkey") < 1200)
+      val batch = sample.filter(col("c_custkey") >= 1200)
+      val idx = FuzzyJoin.buildIndex(corpus, "c_custkey", "c_name",
+        k = 1, q = 3)
+      FuzzyJoin.probe(idx, batch, "c_custkey", "c_name")
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH c AS (
+        SELECT c_custkey AS id, c_name AS s FROM customer
+        WHERE c_custkey % 10 = 0)
+      SELECT a.id AS a_id, b.id AS b_id, a.s AS a_str, b.s AS b_str,
+        cast(levenshtein(a.s, b.s) AS bigint) AS dist
+      FROM c a JOIN c b ON a.id < b.id
+      WHERE (a.id >= 1200 OR b.id >= 1200)
+        AND abs(len(a.s) - len(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1
+      ORDER BY a_id, b_id"""))
+
   def all: Seq[Q] = Seq(q196FuzzyJoin, q197Skyline, q198HybridRrf,
-    q203LabelConfusion)
+    q203LabelConfusion, q207FuzzyProbe)
 }

@@ -63,4 +63,28 @@ class FuzzyJoinSpec extends SparkSpec {
     val got = run(rows, 2)
     assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 2L)))
   }
+
+  test("incremental probe equals the full self-join restricted to " +
+    "batch-touching pairs, including unseen-gram batch strings") {
+    val corpus = Seq(
+      1L -> "Customer#000000010", 2L -> "Customer#000000011",
+      3L -> "Customer#000000110", 4L -> "short", 5L -> "ab")
+    val batch = Seq(
+      10L -> "Customer#000000012", 11L -> "Customer#000000013",
+      12L -> "zzqqzzqq", // grams unseen in the corpus
+      13L -> "shore", 14L -> "ac")
+    val all = corpus ++ batch
+    val batchIds = batch.map(_._1).toSet
+    for (k <- Seq(1, 2); q <- Seq(2, 3)) {
+      val expect = brute(all, k).filter(p =>
+        batchIds(p._1) || batchIds(p._2))
+      val idx = graft.operators.FuzzyJoin.buildIndex(
+        corpus.toDF("id", "s"), "id", "s", k, q)
+      val got = graft.operators.FuzzyJoin.probe(
+          idx, batch.toDF("id", "s"), "id", "s")
+        .select($"a_id", $"b_id", $"dist").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(got == expect, s"k=$k q=$q")
+    }
+  }
 }
