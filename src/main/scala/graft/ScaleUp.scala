@@ -60,8 +60,15 @@ object ScaleUp {
     val partSpan = span(read("part"), "p_partkey")
     val suppSpan = span(read("supplier"), "s_suppkey")
 
+    // re-derive c_name from the SHIFTED key: replicated-identical names
+    // would make fuzzy-match pair counts grow quadratically in the
+    // factor (the same blow-up the documents token rotation avoids) —
+    // a real 30× customer base has 30× the names, not 30 copies of each
     write(copies(read("customer"), factor)
-      .withColumn("c_custkey", shift("c_custkey", custSpan)), "customer")
+      .withColumn("c_custkey", shift("c_custkey", custSpan))
+      .withColumn("c_name",
+        concat(lit("Customer#"),
+          lpad(col("c_custkey").cast("string"), 9, "0"))), "customer")
     write(copies(read("supplier"), factor)
       .withColumn("s_suppkey", shift("s_suppkey", suppSpan)), "supplier")
     write(copies(read("part"), factor)

@@ -223,10 +223,13 @@ object MatchQueries {
   val q207FuzzyProbe = Q(
     "q207_fuzzy_probe",
     (s, d) => {
+      // scale-invariant 80/20 split: every 5th sampled key is "today's
+      // batch", the rest are the indexed corpus — the proportions hold
+      // at any scale factor, unlike an absolute key cutoff
       val sample = Tables.customer(s, d)
         .filter(col("c_custkey") % 10 === 0)
-      val corpus = sample.filter(col("c_custkey") < 1200)
-      val batch = sample.filter(col("c_custkey") >= 1200)
+      val corpus = sample.filter(expr("(c_custkey div 10) % 5 != 0"))
+      val batch = sample.filter(expr("(c_custkey div 10) % 5 = 0"))
       val idx = FuzzyJoin.buildIndex(corpus, "c_custkey", "c_name",
         k = 1, q = 3)
       FuzzyJoin.probe(idx, batch, "c_custkey", "c_name")
@@ -238,7 +241,7 @@ object MatchQueries {
       SELECT a.id AS a_id, b.id AS b_id, a.s AS a_str, b.s AS b_str,
         cast(levenshtein(a.s, b.s) AS bigint) AS dist
       FROM c a JOIN c b ON a.id < b.id
-      WHERE (a.id >= 1200 OR b.id >= 1200)
+      WHERE ((a.id // 10) % 5 = 0 OR (b.id // 10) % 5 = 0)
         AND abs(len(a.s) - len(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1
       ORDER BY a_id, b_id"""))
 
