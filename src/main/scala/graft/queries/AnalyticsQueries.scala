@@ -395,7 +395,120 @@ object AnalyticsQueries {
         cast(sum(value_c) AS bigint) / 100.0 AS sum_value
       FROM hop GROUP BY w_start ORDER BY w_start"""))
 
+  // ---------------------------------------------------------------- q208
+  /** Per-group trend line: closed-form OLS slope/intercept of daily
+    * event counts over time, per event type. The regression runs over
+    * PRE-AGGREGATED (type, day, count) points — days per type is a
+    * bounded small set at any corpus size, so every OLS sum (Σx, Σy,
+    * Σxy, Σx²) stays an exact long and slope/intercept are single IEEE
+    * divisions of exact longs: `slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`.
+    * Days are re-origined per group (x = day − min day) to keep the
+    * products small and the intercept meaningful. The fact shuffles
+    * once into the (type, day) cells; the regression aggregates cells.
+    */
+  val q208GroupTrend = Q(
+    "q208_group_trend",
+    (s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_timestamp(ts) div $DaySecs").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      val wg = Window.partitionBy(col("event_type"))
+      val pts = cells
+        .withColumn("x", col("day") - min(col("day")).over(wg))
+      val agg = pts.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      agg
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") -
+            col("slope") * col("sx").cast("double")) /
+            col("n").cast("double"))
+        .select(col("event_type"), col("n"), col("sy").as("total"),
+          col("slope"), col("intercept"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH cells AS (
+        SELECT event_type, epoch_us(ts) // 1000000 // $DaySecs AS day,
+          count(*) AS y
+        FROM events GROUP BY 1, 2),
+      pts AS (SELECT event_type, y,
+          day - min(day) OVER (PARTITION BY event_type) AS x
+        FROM cells),
+      agg AS (SELECT event_type, count(*) AS n,
+          cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+          cast(sum(x * y) AS bigint) AS sxy,
+          cast(sum(x * x) AS bigint) AS sxx
+        FROM pts GROUP BY 1),
+      sl AS (SELECT *,
+          cast(n * sxy - sx * sy AS double)
+            / cast(n * sxx - sx * sx AS double) AS slope
+        FROM agg)
+      SELECT event_type, n, sy AS total, slope,
+        (cast(sy AS double) - slope * cast(sx AS double))
+          / cast(n AS double) AS intercept
+      FROM sl ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q209
+  /** Distribution drift between two corpus slices WITHOUT log-space
+    * divergences: per-bin document-length histograms of two sources and
+    * their total-variation distance. TV = Σ|pA − pB| / 2 evaluates as
+    * `Σ|cA·nB − cB·nA| / (2·nA·nB)` — every product an exact long, ONE
+    * IEEE division at the end — so the drift score is bit-reproducible
+    * where PSI/KL (log ratios) would not be. The standard
+    * corpus-version / source-mix drift gate next to q185's content
+    * diff; bins are map-side integer `div`s, the histogram join is
+    * bin-keyed over ≤`bins` rows. */
+  val q209DriftTv = Q(
+    "q209_drift_tv",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), expr("n_chars div 200").as("bin"))
+      def hist(src: String, cn: String) = docs
+        .filter(col("source") === src)
+        .groupBy(col("bin")).agg(count(lit(1)).as(cn))
+      val a = hist("src1", "c_a")
+      val b = hist("src2", "c_b")
+      val joined = a.join(b, Seq("bin"), "full")
+        .na.fill(0L, Seq("c_a", "c_b"))
+      val tot = joined.agg(sum(col("c_a")).as("n_a"),
+        sum(col("c_b")).as("n_b"))
+      joined.crossJoin(broadcast(tot))
+        .withColumn("num", abs(col("c_a") * col("n_b") -
+          col("c_b") * col("n_a")))
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(sum(col("num")).as("num_sum"),
+          count(lit(1)).as("n_bins"))
+        .withColumn("tv_distance",
+          col("num_sum").cast("double") /
+            (lit(2.0) * col("n_a").cast("double") *
+              col("n_b").cast("double")))
+        .select(col("n_a"), col("n_b"), col("n_bins"),
+          col("tv_distance"))
+    },
+    Some("""WITH d AS (SELECT source, n_chars // 200 AS bin
+        FROM documents),
+      a AS (SELECT bin, count(*) AS c_a FROM d WHERE source = 'src1'
+        GROUP BY 1),
+      b AS (SELECT bin, count(*) AS c_b FROM d WHERE source = 'src2'
+        GROUP BY 1),
+      j AS (SELECT coalesce(a.bin, b.bin) AS bin,
+          coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        FROM a FULL JOIN b ON a.bin = b.bin),
+      t AS (SELECT cast(sum(c_a) AS bigint) AS n_a,
+        cast(sum(c_b) AS bigint) AS n_b FROM j)
+      SELECT n_a, n_b, count(*) AS n_bins,
+        cast(sum(abs(c_a * n_b - c_b * n_a)) AS bigint)
+          / (2.0 * n_a * n_b) AS tv_distance
+      FROM j, t GROUP BY n_a, n_b"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
     q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
-    q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows)
+    q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows,
+    q208GroupTrend, q209DriftTv)
 }
