@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic random-walk corpus generation (the DeepWalk/node2vec
+  * data-prep stage): fixed-length walks over a graph, then skip-gram
+  * (center, context) pair extraction — the training corpus for graph
+  * embeddings, generated as a pure function of the edge set so two runs
+  * (or two engines) emit IDENTICAL walks.
+  *
+  * Determinism: each node's out-neighbors are dense-indexed 0..deg−1 in
+  * ascending neighbor order; the step from node v on walk w at step t
+  * takes neighbor `mix(v, w, t) mod deg(v)`, where `mix` is a fixed
+  * integer congruential mix (products bounded well inside int64). This
+  * is the q51-centroid discipline — a deterministic stand-in where true
+  * randomness adds nothing the training corpus needs — and it makes the
+  * whole walk table SQL-replayable (a recursive CTE reproduces every
+  * step), so the driver gate can hash-check a *random-walk* corpus.
+  *
+  * Scale shape: the neighbor index is one edge-keyed window; each of
+  * the `length` steps is ONE equi-join of the frontier (#walks rows)
+  * against the indexed adjacency — walk count stays constant across
+  * steps, so cost is length × (frontier ⋈ adjacency), never exponential.
+  * Walks localCheckpoint between steps would pin lineage for very long
+  * walks; at report lengths (≤ tens) plan growth is fine. Skip-gram
+  * extraction self-joins the walk table on (walk, |Δstep| ≤ window) —
+  * walk-keyed, window-bounded fan-out.
+  */
+object RandomWalks {
+
+  /** Congruential mix of (node, walk, step) → non-negative long. */
+  private def mix(node: org.apache.spark.sql.Column,
+      walk: org.apache.spark.sql.Column, step: Int) =
+    pmod(node * lit(2654435761L) + walk * lit(40503L) +
+      lit(step.toLong * 69069L), lit(2147483647L))
+
+  /** Dense neighbor index: (node, idx 0.., nbr, deg). Directed edges;
+    * symmetrize upstream for undirected walks. */
+  def neighborIndex(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("node"),
+      col(dstCol).cast("long").as("nbr")).distinct()
+    val w = Window.partitionBy(col("node")).orderBy(col("nbr"))
+    e.withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(
+        Window.partitionBy(col("node"))).cast("long"))
+  }
+
+  /** `walksPerNode` walks of `length` steps from every node with at
+    * least one out-edge. Output: (walk_id, step 0..length, node) — step
+    * 0 is the start node. walk_id = node·walksPerNode + copy. */
+  def walks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      walksPerNode: Int, length: Int): DataFrame = {
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1")
+    require(length >= 1, s"length must be >= 1")
+    val adj = neighborIndex(edges, srcCol, dstCol).localCheckpoint()
+    val starts = adj.select(col("node")).distinct()
+      .withColumn("copy", explode(
+        lit((0L until walksPerNode.toLong).toArray)))
+      .select((col("node") * walksPerNode + col("copy")).as("walk_id"),
+        col("node"))
+    var frontier = starts.select(col("walk_id"), lit(0).as("step"),
+      col("node"))
+    var acc = frontier
+    for (t <- 1 to length) {
+      frontier = frontier
+        .join(adj, Seq("node"))
+        .filter(col("idx") === mix(col("node"), col("walk_id"), t) %
+          col("deg"))
+        .select(col("walk_id"), lit(t).as("step"),
+          col("nbr").as("node"))
+      acc = acc.unionByName(frontier)
+    }
+    acc.select(col("walk_id"), col("step").cast("long").as("step"),
+      col("node"))
+  }
+
+  /** Skip-gram pairs within `window` steps (center ≠ context, both
+    * directions): (center, context, n). Dangling walks (a node with no
+    * out-edge ends its walk early) contribute their existing steps. */
+  def skipGramPairs(walkDf: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1")
+    walkDf.as("a")
+      .join(walkDf.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+          col("a.step") =!= col("b.step") &&
+          abs(col("a.step") - col("b.step")) <= window)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

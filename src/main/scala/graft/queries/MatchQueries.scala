@@ -245,6 +245,128 @@ object MatchQueries {
         AND abs(len(a.s) - len(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1
       ORDER BY a_id, b_id"""))
 
+  // ---------------------------------------------------------------- q210
+  /** Random-walk training corpus over the part↔supplier bipartite graph
+    * ([[graft.operators.RandomWalks]]): deterministic congruential-mix
+    * walks, then skip-gram (center, context) pair counts — the DeepWalk
+    * data-prep stage as a pure function of the edge set, so a RECURSIVE
+    * CTE replays every step and the driver hash-checks a random-walk
+    * corpus end to end. */
+  val q210WalkCorpus = Q(
+    "q210_walk_corpus",
+    (s, d) => {
+      import graft.operators.RandomWalks
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("a"),
+          (col("l_suppkey") + lit(10000000L)).as("b"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("b").as("a"), col("a").as("b")))
+      val w = RandomWalks.walks(edges, "a", "b",
+        walksPerNode = 1, length = 4)
+      RandomWalks.skipGramPairs(w, window = 2)
+        .orderBy(col("center"), col("context"))
+    },
+    Some("""WITH RECURSIVE e0 AS (
+        SELECT DISTINCT l_partkey AS a, l_suppkey + 10000000 AS b
+        FROM lineitem),
+      edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      adj AS (SELECT a AS node, b AS nbr,
+          row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx,
+          count(*) OVER (PARTITION BY a) AS deg
+        FROM edges),
+      starts AS (SELECT DISTINCT node FROM adj),
+      walk(walk_id, step, node) AS (
+        SELECT node, 0, node FROM starts
+        UNION ALL
+        SELECT w.walk_id, w.step + 1, a.nbr
+        FROM walk w JOIN adj a ON a.node = w.node
+          AND a.idx = ((w.node * 2654435761 + w.walk_id * 40503
+            + (w.step + 1) * 69069) % 2147483647) % a.deg
+        WHERE w.step < 4),
+      pairs AS (
+        SELECT x.node AS center, y.node AS context, count(*) AS n
+        FROM walk x JOIN walk y ON x.walk_id = y.walk_id
+          AND x.step <> y.step AND abs(x.step - y.step) <= 2
+        GROUP BY 1, 2)
+      SELECT center, context, n FROM pairs ORDER BY center, context"""))
+
+  // ---------------------------------------------------------------- q211
+  /** Contrastive training triples (query, positive, negative): for each
+    * query vector, positives are the exact cosine top-3 (the q50
+    * ranking) and negatives are md5-ranked draws from the non-positive
+    * remainder (the q79/q137 deterministic-sampling discipline) — the
+    * (anchor, pos, neg) generation step of every embedding-model
+    * training pipeline, fully hash-reproducible. */
+  val q211ContrastiveTriples = Q(
+    "q211_contrastive_triples",
+    (s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          GraftFunctions.vecDot(col("embedding"), col("embedding"))
+            .as("n2"))
+      val queries = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("n2").as("qn2"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid"))
+      val pos = broadcast(queries)
+        .join(e.select(col("vec_id").as("vid"),
+          col("embedding").as("cv"), col("n2").as("cn2")),
+          col("qid") =!= col("vid"))
+        .withColumn("cos", GraftFunctions.vecDot(col("qv"), col("cv")) /
+          sqrt(col("qn2") * col("cn2")))
+        .withColumn("pos_rank", row_number().over(wq).cast("long"))
+        .filter(col("pos_rank") <= 3)
+        .select(col("qid"), col("vid").as("pos_id"), col("pos_rank"))
+      val wn = Window.partitionBy(col("qid"))
+        .orderBy(col("tik"), col("vid"))
+      val neg = e.select(col("vec_id").as("vid"))
+        .crossJoin(broadcast(queries.select(col("qid"))))
+        .filter(col("qid") =!= col("vid"))
+        .join(pos.select(col("qid"), col("pos_id").as("vid")),
+          Seq("qid", "vid"), "left_anti")
+        .withColumn("tik", md5(concat_ws(":", col("qid"), col("vid"))))
+        .withColumn("neg_rank", row_number().over(wn).cast("long"))
+        .filter(col("neg_rank") <= 3)
+        .select(col("qid"), col("vid").as("neg_id"), col("neg_rank"))
+      pos.join(neg, Seq("qid"))
+        .select(col("qid"), col("pos_id"), col("pos_rank"),
+          col("neg_id"), col("neg_rank"))
+        .orderBy(col("qid"), col("pos_rank"), col("neg_rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+      pos AS (SELECT qid, vid, pos_rank FROM (
+        SELECT q.qid, c.vec_id AS vid, row_number() OVER (
+            PARTITION BY q.qid ORDER BY
+              list_dot_product(q.qv, c.v) / sqrt(
+                list_dot_product(q.qv, q.qv)
+                * list_dot_product(c.v, c.v)) DESC, c.vec_id) AS pos_rank
+        FROM q, e c WHERE q.qid <> c.vec_id) z WHERE pos_rank <= 3),
+      neg AS (SELECT qid, vid, neg_rank FROM (
+        SELECT q.qid, c.vec_id AS vid, row_number() OVER (
+            PARTITION BY q.qid ORDER BY
+              md5(q.qid || ':' || c.vec_id), c.vec_id) AS neg_rank
+        FROM q, e c WHERE q.qid <> c.vec_id
+          AND NOT EXISTS (SELECT 1 FROM (
+            SELECT qq.qid AS pqid, cc.vec_id AS pvid, row_number() OVER (
+                PARTITION BY qq.qid ORDER BY
+                  list_dot_product(qq.qv, cc.v) / sqrt(
+                    list_dot_product(qq.qv, qq.qv)
+                    * list_dot_product(cc.v, cc.v)) DESC,
+                  cc.vec_id) AS pr
+            FROM q qq, e cc WHERE qq.qid <> cc.vec_id) p
+            WHERE p.pqid = q.qid AND p.pvid = c.vec_id AND p.pr <= 3))
+          z WHERE neg_rank <= 3)
+      SELECT pos.qid, pos.vid AS pos_id, pos_rank,
+        neg.vid AS neg_id, neg_rank
+      FROM pos JOIN neg ON pos.qid = neg.qid
+      ORDER BY pos.qid, pos_rank, neg_rank"""))
+
   def all: Seq[Q] = Seq(q196FuzzyJoin, q197Skyline, q198HybridRrf,
-    q203LabelConfusion, q207FuzzyProbe)
+    q203LabelConfusion, q207FuzzyProbe, q210WalkCorpus,
+    q211ContrastiveTriples)
 }
