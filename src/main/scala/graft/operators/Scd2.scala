@@ -84,4 +84,31 @@ object Scd2 {
   def stateAt(historyDf: DataFrame, at: Column): DataFrame =
     historyDf.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || at < col("valid_to")))
+
+  /** Incremental history maintenance: a new event batch arrives and
+    * ONLY the touched keys' histories rebuild — from the immutable log
+    * restricted to those keys — while every untouched key's rows pass
+    * through from the existing history untouched. Row-identical to
+    * `history(priorEvents ∪ batch)`: versions and interval stitching
+    * are per-key, so rebuilding a key from its full event set
+    * reproduces exactly what the full recompute would emit (late and
+    * out-of-order events included — this is why the rebuild reads the
+    * log, not the collapsed history). Per batch the cost is the batch's
+    * key set (broadcast semi join against history AND log) plus a
+    * history pass over touched keys only — the [[graft.dedup.MinHash]]
+    * incremental-index economics for dimension maintenance.
+    */
+  def merge(
+      historyDf: DataFrame, priorEvents: DataFrame, batch: DataFrame,
+      keyCol: String, stateCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val touched = batch.select(col(keyCol)).distinct()
+    val untouched = historyDf.join(broadcast(touched), Seq(keyCol),
+      "left_anti")
+    val rebuilt = history(
+      priorEvents.unionByName(batch)
+        .join(broadcast(touched), Seq(keyCol), "left_semi"),
+      keyCol, stateCol, tsCol, tieCol)
+    untouched.unionByName(rebuilt)
+  }
 }

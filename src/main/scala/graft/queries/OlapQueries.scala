@@ -288,6 +288,44 @@ object OlapQueries {
         (valid_to IS NULL) AS is_current
       FROM v ORDER BY user_id, version"""))
 
+  // ---------------------------------------------------------------- q212
+  /** Incremental SCD2 maintenance ([[graft.operators.Scd2.merge]]):
+    * every 7th event arrives as "today's batch"; the prior history
+    * rebuilds ONLY the touched keys (from the log restricted to them)
+    * and passes every untouched key through. The oracle is q187's FULL
+    * recompute over all events — a green row proves incremental ≡ full,
+    * including late out-of-order batch events splicing into existing
+    * runs (the q139/q207 incremental contract for dimension tables). */
+  val q212Scd2Incremental = Q(
+    "q212_scd2_incremental",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+      val prior = ev.filter(col("event_id") % 7 =!= 0)
+      val batch = ev.filter(col("event_id") % 7 === 0)
+      val historyTable = graft.operators.Scd2.history(
+        prior, "user_id", "event_type", "ts", "event_id")
+      graft.operators.Scd2.merge(historyTable, prior, batch,
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
+        lag(event_type) OVER w AS prev,
+        row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      c AS (SELECT user_id, event_type, ts, event_id FROM o
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+      v AS (SELECT user_id, event_type, ts AS valid_from,
+          lead(ts) OVER w2 AS valid_to,
+          cast(row_number() OVER w2 AS bigint) AS version
+        FROM c
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_type, valid_from, valid_to, version,
+        (valid_to IS NULL) AS is_current
+      FROM v ORDER BY user_id, version"""))
+
   // ---------------------------------------------------------------- q188
   /** Robust anomaly gate ([[graft.operators.RobustStats.profile]]):
     * per-event-type median and MAD over exact cents with a
@@ -374,5 +412,6 @@ object OlapQueries {
 
   val all: Seq[Q] = Seq(q164RollingRange, q165Rollup, q166Pivot, q167Ntile,
     q168DecayedPopularity, q169SetAlgebra, q170Unpivot, q171Histogram,
-    q187Scd2History, q188RobustOutliers, q190PeakConcurrency)
+    q187Scd2History, q188RobustOutliers, q190PeakConcurrency,
+    q212Scd2Incremental)
 }

@@ -119,6 +119,38 @@ class RetrievalScdSpec extends SparkSpec {
       (3L, Some("C"), ts("2024-01-03 00:00:00"), None, 2L, true)))
   }
 
+  test("scd2 merge: incremental rebuild equals full recompute, " +
+    "late events splice and collapse runs, untouched keys pass through") {
+    import spark.implicits._
+    val prior = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "B", ts("2024-01-05 00:00:00"), 2L),
+      (2L, "X", ts("2024-01-01 00:00:00"), 3L),
+      (3L, "Z", ts("2024-01-01 00:00:00"), 4L))
+      .toDF("user_id", "state", "ts", "event_id")
+    // batch: a LATE event for key 1 that lands inside the A run with
+    // state A (must merge into the run, not split it), a later C, and a
+    // new key 4; keys 2 and 3 are untouched
+    val batch = Seq(
+      (1L, "A", ts("2024-01-03 00:00:00"), 10L),
+      (1L, "C", ts("2024-01-07 00:00:00"), 11L),
+      (4L, "N", ts("2024-01-02 00:00:00"), 12L))
+      .toDF("user_id", "state", "ts", "event_id")
+    val hist = Scd2.history(prior, "user_id", "state", "ts", "event_id")
+    val merged = Scd2.merge(hist, prior, batch,
+      "user_id", "state", "ts", "event_id")
+    val full = Scd2.history(prior.unionByName(batch),
+      "user_id", "state", "ts", "event_id")
+    assert(merged.collect().toSet == full.collect().toSet)
+    val k1 = merged.filter(col("user_id") === 1L)
+      .orderBy(col("version")).collect()
+      .map(r => (r.getString(1), r.getLong(4))).toSeq
+    assert(k1 == Seq(("A", 1L), ("B", 2L), ("C", 3L))) // A run unsplit
+    // untouched keys keep their exact original rows
+    val k23 = merged.filter(col("user_id").isin(2L, 3L)).collect().toSet
+    assert(k23 == hist.filter(col("user_id").isin(2L, 3L)).collect().toSet)
+  }
+
   test("scd2 current and point-in-time lookup") {
     val cur = Scd2.current(scdEvents, "user_id", "state", "ts", "event_id")
       .orderBy(col("user_id")).collect()
