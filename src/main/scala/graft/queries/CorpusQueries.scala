@@ -331,8 +331,86 @@ object CorpusQueries {
       SELECT source, mix_rank, doc_id, cum_start FROM r
       WHERE cum_start < budget ORDER BY source, mix_rank"""))
 
+  // ---------------------------------------------------------------- q213
+  /** Statistical phrase induction ([[graft.operators.PhraseMerge]]):
+    * adjacent token pairs whose co-occurrence beats independence under
+    * the cross-multiplied INTEGER inequality
+    * `(n_ab − δ)·20000 ≥ n_a·n_b` — the word2phrase qualifying rule
+    * with no division anywhere, so the phrase set is bit-reproducible. */
+  val q213Phrases = Q(
+    "q213_phrases",
+    (s, d) => graft.operators.PhraseMerge.phrases(
+      Tables.documents(s, d), "doc_id", "text",
+      discount = 5L, scoreNum = 1L, scoreDen = 20000L)
+      .orderBy(col("w1"), col("w2")),
+    Some("""WITH t AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+        generate_subscripts(
+          list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
+      FROM documents),
+      adj AS (SELECT a.w AS w1, b.w AS w2 FROM t a JOIN t b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      p AS (SELECT w1, w2, count(*) AS n_ab FROM adj GROUP BY 1, 2),
+      u AS (SELECT w, count(*) AS n_w FROM t GROUP BY 1)
+      SELECT w1, w2, n_ab, ua.n_w AS n_a, ub.n_w AS n_b
+      FROM p JOIN u ua ON p.w1 = ua.w JOIN u ub ON p.w2 = ub.w
+      WHERE (n_ab - 5) * 20000 >= ua.n_w * ub.n_w
+      ORDER BY w1, w2"""))
+
+  // ---------------------------------------------------------------- q214
+  /** One corpus-wide merge pass: every qualifying phrase occurrence
+    * joins into `w1_w2` leftmost-non-overlapping (run-parity rewrite —
+    * the scan a sequential tokenizer performs, computed distributed by
+    * the pos − row_number run-grouping trick). Per-doc before/after
+    * token counts, merge count, and the rewritten text — the BPE-style
+    * merge step as one driver-exact plan. */
+  val q214PhraseMerge = Q(
+    "q214_phrase_merge",
+    (s, d) => graft.operators.PhraseMerge.mergeOnce(
+      Tables.documents(s, d), "doc_id", "text",
+      discount = 5L, scoreNum = 1L, scoreDen = 20000L)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+        generate_subscripts(
+          list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
+      FROM documents),
+      adj AS (SELECT a.w AS w1, b.w AS w2 FROM t a JOIN t b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      pc AS (SELECT w1, w2, count(*) AS n_ab FROM adj GROUP BY 1, 2),
+      u AS (SELECT w, count(*) AS n_w FROM t GROUP BY 1),
+      ph AS (SELECT w1, w2 FROM pc
+        JOIN u ua ON pc.w1 = ua.w JOIN u ub ON pc.w2 = ub.w
+        WHERE (n_ab - 5) * 20000 >= ua.n_w * ub.n_w),
+      cand AS (SELECT doc_id, pos, w,
+          lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t),
+      mm AS (SELECT c.*, (ph.w1 IS NOT NULL) AS m FROM cand c
+        LEFT JOIN ph ON c.w = ph.w1 AND c.nxt = ph.w2),
+      rr AS (SELECT *, CASE WHEN m THEN pos - row_number() OVER (
+          PARTITION BY doc_id, m ORDER BY pos) END AS run FROM mm),
+      oo AS (SELECT *, CASE WHEN m THEN row_number() OVER (
+          PARTITION BY doc_id, run ORDER BY pos) END AS ord FROM rr),
+      mk AS (SELECT *, (m AND ord % 2 = 1) AS merge_here FROM oo),
+      ck AS (SELECT *, coalesce(lag(merge_here) OVER (
+          PARTITION BY doc_id ORDER BY pos), false) AS consumed FROM mk),
+      rb AS (SELECT doc_id, count(*) AS n_after,
+          cast(sum(CASE WHEN merge_here THEN 1 ELSE 0 END) AS bigint)
+            AS n_merges,
+          string_agg(CASE WHEN merge_here THEN w || '_' || nxt ELSE w
+            END, ' ' ORDER BY pos) AS new_text
+        FROM ck WHERE NOT consumed GROUP BY doc_id)
+      SELECT d.doc_id,
+        cast(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+          AS bigint) AS n_before,
+        coalesce(n_merges, 0) AS n_merges,
+        coalesce(n_after, 0) AS n_after,
+        coalesce(new_text, '') AS new_text
+      FROM documents d LEFT JOIN rb USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
     q156ProfileEvents, q159TemperatureMix, q181ProfileApprox,
-    q184SkewReport, q185CorpusDiff)
+    q184SkewReport, q185CorpusDiff, q213Phrases, q214PhraseMerge)
 }
