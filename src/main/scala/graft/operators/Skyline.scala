@@ -48,6 +48,9 @@ object Skyline {
         col(yCol).cast("double").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
       .distinct()
+      // consumed three times (scalar min/max, bucket bounds, survivor
+      // filter) — pin the distinct so the fact scans once (q191 lesson)
+      .localCheckpoint()
 
     // one scalar pass for the bucket geometry (driver anchor, 2 doubles)
     val Array(mn, mx) = pts.agg(min(col("x")), max(col("x")))

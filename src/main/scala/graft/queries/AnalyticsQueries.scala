@@ -42,6 +42,9 @@ object AnalyticsQueries {
         .select(col("user_id"),
           expr(s"unix_timestamp(ts) div $WeekSecs").as("week"))
         .distinct()
+        // feeds the cohort min AND the join left side — pin it so the
+        // fact scans (and the distinct exchange) run once, not twice
+        .localCheckpoint()
       val cohort = uw.groupBy(col("user_id"))
         .agg(min(col("week")).as("cohort_week"))
       val cells = uw.join(cohort, "user_id")
