@@ -768,11 +768,81 @@ object TextOps {
       SELECT doc_id, score_fp, n_terms_hit, doc_rank
       FROM r WHERE doc_rank <= 20 ORDER BY doc_rank"""))
 
+  // ---------------------------------------------------------------- q215
+  /** Mixed-language detection: q142's chunking × q44's marker-vote
+    * language id, composed per document — each 64-token chunk votes a
+    * language, and a doc whose chunks disagree is flagged mixed (the
+    * corpus-cleaning gate that catches concatenation artifacts and
+    * code-switching that whole-doc language id averages away).
+    * majority_share is one IEEE division of exact longs. Chunk ids are
+    * a map-side integer div; everything aggregates doc-keyed. */
+  val q215MixedLanguage = Q(
+    "q215_mixed_language",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), t => t =!= ""))
+            .as(Seq("pos", "tok")))
+        .withColumn("chunk", expr("pos div 64"))
+      val markerSums = LangMarkers.map { case (l, ms) =>
+        sum(when(col("tok").isin(ms: _*), 1L).otherwise(0L)).as(s"s_$l")
+      }
+      val best = LangMarkers.foldRight(lit("und"): Column) {
+        case ((l, _), acc) =>
+          when(col(s"s_$l") === greatest(LangMarkers.map(m =>
+            col(s"s_${m._1}")): _*) && col(s"s_$l") > 0, lit(l))
+            .otherwise(acc)
+      }
+      val chunkLang = toks.groupBy(col("doc_id"), col("chunk"))
+        .agg(markerSums.head, markerSums.tail: _*)
+        .withColumn("predicted", best)
+      val perLang = chunkLang.groupBy(col("doc_id"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      perLang.groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_chunks"),
+          count(lit(1)).as("n_langs"),
+          max(col("n")).as("top_chunks"))
+        .withColumn("majority_share",
+          col("top_chunks") / col("n_chunks"))
+        .withColumn("is_mixed", col("n_langs") > 1)
+        .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+          col("top_chunks"), col("majority_share"), col("is_mixed"))
+        .orderBy(col("doc_id"))
+    }, {
+      def inList(ms: Seq[String]) = ms.map("'" + _ + "'").mkString(",")
+      val sums = LangMarkers.map { case (l, ms) =>
+        s"sum(CASE WHEN tok IN (${inList(ms)}) THEN 1 ELSE 0 END) AS s_$l"
+      }.mkString(", ")
+      val grt = LangMarkers.map(m => s"s_${m._1}")
+        .mkString("greatest(", ",", ")")
+      val caseChain = LangMarkers.map { case (l, _) =>
+        s"WHEN s_$l = $grt AND s_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      Some(s"""WITH t AS (SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS tok,
+          (generate_subscripts(
+            list_filter(string_split(text, ' '), x -> x <> ''), 1) - 1)
+            // 64 AS chunk
+        FROM documents),
+        cl AS (SELECT doc_id, chunk, $sums FROM t GROUP BY 1, 2),
+        pred AS (SELECT doc_id, chunk,
+            CASE $caseChain ELSE 'und' END AS predicted FROM cl),
+        per_lang AS (SELECT doc_id, predicted, count(*) AS n
+          FROM pred GROUP BY 1, 2)
+        SELECT doc_id, cast(sum(n) AS bigint) AS n_chunks,
+          count(*) AS n_langs, cast(max(n) AS bigint) AS top_chunks,
+          max(n) / cast(sum(n) AS bigint) AS majority_share,
+          (count(*) > 1) AS is_mixed
+        FROM per_lang GROUP BY doc_id ORDER BY doc_id""")
+    })
+
   val all: Seq[Q] = Seq(
     q41DedupExact, q42TokenStats, q43QualityScore, q44LangId,
     q45NgramJaccard, q117CorpusPipeline, q118RegexTokens,
     q136SeqPacking, q137StratifiedSample, q140PiiRedact, q141Decontaminate,
     q142DocChunks, q143RepetitionFilter, q146LeakageSafeSplit,
     q147QuantileFloor, q174BigramFamiliarity, q175WeightedSample,
-    q179BigramHashed, q180BigramTopK, q183TfidfKeywords, q186Bm25Retrieve)
+    q179BigramHashed, q180BigramTopK, q183TfidfKeywords, q186Bm25Retrieve,
+    q215MixedLanguage)
 }
