@@ -66,9 +66,11 @@ object ScaleUp {
     // a real 30× customer base has 30× the names, not 30 copies of each
     write(copies(read("customer"), factor)
       .withColumn("c_custkey", shift("c_custkey", custSpan))
+      // format_string pads WITHOUT truncating (lpad truncates to len, which
+      // would collapse 10+-digit shifted keys to identical names and
+      // reintroduce the quadratic fuzzy-match blow-up at very large factors)
       .withColumn("c_name",
-        concat(lit("Customer#"),
-          lpad(col("c_custkey").cast("string"), 9, "0"))), "customer")
+        format_string("Customer#%09d", col("c_custkey"))), "customer")
     write(copies(read("supplier"), factor)
       .withColumn("s_suppkey", shift("s_suppkey", suppSpan)), "supplier")
     write(copies(read("part"), factor)

@@ -30,11 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object RandomWalks {
 
-  /** Congruential mix of (node, walk, step) → non-negative long. */
+  /** Congruential mix of (node, walk, step) → non-negative long. Node and
+    * walk ids reduce mod 2^31−1 BEFORE the multiply so every intermediate
+    * product is provably inside int64 for arbitrary 64-bit ids
+    * ((2^31−2)·2654435761 ≈ 5.7e18 < Long.MaxValue): without the
+    * reduction, ids above ~3.5e9 overflow and ANSI mode throws at
+    * runtime (the oracle's HUGEINT promotion would silently diverge). */
   private def mix(node: org.apache.spark.sql.Column,
-      walk: org.apache.spark.sql.Column, step: Int) =
-    pmod(node * lit(2654435761L) + walk * lit(40503L) +
-      lit(step.toLong * 69069L), lit(2147483647L))
+      walk: org.apache.spark.sql.Column, step: Int) = {
+    val m = lit(2147483647L)
+    pmod(pmod(node, m) * lit(2654435761L) + pmod(walk, m) * lit(40503L) +
+      lit(step.toLong * 69069L), m)
+  }
 
   /** Dense neighbor index: (node, idx 0.., nbr, deg). Directed edges;
     * symmetrize upstream for undirected walks. */

@@ -94,20 +94,26 @@ object Scd2 {
     * reproduces exactly what the full recompute would emit (late and
     * out-of-order events included — this is why the rebuild reads the
     * log, not the collapsed history). Per batch the cost is the batch's
-    * key set (broadcast semi join against history AND log) plus a
-    * history pass over touched keys only — the [[graft.dedup.MinHash]]
+    * key set (semi join against history AND log) plus a history pass
+    * over touched keys only — the [[graft.dedup.MinHash]]
     * incremental-index economics for dimension maintenance.
+    *
+    * No broadcast hint on the touched-key set: the normal daily batch is
+    * small and AQE broadcasts it from runtime stats, but a backfill or
+    * replay batch can touch most keys — an unconditional hint there is
+    * an over-driver-memory broadcast, while the planner's choice
+    * degrades gracefully to a shuffled semi/anti join with identical
+    * semantics.
     */
   def merge(
       historyDf: DataFrame, priorEvents: DataFrame, batch: DataFrame,
       keyCol: String, stateCol: String,
       tsCol: String, tieCol: String): DataFrame = {
     val touched = batch.select(col(keyCol)).distinct()
-    val untouched = historyDf.join(broadcast(touched), Seq(keyCol),
-      "left_anti")
+    val untouched = historyDf.join(touched, Seq(keyCol), "left_anti")
     val rebuilt = history(
       priorEvents.unionByName(batch)
-        .join(broadcast(touched), Seq(keyCol), "left_semi"),
+        .join(touched, Seq(keyCol), "left_semi"),
       keyCol, stateCol, tsCol, tieCol)
     untouched.unionByName(rebuilt)
   }

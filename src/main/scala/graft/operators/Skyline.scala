@@ -52,11 +52,13 @@ object Skyline {
       // filter) — pin the distinct so the fact scans once (q191 lesson)
       .localCheckpoint()
 
-    // one scalar pass for the bucket geometry (driver anchor, 2 doubles)
-    val Array(mn, mx) = pts.agg(min(col("x")), max(col("x")))
-      .collect()(0) match {
-        case r => Array(r.getDouble(0), r.getDouble(1))
-      }
+    // one scalar pass for the bucket geometry (driver anchor, 2 doubles);
+    // min/max over an empty frame returns one all-null row — an empty (or
+    // all-null) input has an empty frontier, so return it before the NPE
+    val geom = pts.agg(min(col("x")), max(col("x"))).collect()(0)
+    if (geom.isNullAt(0))
+      return pts.select(col("x").as(xCol), col("y").as(yCol))
+    val (mn, mx) = (geom.getDouble(0), geom.getDouble(1))
     val width = if (mx > mn) (mx - mn) / buckets else 1.0
     val bucketed = pts.withColumn("b",
       least(floor((col("x") - lit(mn)) / lit(width)),

@@ -32,6 +32,24 @@ class RandomWalksSpec extends SparkSpec {
     assert(rows.toSet == w2.toSet)
   }
 
+  test("64-bit node ids beyond 2^31 walk without overflow (ANSI-safe mix)") {
+    val big = 5000000000L // > 2^31: unreduced node*2654435761 overflows int64
+    val bigEdges = Seq((big, big + 1L), (big + 1L, big),
+      (big, big + 2L), (big + 2L, big)).toDF("a", "b")
+    val w = RandomWalks.walks(bigEdges, "a", "b", walksPerNode = 2,
+      length = 6).as[(Long, Long, Long)].collect()
+    // 3 nodes × 2 walks, 7 positions each, every step a real edge
+    assert(w.length == 3 * 2 * 7)
+    val edgeSet = Set((big, big + 1L), (big + 1L, big), (big, big + 2L),
+      (big + 2L, big))
+    w.groupBy(_._1).values.foreach { path =>
+      path.sortBy(_._2).map(_._3).toList.sliding(2).foreach {
+        case List(u, v) => assert(edgeSet((u, v)))
+        case _          => ()
+      }
+    }
+  }
+
   test("dangling nodes end their walks early instead of erroring") {
     val dag = Seq((1L, 2L), (2L, 3L)).toDF("a", "b") // 3 has no out-edge
     val w = RandomWalks.walks(dag, "a", "b", 1, 4)

@@ -151,6 +151,37 @@ class RetrievalScdSpec extends SparkSpec {
     assert(k23 == hist.filter(col("user_id").isin(2L, 3L)).collect().toSet)
   }
 
+  test("scd2 merge plans a shuffled semi-join when broadcast is off " +
+    "(backfill batch touching most keys) with results unchanged") {
+    import spark.implicits._
+    val prior = (1L to 200L).map(k =>
+      (k, "A", ts("2024-01-01 00:00:00"), k)).toDF(
+      "user_id", "state", "ts", "event_id")
+    val batch = (1L to 180L).map(k =>
+      (k, "B", ts("2024-02-01 00:00:00"), 1000L + k)).toDF(
+      "user_id", "state", "ts", "event_id")
+    val hist = Scd2.history(prior, "user_id", "state", "ts", "event_id")
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val merged = Scd2.merge(hist, prior, batch,
+        "user_id", "state", "ts", "event_id")
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"touched-key joins must not force a broadcast:\n$plan")
+      assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+        s"semi/anti shape expected:\n$plan")
+      val full = Scd2.history(prior.unionByName(batch),
+        "user_id", "state", "ts", "event_id")
+      assert(merged.collect().toSet == full.collect().toSet)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("scd2 current and point-in-time lookup") {
     val cur = Scd2.current(scdEvents, "user_id", "state", "ts", "event_id")
       .orderBy(col("user_id")).collect()

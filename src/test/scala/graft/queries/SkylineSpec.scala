@@ -41,6 +41,16 @@ class SkylineSpec extends SparkSpec {
     assert(run(pts) == Set((4.0, 9.0)))
   }
 
+  test("empty and all-null inputs yield an empty frontier, not an NPE") {
+    assert(run(Seq.empty) == Set.empty)
+    val allNull = Seq[(Option[Double], Option[Double])](
+      (None, Some(1.0)), (Some(2.0), None), (None, None))
+      .toDF("x", "y")
+    val out = Skyline.frontier2D(allNull, "x", "y", 8)
+    assert(out.columns.toSeq == Seq("x", "y"))
+    assert(out.count() == 0)
+  }
+
   test("randomized differential across bucket counts") {
     val rnd = new scala.util.Random(42)
     val pts = Seq.fill(300)((rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
