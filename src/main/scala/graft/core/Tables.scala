@@ -35,8 +35,26 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
+    // The nanos legacy flag is scoped to THIS load, not leaked into the
+    // session: try the plain read first (the common encodings need no
+    // flag); only a PARQUET_TYPE_ILLEGAL nanos failure retries under the
+    // flag, restoring the prior conf value immediately after. Schema
+    // conversion happens at load time, so the returned frame keeps its
+    // nanos-as-long mapping through later lazy execution (probed).
+    val df =
+      try load(s, d, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("TIMESTAMP(NANOS") =>
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prior = s.conf.getOption(key)
+          s.conf.set(key, "true")
+          try load(s, d, "events")
+          finally prior match {
+            case Some(v) => s.conf.set(key, v)
+            case None    => s.conf.unset(key)
+          }
+      }
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
