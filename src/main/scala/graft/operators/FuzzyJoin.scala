@@ -52,6 +52,15 @@ import org.apache.spark.sql.functions._
   * blocks ~10× smaller and candidates ~100× fewer. Rule of thumb:
   * alphabet^q ≫ corpus/expected-block; natural-language names are fine
   * at q=2, digit-structured keys want q=3+.
+  *
+  * That rule is now MEASURED, not trusted: [[buildIndex]] (hence
+  * [[selfJoin]] and [[probe]]) computes the corpus's average gram-block
+  * load — strings × (q·k+1) ÷ distinct grams, the multiplier that
+  * measured 1239 on the degenerate 30× q=2 corpus versus ≤178 on every
+  * healthy configuration — and fails fast when it exceeds
+  * `maxAvgBlock` instead of silently going quadratic on a mis-set
+  * knob. [[selectQ]] runs the same measurement for q = 2..qMax in ONE
+  * corpus pass and returns the smallest gram size under the bound.
   */
 object FuzzyJoin {
 
@@ -114,13 +123,87 @@ object FuzzyJoin {
       .select(col("a_id"), col("b_id"), col("a_str"), col("b_str"),
         col("dist"))
 
+  /** Average gram-block load of gram size `q` on `base`: strings with
+    * ≥1 gram × prefix length ÷ distinct grams — the expected per-gram
+    * string count if prefixes spread evenly, i.e. the knob candidate
+    * volume is quadratic in. 0 when no string yields a gram (the short
+    * pool covers those). One corpus pass, two scalar anchors. */
+  private def blockLoadOf(base: DataFrame, q: Int, k: Int): Double = {
+    val r = base.filter(length(col("s")) >= q)
+      .select(col("id"),
+        explode(expr(s"transform(sequence(0, length(s) - $q), " +
+          s"i -> substring(s, i + 1, $q))")).as("gram"))
+      .agg(countDistinct(col("gram")).as("d"),
+        countDistinct(col("id")).as("n")).collect()(0)
+    if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
+    else r.getLong(1).toDouble * (q * k + 1) / r.getLong(0).toDouble
+  }
+
+  /** Smallest gram size in [2, qMax] whose measured block load stays
+    * under `maxAvgBlock` for this corpus — ONE corpus pass measures all
+    * candidate sizes at once. Throws when even qMax is degenerate
+    * (pathologically low-entropy corpus: raise qMax or rethink the
+    * blocking key). Run once per corpus shape and pin the result; the
+    * per-build validation in [[buildIndex]] then guards against drift. */
+  def selectQ(
+      df: DataFrame, idCol: String, strCol: String, k: Int,
+      maxAvgBlock: Double = 512.0, qMax: Int = 6): Int = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(qMax >= 2, s"qMax must be >= 2, got $qMax")
+    val base = normalized(df, idCol, strCol)
+    val empty = "cast(array() as array<struct<q:int,gram:string>>)"
+    val stats = base.select(col("id"),
+        explode(expr(s"flatten(transform(sequence(2, $qMax), q -> " +
+          "CASE WHEN length(s) >= q THEN " +
+          "transform(sequence(0, length(s) - q), " +
+          "i -> named_struct('q', q, 'gram', substring(s, i + 1, q))) " +
+          s"ELSE $empty END))")).as("g"))
+      .select(col("g.q").as("q"), col("g.gram").as("gram"), col("id"))
+      .groupBy(col("q"))
+      .agg(countDistinct(col("gram")).as("d"),
+        countDistinct(col("id")).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (2 to qMax).find { q =>
+      stats.get(q).exists { case (d, n) =>
+        d > 0L && n.toDouble * (q * k + 1) / d <= maxAvgBlock
+      }
+    }.getOrElse {
+      val seen = (2 to qMax).map(q => stats.get(q) match {
+        case Some((d, n)) if d > 0 =>
+          f"q=$q load=${n.toDouble * (q * k + 1) / d}%.0f"
+        case _ => s"q=$q load=n/a"
+      }).mkString(", ")
+      throw new IllegalArgumentException(
+        s"no gram size in [2,$qMax] keeps avg block load under " +
+          s"$maxAvgBlock ($seen): the corpus is too low-entropy for " +
+          "q-gram blocking — raise qMax or block on a different key")
+    }
+  }
+
   /** Build the corpus-side index for [[probe]] (also the first half of
-    * [[selfJoin]]). Persist the four frames to serve repeated batches. */
+    * [[selfJoin]]). Persist the four frames to serve repeated batches.
+    *
+    * `validate` (default on) measures the corpus's block load for this
+    * (q, k) and fails fast above `maxAvgBlock` — the measured degenerate
+    * regime (load 1239 ⇒ >22 min at 30×; healthy configs ≤178) — naming
+    * [[selectQ]] in the error. The measurement is one extra corpus
+    * pass; a production pipeline that has already pinned q via
+    * [[selectQ]] can pass `validate = false` to skip it. */
   def buildIndex(
       df: DataFrame, idCol: String, strCol: String,
-      k: Int, q: Int = 2): FuzzyIndex = {
+      k: Int, q: Int = 2, validate: Boolean = true,
+      maxAvgBlock: Double = 512.0): FuzzyIndex = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(q >= 1, s"q must be >= 1, got $q")
+    if (validate) {
+      val base0 = normalized(df, idCol, strCol)
+      val load = blockLoadOf(base0, q, k)
+      require(load <= maxAvgBlock,
+        f"q=$q is degenerate on this corpus (avg gram-block load " +
+          f"$load%.0f > $maxAvgBlock%.0f): candidate generation would " +
+          "go quadratic — use selectQ to pick q, or raise q manually")
+    }
     val prefixLen = q * k + 1
     // strings with fewer than prefixLen grams (len < q(k+1)) get a
     // vacuous overlap bound; anything within len+k of them joins the
@@ -144,8 +227,8 @@ object FuzzyJoin {
     */
   def selfJoin(
       df: DataFrame, idCol: String, strCol: String,
-      k: Int, q: Int = 2): DataFrame = {
-    val idx = buildIndex(df, idCol, strCol, k, q)
+      k: Int, q: Int = 2, validate: Boolean = true): DataFrame = {
+    val idx = buildIndex(df, idCol, strCol, k, q, validate)
     val gramPairs = idx.prefixes.as("a")
       .join(idx.prefixes.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&

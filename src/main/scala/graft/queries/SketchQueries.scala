@@ -219,7 +219,41 @@ object SketchQueries {
           AS over_ratio
       FROM est, ex"""))
 
+  // ---------------------------------------------------------------- q218
+  /** Production count-min family ([[CountMin.sketchFast]]): the
+    * xxhash64-bucketed sketch whose build is one codegen'd 8-byte hash
+    * per cell instead of q153's md5 digest + hex substring (measured ~5×
+    * cheaper at 30×, SCALE.md). xxhash64 is not replayable in DuckDB, so
+    * this uses the q134/q181 error-envelope recipe: the EXACT per-word
+    * counts are oracled value-for-value, and the sketch's guarantee —
+    * estimate ≥ truth, for every probed key — collapses to a boolean
+    * column the oracle pins to TRUE. A hash-family bug that ever
+    * underestimates flips the boolean and fails the driver gate. */
+  val q218CmsFast = Q(
+    "q218_cms_fast",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+      val sk = CountMin.sketchFast(toks, "word", depth = 4, width = 4096)
+      val vocab = Vocabulary.build(docs, "text", n = 25)
+      CountMin.estimateFast(sk, vocab, "word", depth = 4, width = 4096)
+        .select(col("word"), col("rank").as("vocab_rank"),
+          col("n_occurrences"),
+          (col("cms_count") >= col("n_occurrences")).as("never_under"))
+        .orderBy(col("word"))
+    },
+    Some("""WITH w AS (SELECT unnest(
+          list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        FROM documents),
+      c AS (SELECT word, count(*) AS n_occurrences FROM w GROUP BY word),
+      v AS (SELECT word, n_occurrences, row_number() OVER (
+          ORDER BY n_occurrences DESC, word) AS vocab_rank
+        FROM c ORDER BY n_occurrences DESC, word LIMIT 25)
+      SELECT word, vocab_rank, n_occurrences, true AS never_under
+      FROM v ORDER BY word"""))
+
   val all: Seq[Q] =
     Seq(q153CmsFrequency, q176BloomJoin, q177BloomAnti, q178BloomStringJoin,
-      q206CmsJoinEstimate)
+      q206CmsJoinEstimate, q218CmsFast)
 }

@@ -87,4 +87,30 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(got == expect, s"k=$k q=$q")
     }
   }
+
+  test("degenerate low-entropy corpus is detected at build time, " +
+    "and selectQ picks the smallest viable gram size") {
+    import graft.operators.FuzzyJoin
+    // binary-alphabet keys: ~2^q distinct grams, so small q gives a
+    // block load in the thousands — the silent-quadratic regime the
+    // 30x Customer# corpus hit at q=2 (measured load 1239, >22 min)
+    val degenerate = (0 until 3000).map(i =>
+      i.toLong -> (0 until 14).map(b => (i >> b) & 1).mkString).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.buildIndex(degenerate, "id", "s", k = 1, q = 2)
+    }
+    assert(e.getMessage.contains("degenerate") &&
+      e.getMessage.contains("selectQ"))
+    // q=6 is the first size with ~2^6 grams beating the 512 bound
+    assert(FuzzyJoin.selectQ(degenerate, "id", "s", k = 1, qMax = 8) === 6)
+    // validate=false is the explicit production escape hatch
+    FuzzyJoin.buildIndex(degenerate, "id", "s", k = 1, q = 2,
+      validate = false)
+    // a healthy mixed-name corpus selects q=2 and builds clean
+    val healthy = (0 until 500).map(i =>
+      i.toLong -> s"Artist ${('a' + i % 26).toChar}${('a' + (i / 26) % 26).toChar} no$i")
+      .toDF("id", "s")
+    assert(FuzzyJoin.selectQ(healthy, "id", "s", k = 1) === 2)
+    FuzzyJoin.buildIndex(healthy, "id", "s", k = 1, q = 2)
+  }
 }
