@@ -25,7 +25,8 @@ final class Dispatch(
       query: String, entity: String = "artists",
       statsRange: String = "all_time", onlyInc: Boolean = false,
       year: Int = 0, data: Option[DataFrame] = None, dumpId: Int = 0,
-      days: Int = 0, threshold: Long = 0L, approx: Boolean = false)
+      days: Int = 0, threshold: Long = 0L, approx: Boolean = false,
+      mlhd: Boolean = false)
 
   private def entityProvider(entity: String, top: Int): StatsProvider =
     entity match {
@@ -273,7 +274,28 @@ final class Dispatch(
       // default and the oracled path; q134 oracles the approx path's
       // error envelope against the exact one.
       case "popularity.popularity" | "popularity.entity" =>
-        if (req.approx)
+        if (req.mlhd) {
+          // the reference's mlhd flag (popularity/main.py:15-29) routes to
+          // the chunked partial-aggregate engine over the MLHD+ corpus
+          // (mlhd.py:19-60). Here: the imported MLHD store (written
+          // chunk-partitioned by import.dump.mlhd, the download.py:24-27
+          // hex-prefix layout) runs the popularity provider through
+          // ChunkedRunner — each hex chunk aggregates in its own job
+          // (bounding any single shuffle to one chunk of the 27B-listen
+          // corpus) and the additive combine over per-user-prefix
+          // partials is EXACT because chunks partition users. q216
+          // driver-proves chunked ≡ direct aggregation.
+          val mlhdListens = spark.read.parquet(s"$workDir/mlhd")
+          // cast: digit-only chunk dirs type-infer as int on read; the
+          // predicate still references only the partition column, so
+          // each chunk job stays partition-pruned
+          val chunks = graft.ingest.MlhdImport.Chunks
+            .map(c => col("chunk").cast("string") === c)
+          ChunkedRunner.run(spark, mlhdListens,
+            graft.popularity.Popularity.PopularityStats(
+              "user_id", Seq(req.entity)),
+            chunks, s"$workDir/popularity-mlhd-chunks")
+        } else if (req.approx)
           graft.popularity.Popularity.entityApprox(
             windowed, "user_id", Seq(req.entity))
         else

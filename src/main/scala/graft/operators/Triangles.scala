@@ -60,6 +60,42 @@ object Triangles {
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
 
+  /** DOULION edge-sampled triangle estimate (Tsourakakis, Kang &
+    * Faloutsos, KDD'09) — the 100 TB regime's answer when even the
+    * degree-oriented exact count is wedge-bound (q191 measured 18× at
+    * 30×: Σ d_out² grows with density): keep each canonical edge
+    * independently with probability `keepHex/16`, count triangles
+    * EXACTLY on the sampled graph (the machinery above, bloom prune
+    * included), and scale by (16/keepHex)³ — every surviving triangle
+    * needed all three of its edges kept, so the estimator is unbiased
+    * with concentration bounds from the paper. Sampling cuts the edge
+    * set by p, the wedge volume by ~p², and the dominant close shuffle
+    * by ~p³.
+    *
+    * The coin is DETERMINISTIC — first md5 hex char of "a:b:salt" below
+    * `keepHex` — the engine's seeded-sampling discipline (q79), so two
+    * runs or two ENGINES sample the identical edge set and the whole
+    * estimate is hash-reproducible (q217 replays it in SQL).
+    * `keepHex` must divide 16 so the scale factor stays an exact
+    * integer. Output one row: (sampled_triangles, doulion_estimate). */
+  def doulion(
+      edges: DataFrame, src: String, dst: String,
+      keepHex: Int = 8, salt: String = "doulion",
+      maxBloomEdges: Long = 4000000L): DataFrame = {
+    require(Set(1, 2, 4, 8, 16).contains(keepHex),
+      s"keepHex must divide 16 for an integer-exact estimator, got $keepHex")
+    val c = canonical(edges, src, dst)
+    val coin = substring(md5(concat_ws(":",
+      col("a").cast("string"), col("b").cast("string"), lit(salt))), 1, 1)
+    val keep = "0123456789abcdef".take(keepHex).map(_.toString)
+    val f = 16L / keepHex
+    triangles(c.filter(coin.isin(keep: _*)), "a", "b", maxBloomEdges)
+      .agg(count(lit(1)).as("sampled_triangles"))
+      .select(col("sampled_triangles"),
+        (col("sampled_triangles") * lit(f * f * f))
+          .as("doulion_estimate"))
+  }
+
   /** All triangles `(x, y, z)` with `x < y < z`, each exactly once.
     * Wedge step: out-neighbor pairs of each oriented center; close
     * step: semi-check the third edge against the oriented edge set. */

@@ -39,6 +39,33 @@ object Popularity {
       .filter(col("rank") <= top)
   }
 
+  /** [[graft.engine.StatsProvider]] form of [[entity]], giving popularity
+    * the engine's aggregate/combine/stats contract so it can run through
+    * [[graft.engine.ChunkedRunner]] — the reference's MLHD popularity
+    * path (popularity/main.py:15-29 routes `mlhd=True` to MlhdStatsEngine,
+    * mlhd.py:19-60, the partial-aggregate engine over the 27B-listen
+    * corpus).
+    *
+    * `combine` is ADDITIVE in both counts, exactly like the reference's
+    * combine query (popularity/listens.py:57-76 sums total_listen_count
+    * and total_user_count across partials). Summed listener counts are
+    * EXACT when partials partition by user — the MLHD chunk layout,
+    * where each user lives in exactly one hex-prefix chunk — and match
+    * the reference's (over-counting) semantics when partials slice by
+    * time and a listener spans slices.
+    */
+  final case class PopularityStats(userCol: String, entityCols: Seq[String])
+      extends graft.engine.StatsProvider {
+    def filterKeys: Seq[String] = entityCols
+    def aggregate(listens: DataFrame): DataFrame =
+      entity(listens, userCol, entityCols)
+    def combine(partials: DataFrame): DataFrame =
+      partials.groupBy(entityCols.map(col): _*)
+        .agg(sum(col("total_listen_count")).as("total_listen_count"),
+          sum(col("total_user_count")).as("total_user_count"))
+    def stats(partial: DataFrame): DataFrame = partial
+  }
+
   /** Approximate variant for the regime where exact distinct is the
     * bottleneck (the reference's MLHD popularity over 27B listens):
     * HyperLogLog++ (`approx_count_distinct`) replaces the exact two-stage

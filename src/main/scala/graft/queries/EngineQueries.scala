@@ -714,11 +714,40 @@ object EngineQueries {
         ${Q.sqlCents("o_totalprice", "total_price")}
       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  // ---------------------------------------------------------------- q216
+  /** MLHD-style chunked popularity: the popularity provider runs through
+    * [[graft.engine.ChunkedRunner]] over the hex-prefix chunk layout
+    * (user id's leading char, the MLHD+ corpus layout of
+    * mlhd/download.py:24-27) — per-chunk partials parqueted, then
+    * additively combined, the reference's `mlhd=True` popularity route
+    * (popularity/main.py:15-29 → MlhdStatsEngine, popularity/mlhd.py:19-60).
+    * The oracle is the DIRECT one-pass popularity aggregate, so the
+    * driver hash PROVES chunked ≡ direct: exact, because user-prefix
+    * chunks partition users — each listener is counted in exactly one
+    * partial, and listen counts are additive regardless. */
+  val q216MlhdPopularity = Q(
+    "q216_mlhd_popularity",
+    (s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q216").toString
+      val chunks = graft.ingest.MlhdImport.Chunks.map(c =>
+        graft.ingest.MlhdImport.chunkOf(col("user_id")) === c)
+      graft.engine.ChunkedRunner.run(s, ev,
+          graft.popularity.Popularity.PopularityStats(
+            "user_id", Seq("event_type")),
+          chunks, work)
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS total_listen_count,
+      count(DISTINCT user_id) AS total_user_count
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     q70IncrementalTopk, q71SessionCooccur, q72OnlyIncremental,
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
     q89GenreActivity, q90ListeningTime, q91FreshReleases,
     q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
     q129BucketedAgg, q135StreamingIngest, q158SketchDistinct,
-    q173StreamingWindows, q189StreamIntervalJoin)
+    q173StreamingWindows, q189StreamIntervalJoin, q216MlhdPopularity)
 }

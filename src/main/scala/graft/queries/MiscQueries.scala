@@ -738,6 +738,63 @@ object MiscQueries {
       SELECT node, count(*) AS n_triangles FROM n
       GROUP BY node ORDER BY node"""))
 
+  // ---------------------------------------------------------------- q217
+  /** DOULION approximate triangle count ([[graft.operators.Triangles
+    * .doulion]]) beside the exact count on the same part co-order graph:
+    * each edge survives a deterministic md5 coin with p = 1/2, the exact
+    * machinery counts the sampled graph, and ×8 unbiases the estimate —
+    * the scale path for the regime where even degree-oriented exact
+    * counting is wedge-bound (q191: 18× at 30×; sampling cuts the close
+    * shuffle by ~p³). The coin is seeded-sampling-replayable, so the
+    * oracle reproduces the IDENTICAL sampled edge set and the driver
+    * hash pins exact count, sampled count, estimate, AND the
+    * basis-point error — measured accuracy, not asserted. */
+  val q217DoulionTriangles = Q(
+    "q217_doulion_triangles",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val raw = li.alias("x").join(li.alias("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      // pin the DISTINCT canonical edge set (orders of magnitude smaller
+      // than the raw pair multiset) — it feeds both the exact count and
+      // the sampled estimate; canonical() is idempotent downstream
+      val e = graft.operators.Triangles.canonical(raw, "src", "dst")
+        .localCheckpoint()
+      val exact = graft.operators.Triangles.triangles(e, "a", "b")
+        .agg(count(lit(1)).as("exact_triangles"))
+      val est = graft.operators.Triangles.doulion(e, "a", "b",
+        keepHex = 8)
+      exact.crossJoin(est)
+        .withColumn("err_bp", expr("CASE WHEN exact_triangles > 0 THEN " +
+          "abs(doulion_estimate - exact_triangles) * 10000 div " +
+          "exact_triangles ELSE 0 END"))
+        .select(col("exact_triangles"), col("sampled_triangles"),
+          col("doulion_estimate"), col("err_bp"))
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+        FROM lineitem),
+      e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      s AS (SELECT a, b FROM e
+        WHERE substr(md5(cast(a AS varchar) || ':' || cast(b AS varchar)
+          || ':doulion'), 1, 1)
+          IN ('0','1','2','3','4','5','6','7')),
+      t AS (SELECT count(*) AS c FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      ts AS (SELECT count(*) AS c FROM s e1
+        JOIN s e2 ON e2.a = e1.b
+        JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT cast(t.c AS bigint) AS exact_triangles,
+        cast(ts.c AS bigint) AS sampled_triangles,
+        cast(ts.c * 8 AS bigint) AS doulion_estimate,
+        cast(CASE WHEN t.c > 0
+          THEN abs(ts.c * 8 - t.c) * 10000 // t.c ELSE 0 END AS bigint)
+          AS err_bp
+      FROM t, ts"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
@@ -745,5 +802,5 @@ object MiscQueries {
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
     q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
     q157ZorderKey, q160Funnel, q162MassRank, q163EventWindows,
-    q191Triangles)
+    q191Triangles, q217DoulionTriangles)
 }

@@ -111,6 +111,27 @@ class DispatchAllSpec extends SparkSpec {
     }
   }
 
+  test("popularity.popularity honors the mlhd flag: the chunked engine " +
+    "over the imported MLHD store equals direct aggregation") {
+    dispatch.handle(dispatch.StatRequest("import.dump.mlhd",
+      data = Some(listensDf(fixture))))
+    val out = dispatch.handle(dispatch.StatRequest("popularity.popularity",
+        entity = "artist_name", mlhd = true))
+      .collect()
+      .map(r => (r.getAs[String]("artist_name"),
+        r.getAs[Long]("total_listen_count"),
+        r.getAs[Long]("total_user_count"))).toSet
+    val direct = graft.popularity.Popularity.entity(
+        listensDf(fixture), "user_id", Seq("artist_name"))
+      .collect()
+      .map(r => (r.getAs[String]("artist_name"),
+        r.getAs[Long]("total_listen_count"),
+        r.getAs[Long]("total_user_count"))).toSet
+    assert(out.nonEmpty)
+    assert(out == direct,
+      "per-user-prefix chunked partials must combine to the exact counts")
+  }
+
   test("import commands mutate the store end-to-end") {
     // force the fixture store to exist before mutating it
     val baseCount = store.baseListens.count()

@@ -108,4 +108,41 @@ class GraphSweepSpec extends SparkSpec {
       }
     }
   }
+
+  test("doulion: p=1 reproduces the exact count, runs are deterministic, " +
+    "the estimator is unbiased across coin salts, bad keepHex rejected") {
+    import spark.implicits._
+    // dense-ish fixture: two overlapping cliques plus noise edges
+    val rnd = new scala.util.Random(7)
+    val clique = (g: Seq[Long]) =>
+      for (i <- g.indices; j <- i + 1 until g.size) yield (g(i), g(j))
+    val edges = (clique(0L to 7L) ++ clique(5L to 12L) ++
+      Seq.fill(30)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)))
+      .toDF("s", "t")
+    val exact = Triangles.triangles(edges, "s", "t").count()
+    assert(exact > 0)
+    // keepHex=16 keeps every edge: the "estimate" IS the exact count
+    val full = Triangles.doulion(edges, "s", "t", keepHex = 16)
+      .as[(Long, Long)].head()
+    assert(full === ((exact, exact)))
+    // deterministic: identical (sampled, estimate) across runs
+    val r1 = Triangles.doulion(edges, "s", "t", keepHex = 8)
+      .as[(Long, Long)].head()
+    val r2 = Triangles.doulion(edges, "s", "t", keepHex = 8)
+      .as[(Long, Long)].head()
+    assert(r1 === r2)
+    assert(r1._2 === r1._1 * 8, "p=1/2 scales by 2^3")
+    // variance fixture: E[estimate] = exact — the mean over independent
+    // coins (distinct salts) must land near exact even though any single
+    // p=1/2 draw on a small graph is noisy
+    val ests = (0 until 16).map { i =>
+      Triangles.doulion(edges, "s", "t", keepHex = 8, salt = s"seed$i")
+        .as[(Long, Long)].head()._2
+    }
+    val mean = ests.sum.toDouble / ests.size
+    assert(math.abs(mean - exact) <= 0.35 * exact,
+      s"mean $mean across salts strays from exact $exact")
+    intercept[IllegalArgumentException](
+      Triangles.doulion(edges, "s", "t", keepHex = 5))
+  }
 }
