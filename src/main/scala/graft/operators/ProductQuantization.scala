@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid, PAMI'11) over int8
+  * codes — the memory-side of billion-scale ANN: each vector splits
+  * into `m` subspaces, each subspace snaps to its nearest of `k`
+  * codebook entries, and a vector compresses to `m` small code ids. A
+  * query then scores the WHOLE corpus from an m×k lookup table
+  * (asymmetric distance computation, ADC) — per corpus vector the
+  * distance is m table lookups and adds, never a d-dimensional dot.
+  *
+  * Built on the [[VectorQuantization]]/[[QuantizedKMeans]] exactness
+  * discipline: codebooks, encodings, and ADC distances are ALL integer
+  * arithmetic on int8 codes (sub-distance = |a|²+|c|²−2·a·c of integer
+  * slices), so the entire pipeline — codebook, per-vector codes, every
+  * ADC score, the final ranking — is bit-reproducible cross-engine
+  * (q223 replays it in SQL), which float PQ codebooks cannot offer.
+  * Codebook entries are the deterministic seed discipline (the k
+  * lowest-id vectors' sub-codes, the q155/q51 pattern); callers wanting
+  * trained codebooks can run [[QuantizedKMeans]] per subspace and feed
+  * the result in — the schema is the contract.
+  *
+  * Scale shape (100 TB): codebooks are m×k sub-codes (config-sized,
+  * broadcast). Encoding is one corpus pass: per row, m×k integer
+  * sub-distances inside a broadcast join, then ONE id-keyed aggregate
+  * whose payload is m small ints — the corpus's float (or even int8)
+  * vectors never shuffle. ADC probes broadcast the query table and
+  * shuffle only (query, id, partial-sum) rows.
+  */
+object ProductQuantization {
+
+  /** Deterministic codebooks from a [[VectorQuantization.quantizeInt8]]
+    * frame `q` (`idCol`, `q8`): the `k` lowest-id vectors' sub-codes.
+    * Output `(subspace, code_id, sc8, scn2)` with `code_id` dense 0..k−1
+    * in id order per subspace. Dims must divide into `m` equal slices. */
+  def codebooks(q: DataFrame, idCol: String, m: Int, k: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 1 && k <= (1 << 20), s"k must be in [1,2^20], got $k")
+    val w = Window.orderBy(col(idCol))
+    q.orderBy(col(idCol)).limit(k)
+      .withColumn("code_id", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__dims", size(col("q8")))
+      .withColumn("__sub", (col("__dims") / m).cast("int"))
+      .select(col("code_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          "s -> slice(q8, s * __sub + 1, __sub))")))
+      .select(col("pos").cast("long").as("subspace"),
+        col("code_id"), col("col").as("sc8"),
+        VectorQuantization.int8Dot(col("col"), col("col")).as("scn2"))
+  }
+
+  /** Encode every vector of `q` against `codebooks`: `(idCol, codes)`
+    * where `codes[s]` is subspace s's nearest codebook entry (exact
+    * integer sub-L2, ties to the lowest code_id — the packed-min
+    * discipline of [[QuantizedKMeans.assign]]). */
+  def encode(
+      q: DataFrame, books: DataFrame, idCol: String, m: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(q.sparkSession)
+    val subs = q
+      .withColumn("__sub", (size(col("q8")) / m).cast("int"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          "s -> slice(q8, s * __sub + 1, __sub))")))
+      .select(col(idCol), col("pos").cast("long").as("subspace"),
+        col("col").as("v8"),
+        VectorQuantization.int8Dot(col("col"), col("col")).as("vn2"))
+    val packed = shiftleft(
+      col("vn2") + col("scn2") -
+        lit(2L) * VectorQuantization.int8DotFast(col("v8"), col("sc8")),
+      20) + col("code_id")
+    subs.join(broadcast(books), Seq("subspace"))
+      .select(col(idCol), col("subspace"), packed.as("__p"))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(col("__p")).as("__p"))
+      .withColumn("code", pmod(col("__p"), lit(1L << 20)))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** ADC top-k: for each query row of `queries` (same quantized schema
+    * as the corpus), the `k` nearest encoded corpus vectors by the
+    * summed integer sub-distance table. Output
+    * `(qid, rank, idCol, adc_d2)`. The distance table (queries × m ×
+    * codebook) broadcasts; corpus vectors participate only through
+    * their m-code rows. */
+  def adcTopK(
+      queries: DataFrame, qidCol: String, books: DataFrame,
+      encoded: DataFrame, idCol: String, m: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val qsubs = queries
+      .withColumn("__sub", (size(col("q8")) / m).cast("int"))
+      .select(col(qidCol).as("qid"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          "s -> slice(q8, s * __sub + 1, __sub))")))
+      .select(col("qid"), col("pos").cast("long").as("subspace"),
+        col("col").as("v8"),
+        VectorQuantization.int8Dot(col("col"), col("col")).as("vn2"))
+    // (qid, subspace, code) -> integer sub-distance: the ADC table
+    val table = qsubs.join(broadcast(books), Seq("subspace"))
+      .select(col("qid"), col("subspace"), col("code_id").as("code"),
+        (col("vn2") + col("scn2") - lit(2L) *
+          VectorQuantization.int8DotFast(col("v8"), col("sc8")))
+          .as("sub_d2"))
+    val corpusCodes = encoded
+      .select(col(idCol), posexplode(col("codes"))
+        .as(Seq("subspace", "code")))
+      .select(col(idCol), col("subspace").cast("long").as("subspace"),
+        col("code"))
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_d2"), col(idCol))
+    corpusCodes.join(broadcast(table), Seq("subspace", "code"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("sub_d2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(wQ).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("adc_d2"))
+  }
+}

@@ -510,8 +510,43 @@ object AnalyticsQueries {
           / (2.0 * n_a * n_b) AS tv_distance
       FROM j, t GROUP BY n_a, n_b"""))
 
+  // ---------------------------------------------------------------- q222
+  /** Conversion attribution ([[graft.operators.Attribution]]): each
+    * purchase credits its last non-purchase touch inside a 7-day
+    * lookback (last-touch) and the user's earliest touch ever
+    * (first-touch), both from ONE user-keyed sort window — no range
+    * self-join. The oracle replays the running ignore-nulls window, the
+    * lookback filter, and both credit aggregates, so the verdict pins
+    * every conversion's channel assignment. */
+  val q222Attribution = Q(
+    "q222_attribution",
+    (s, d) => graft.operators.Attribution.attribute(
+        Tables.events(s, d), "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", lookbackDays = 7)
+      .orderBy(col("channel")),
+    Some("""WITH a AS (SELECT user_id, ts, event_id, event_type,
+        last_value(CASE WHEN event_type <> 'purchase'
+            THEN event_type END IGNORE NULLS) OVER w AS lc,
+        last_value(CASE WHEN event_type <> 'purchase'
+            THEN ts END IGNORE NULLS) OVER w AS lts,
+        first_value(CASE WHEN event_type <> 'purchase'
+            THEN event_type END IGNORE NULLS) OVER w AS fc
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      conv AS (SELECT * FROM a WHERE event_type = 'purchase'
+        AND lts IS NOT NULL AND lts >= ts - INTERVAL 7 DAY),
+      lt AS (SELECT lc AS channel, count(*) AS last_touch
+        FROM conv GROUP BY 1),
+      ft AS (SELECT fc AS channel, count(*) AS first_touch
+        FROM conv GROUP BY 1)
+      SELECT channel, coalesce(last_touch, 0) AS last_touch,
+        coalesce(first_touch, 0) AS first_touch
+      FROM lt FULL OUTER JOIN ft USING (channel)
+      ORDER BY channel"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
     q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
     q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows,
-    q208GroupTrend, q209DriftTv)
+    q208GroupTrend, q209DriftTv, q222Attribution)
 }

@@ -409,8 +409,62 @@ object CorpusQueries {
       FROM documents d LEFT JOIN rb USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // ---------------------------------------------------------------- q219
+  /** Rolling-window repeated-passage masking
+    * ([[graft.operators.RepeatedSpans]]): every token position starts an
+    * 8-gram, duplicate occurrences (corpus-order keep-first) mask the
+    * positions they cover, overlapping masks merge into maximal spans,
+    * and documents reassemble from the unmasked remainder — the exact-
+    * substring dedup pass that catches passages q149's NON-overlapping
+    * segments miss when a repeat straddles a segment boundary. The
+    * oracle replays gram ranking, position coverage, span merge, and the
+    * rebuilt text, so the hash verdict pins the cleaned corpus
+    * byte-for-byte. */
+  val q219RepeatedSpans = Q(
+    "q219_repeated_spans",
+    (s, d) => graft.operators.RepeatedSpans.mask(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+      g AS (SELECT doc_id, i AS gpos,
+          md5(array_to_string(toks[i:i+7], ' ')) AS gh
+        FROM t, unnest(generate_series(1, greatest(len(toks) - 7, 0)))
+          AS u(i)),
+      dup AS (SELECT doc_id, gpos FROM (
+          SELECT doc_id, gpos, row_number() OVER (
+            PARTITION BY gh ORDER BY doc_id, gpos) AS occ FROM g) r
+        WHERE occ > 1),
+      cover AS (SELECT DISTINCT doc_id, p.pos
+        FROM dup, unnest(generate_series(gpos, gpos + 7)) AS p(pos)),
+      spans AS (SELECT doc_id, grp, min(pos) AS s, max(pos) AS e FROM (
+          SELECT doc_id, pos, pos - row_number() OVER (
+            PARTITION BY doc_id ORDER BY pos) AS grp FROM cover) x
+        GROUP BY doc_id, grp),
+      pm AS (SELECT doc_id, count(*) AS n_masked FROM cover
+        GROUP BY doc_id),
+      ps AS (SELECT doc_id, count(*) AS n_spans FROM spans
+        GROUP BY doc_id),
+      tokpos AS (SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+        FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+      kept AS (SELECT tp.doc_id,
+          string_agg(tok, ' ' ORDER BY tp.pos) AS kept_text
+        FROM tokpos tp LEFT JOIN cover c
+          ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+        WHERE c.pos IS NULL GROUP BY tp.doc_id)
+      SELECT t.doc_id, cast(len(toks) AS bigint) AS n_tokens,
+        coalesce(n_masked, 0) AS n_masked,
+        coalesce(n_spans, 0) AS n_spans,
+        coalesce(kept_text, '') AS kept_text
+      FROM t LEFT JOIN pm USING (doc_id) LEFT JOIN ps USING (doc_id)
+        LEFT JOIN kept USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
     q156ProfileEvents, q159TemperatureMix, q181ProfileApprox,
-    q184SkewReport, q185CorpusDiff, q213Phrases, q214PhraseMerge)
+    q184SkewReport, q185CorpusDiff, q213Phrases, q214PhraseMerge,
+    q219RepeatedSpans)
 }

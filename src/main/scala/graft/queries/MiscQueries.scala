@@ -795,6 +795,47 @@ object MiscQueries {
           AS err_bp
       FROM t, ts"""))
 
+  // ---------------------------------------------------------------- q220
+  /** k-core of the customer↔supplier trading graph
+    * ([[graft.operators.KCore]]): 4 synchronized peel rounds at k = 20
+    * — every surviving participant trades with ≥ 20 surviving
+    * counterparties, the dense backbone a community or authority
+    * analysis starts from. Rounds are a FIXED parameter on both sides,
+    * so the oracle unrolls the identical peels as chained CTEs and the
+    * driver hash pins the whole decomposition round-for-round (the
+    * fixture reaches its fixpoint inside the bound — KCoreSpec pins the
+    * convergence semantics on a worst-case path graph). */
+  val q220KCore = Q(
+    "q220_kcore",
+    (s, d) => {
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      graft.operators.KCore.core(e, "src", "dst", k = 20, rounds = 4)
+        .orderBy(col("node"))
+    },
+    Some("""WITH ed AS (SELECT DISTINCT
+        least(o_custkey, l_suppkey + 10000000) AS a,
+        greatest(o_custkey, l_suppkey + 10000000) AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e0 AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+      n1 AS (SELECT a AS n FROM e0 GROUP BY a HAVING count(*) >= 20),
+      e1 AS (SELECT c.a, c.b FROM e0 c
+        JOIN n1 x ON c.a = x.n JOIN n1 y ON c.b = y.n),
+      n2 AS (SELECT a AS n FROM e1 GROUP BY a HAVING count(*) >= 20),
+      e2 AS (SELECT c.a, c.b FROM e1 c
+        JOIN n2 x ON c.a = x.n JOIN n2 y ON c.b = y.n),
+      n3 AS (SELECT a AS n FROM e2 GROUP BY a HAVING count(*) >= 20),
+      e3 AS (SELECT c.a, c.b FROM e2 c
+        JOIN n3 x ON c.a = x.n JOIN n3 y ON c.b = y.n),
+      n4 AS (SELECT a AS n FROM e3 GROUP BY a HAVING count(*) >= 20),
+      e4 AS (SELECT c.a, c.b FROM e3 c
+        JOIN n4 x ON c.a = x.n JOIN n4 y ON c.b = y.n)
+      SELECT a AS node, cast(count(*) AS bigint) AS core_degree
+      FROM e4 GROUP BY a ORDER BY node"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
@@ -802,5 +843,5 @@ object MiscQueries {
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
     q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
     q157ZorderKey, q160Funnel, q162MassRank, q163EventWindows,
-    q191Triangles, q217DoulionTriangles)
+    q191Triangles, q217DoulionTriangles, q220KCore)
 }

@@ -544,7 +544,75 @@ object SimOps {
       SELECT cluster_id, sample_rank, vec_id FROM r
       WHERE sample_rank <= 20 ORDER BY cluster_id, sample_rank"""))
 
+  // ---------------------------------------------------------------- q223
+  /** Product-quantization ADC retrieval
+    * ([[graft.operators.ProductQuantization]]): the corpus's int8 codes
+    * split into 4 subspaces, snap to 16-entry deterministic codebooks,
+    * and every query ranks the corpus from a broadcast m×k integer
+    * distance table — per corpus vector the score is 4 lookups and
+    * adds, never a 64-dim dot. Because codebooks, codes, and every
+    * summed sub-distance are integers, the oracle replays the WHOLE PQ
+    * pipeline (quantize → slice → codebook → encode argmin → ADC sum →
+    * rank) and the verdict pins it end-to-end — the hash-verifiable
+    * form of the compressed-domain search that serves billion-vector
+    * corpora. */
+  val q223PqAdc = Q(
+    "q223_pq_adc",
+    (s, d) => {
+      import graft.operators.{ProductQuantization => PQ, VectorQuantization}
+      val q = VectorQuantization
+        .quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("q8"))
+      val corpus = q.filter(col("vec_id") >= 8)
+      val queries = q.filter(col("vec_id") < 8)
+      val books = PQ.codebooks(corpus, "vec_id", m = 4, k = 16)
+      val enc = PQ.encode(corpus, books, "vec_id", m = 4)
+      PQ.adcTopK(queries, "vec_id", books, enc, "vec_id", m = 4, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      s AS (SELECT vec_id, v,
+        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+          AS scale FROM e),
+      q AS (SELECT vec_id,
+        list_transform(v, x -> cast(round(x * scale) AS BIGINT)) AS qv
+        FROM s),
+      sub AS (SELECT vec_id, u.s AS subspace,
+          qv[u.s * 16 + 1 : u.s * 16 + 16] AS sv
+        FROM q, unnest(generate_series(0, 3)) AS u(s)),
+      subn AS (SELECT vec_id, subspace, sv,
+        cast(list_dot_product(sv::DOUBLE[], sv::DOUBLE[]) AS BIGINT)
+          AS svn2 FROM sub),
+      seedids AS (SELECT vec_id,
+          row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM (SELECT DISTINCT vec_id FROM subn WHERE vec_id >= 8
+          ORDER BY vec_id LIMIT 16) t),
+      cb AS (SELECT n.subspace, si.code, n.sv AS cv, n.svn2 AS cvn2
+        FROM subn n JOIN seedids si USING (vec_id)),
+      encd AS (SELECT n.vec_id, n.subspace, c.code,
+          row_number() OVER (PARTITION BY n.vec_id, n.subspace
+            ORDER BY n.svn2 + c.cvn2 - 2 * cast(
+              list_dot_product(n.sv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT),
+            c.code) AS rk
+        FROM subn n JOIN cb c USING (subspace) WHERE n.vec_id >= 8),
+      codes AS (SELECT vec_id, subspace, code FROM encd WHERE rk = 1),
+      qtab AS (SELECT n.vec_id AS qid, n.subspace, c.code,
+          n.svn2 + c.cvn2 - 2 * cast(
+            list_dot_product(n.sv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT)
+            AS sub_d2
+        FROM subn n JOIN cb c USING (subspace) WHERE n.vec_id < 8),
+      adc AS (SELECT qt.qid, k.vec_id,
+          cast(sum(qt.sub_d2) AS BIGINT) AS adc_d2
+        FROM codes k JOIN qtab qt
+          ON qt.subspace = k.subspace AND qt.code = k.code
+        GROUP BY 1, 2),
+      r AS (SELECT qid, vec_id, adc_d2, row_number() OVER (
+          PARTITION BY qid ORDER BY adc_d2, vec_id) AS rank FROM adc)
+      SELECT qid, cast(rank AS bigint) AS rank, vec_id, adc_d2
+      FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
     q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized, q155KmeansAssign,
-    q161AnnIncremental, q172ClusterBalanced)
+    q161AnnIncremental, q172ClusterBalanced, q223PqAdc)
 }

@@ -253,7 +253,47 @@ object SketchQueries {
       SELECT word, vocab_rank, n_occurrences, true AS never_under
       FROM v ORDER BY word"""))
 
+  // ---------------------------------------------------------------- q221
+  /** Quantile-sketch error envelope: Spark's `approx_percentile`
+    * (Greenwald–Khanna summaries, mergeable partial sketches — the
+    * one-pass answer when an exact global sort-and-rank is the
+    * bottleneck) probed at four percentiles of l_extendedprice with
+    * accuracy 100. GK's guarantee is DETERMINISTIC — the returned
+    * value's rank is within n/accuracy of the target rank, for every
+    * merge order — so the guarantee collapses to an always-true boolean
+    * per percentile (the q134/q181 envelope recipe: the sketch values
+    * themselves are merge-order-dependent and stay out of the hash;
+    * the rank bound is not, and a sketch bug flips it). */
+  val q221QuantileEnvelope = Q(
+    "q221_quantile_envelope",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+      val ps = Seq(25, 50, 75, 90)
+      val acc = 100
+      val head = v.agg(
+        expr(s"approx_percentile(x, array(${ps.map(_ / 100.0)
+          .mkString(",")}), $acc)").as("ap"),
+        count(lit(1)).as("n")).collect()(0)
+      val ap = head.getSeq[Double](0)
+      val n = head.getLong(1)
+      val rankCols = ps.zip(ap).map { case (p, value) =>
+        F.sum(when(col("x") <= value, 1L).otherwise(0L)).as(s"r$p")
+      }
+      val ranks = v.agg(rankCols.head, rankCols.tail: _*).collect()(0)
+      ps.zipWithIndex.map { case (p, i) =>
+        val rank = ranks.getLong(i)
+        // GK bound: |rank(v) − p·n| ≤ n/accuracy (+1 for the
+        // floor/ceil ambiguity of the target rank)
+        (p.toLong, n,
+          math.abs(rank - p / 100.0 * n) <= n.toDouble / acc + 1)
+      }.toDF("pct", "n", "within_bound").orderBy(col("pct"))
+    },
+    Some("""WITH n AS (SELECT count(*) AS n FROM lineitem)
+      SELECT cast(p.pct AS bigint) AS pct, n.n, true AS within_bound
+      FROM (VALUES (25), (50), (75), (90)) p(pct), n ORDER BY pct"""))
+
   val all: Seq[Q] =
     Seq(q153CmsFrequency, q176BloomJoin, q177BloomAnti, q178BloomStringJoin,
-      q206CmsJoinEstimate, q218CmsFast)
+      q206CmsJoinEstimate, q218CmsFast, q221QuantileEnvelope)
 }

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.operators.KCore
+
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nodes(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph peels one layer per round — the worst case the " +
+    "fixed round bound must be sized for") {
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("s", "t")
+    // 9 nodes: endpoints have degree 1, so each round peels exactly the
+    // two current endpoints; the 2-core is empty but takes 4 rounds
+    assert(KCore.core(path, "s", "t", k = 2, rounds = 1).count() === 7)
+    assert(KCore.core(path, "s", "t", k = 2, rounds = 2).count() === 5)
+    assert(KCore.core(path, "s", "t", k = 2, rounds = 3).count() === 3)
+    assert(KCore.core(path, "s", "t", k = 2, rounds = 4).count() === 0)
+  }
+
+  test("clique is its own core at k = size−1; rounds past the fixpoint " +
+    "are no-ops") {
+    val clique = (for (i <- 0L until 6L; j <- i + 1 until 6L)
+      yield (i, j)).toDF("s", "t")
+    val once = nodes(KCore.core(clique, "s", "t", k = 5, rounds = 1))
+    assert(once === (0L until 6L).map(_ -> 5L).toMap)
+    assert(nodes(KCore.core(clique, "s", "t", k = 5, rounds = 8)) === once)
+  }
+
+  test("pendant drops, core degrees recompute inside the core; " +
+    "direction and duplicate edges are ignored") {
+    // triangle 1-2-3 with pendant 4 hanging off 3, edges listed in
+    // mixed direction with a duplicate
+    val e = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (2L, 1L))
+      .toDF("s", "t")
+    val got = nodes(KCore.core(e, "s", "t", k = 2, rounds = 2))
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("guards") {
+    val e = Seq((1L, 2L)).toDF("s", "t")
+    intercept[IllegalArgumentException](KCore.core(e, "s", "t", 0, 1))
+    intercept[IllegalArgumentException](KCore.core(e, "s", "t", 1, 0))
+  }
+}
