@@ -34,7 +34,11 @@ for q in $QUERIES; do
   elif echo "$out" | grep -q "OutOfMemoryError"; then
     echo "OOM  $HEAP $q (wall ${dt}s)"
   elif [ $rc -eq 124 ]; then
-    echo "TIMEOUT $HEAP $q (>2400s)"
+    if echo "$out" | grep -q "OutOfMemoryError"; then
+      echo "TIMEOUT+OOM $HEAP $q"
+    else
+      echo "TIMEOUT $HEAP $q (no OOM — CPU/spill-bound)"
+    fi
   else
     echo "FAIL $HEAP $q rc=$rc ($(echo "$out" | grep -m1 -oE 'Exception[^;]{0,100}'))"
   fi

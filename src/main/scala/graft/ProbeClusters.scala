@@ -42,7 +42,7 @@ object ProbeClusters {
       val p = graft.dedup.SimHash.nearDuplicates(
           docs, "doc_id", "text", maxHamming = 4,
           maxBlockSize = Some(64))
-        .localCheckpoint()
+        .transform(graft.core.Pin.apply)
       (p, p.count())
     }
     // time ONE evaluation of the assignment (the noop sink); the

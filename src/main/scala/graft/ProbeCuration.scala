@@ -48,7 +48,7 @@ object ProbeCuration {
       val p = graft.dedup.SimHash.nearDuplicates(
           good, "doc_id", "text", maxHamming = 4,
           maxBlockSize = Some(64))
-        .localCheckpoint()
+        .transform(graft.core.Pin.apply)
       (p, p.count())
     }
     val (tRest, _) = timed {

@@ -23,7 +23,7 @@ object ProbeDoulion {
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst"))
     // pin the distinct canonical edges, never the raw pair multiset
-    val e = Triangles.canonical(raw, "src", "dst").localCheckpoint()
+    val e = Triangles.canonical(raw, "src", "dst").transform(graft.core.Pin.apply)
 
     def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save() // warm

@@ -9,8 +9,13 @@ object ProbeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = args(1)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // SPARK_GRAFT_CPUS mirrors Bench: the constrained-heap probes run at
+    // the reference's executor shape (small heap, FEW cores) — 32
+    // threads in a 4g heap is ~70 MB of execution memory per task, a
+    // config no production layout pairs
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

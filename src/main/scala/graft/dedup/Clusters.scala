@@ -54,10 +54,10 @@ object Clusters {
     // convergence probe
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .localCheckpoint()
+      .transform(graft.core.Pin.apply)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .transform(graft.core.Pin.apply)
     var iter = 0
     var converged = false
     // `<=`: the final certification round performs no update, so maxIter
@@ -67,7 +67,7 @@ object Clusters {
         .select(col("dst").as("id"), col("comp"))
       val next = labels.union(neigh)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .transform(graft.core.Pin.apply)
       val changed = next.as("n")
         .join(labels.as("o"), "id")
         .filter(col("n.comp") < col("o.comp"))
@@ -124,14 +124,14 @@ object Clusters {
         greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.core.Pin.apply)
     // single-node components cannot appear in an edge list, but a node
     // can momentarily lose all edges only if its component collapsed —
     // track the full node set once so the final labeling covers everyone
     val nodes = e.select(col("hi").as("id"))
       .union(e.select(col("lo").as("id")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.core.Pin.apply)
     var iter = 0
     var converged = e.isEmpty
     while (iter < maxIter && !converged) {
@@ -154,7 +154,7 @@ object Clusters {
         .unionByName(smallMin.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.core.Pin.apply)
       val grew = next.exceptAll(e).limit(1).count() > 0
       val shrank = if (grew) true else e.exceptAll(next).limit(1).count() > 0
       converged = !grew && !shrank

@@ -48,14 +48,14 @@ object KCore {
       .distinct()
     var e = und.unionByName(
         und.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .transform(graft.core.Pin.apply)
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("a"))
-        .localCheckpoint() // consumed by both endpoint semi-joins
+        .transform(graft.core.Pin.apply) // consumed by both endpoint semi-joins
       e = e.join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .transform(graft.core.Pin.apply)
     }
     e.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("core_degree"))

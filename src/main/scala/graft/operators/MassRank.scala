@@ -36,13 +36,13 @@ object MassRank {
     require(initMass > 0, s"initMass must be positive, got $initMass")
 
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+      .transform(graft.core.Pin.apply)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .localCheckpoint()
+      .transform(graft.core.Pin.apply)
     var mass = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .withColumn("mass", lit(initMass))
-      .localCheckpoint()
+      .transform(graft.core.Pin.apply)
 
     for (_ <- 1 to iters) {
       val staged = mass.join(outdeg, col("node") === col("src"), "left")
@@ -62,7 +62,7 @@ object MassRank {
             when(col("od").isNull, lit(0L))
               .otherwise(pmod(col("out_mass"), col("od"))) +
             coalesce(col("recv"), lit(0L))).as("mass"))
-        .localCheckpoint()
+        .transform(graft.core.Pin.apply)
     }
     mass
   }

@@ -56,7 +56,7 @@ object PrefixSum {
     val ranged = df
       .repartitionByRange(partitions, orderCols: _*)
       .withColumn("__graft_v", valueCol.cast("long"))
-      .localCheckpoint()
+      .transform(graft.core.Pin.apply)
       .withColumn("__graft_pid", spark_partition_id())
     val within = ranged.withColumn("__graft_run",
       sum(col("__graft_v")).over(Window.partitionBy(col("__graft_pid"))

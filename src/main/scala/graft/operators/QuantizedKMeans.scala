@@ -98,7 +98,7 @@ object QuantizedKMeans {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val q = VectorQuantization.quantizeInt8(emb, vecCol)
       .select(col(idCol), col("q8"), col("qnorm2"))
-    var cents = seedCentroids(q, idCol, k).localCheckpoint()
+    var cents = seedCentroids(q, idCol, k).transform(graft.core.Pin.apply)
     var assigned = assign(q, cents, idCol)
     for (_ <- 1 until iters) {
       val upd = updateLong(assigned)
@@ -116,7 +116,7 @@ object QuantizedKMeans {
         .select(col("cluster_id"),
           coalesce(col("c8"), col("__old8")).as("c8"),
           coalesce(col("cnorm2"), col("__oldn2")).as("cnorm2"))
-        .localCheckpoint()
+        .transform(graft.core.Pin.apply)
       assigned = assign(q, cents, idCol)
     }
     assigned

@@ -63,7 +63,7 @@ object RandomWalks {
       walksPerNode: Int, length: Int): DataFrame = {
     require(walksPerNode >= 1, s"walksPerNode must be >= 1")
     require(length >= 1, s"length must be >= 1")
-    val adj = neighborIndex(edges, srcCol, dstCol).localCheckpoint()
+    val adj = neighborIndex(edges, srcCol, dstCol).transform(graft.core.Pin.apply)
     val starts = adj.select(col("node")).distinct()
       .withColumn("copy", explode(
         lit((0L until walksPerNode.toLong).toArray)))

@@ -105,8 +105,8 @@ object Triangles {
     // the edge set feeds FIVE plan positions (degrees twice, both wedge
     // sides, the close); materialize canonical + oriented once instead
     // of re-deriving the upstream pair join per consumer
-    val c = canonical(edges, src, dst).localCheckpoint()
-    val o = orient(c).localCheckpoint()
+    val c = canonical(edges, src, dst).transform(graft.core.Pin.apply)
+    val o = orient(c).transform(graft.core.Pin.apply)
     // wedges centered at u: out-neighbor pairs stated once as
     // (v1 < v2 by id); in the acyclic degree orientation each triangle
     // has exactly ONE node with two out-edges, so each triangle is one

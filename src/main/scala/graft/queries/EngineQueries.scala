@@ -612,7 +612,7 @@ object EngineQueries {
         .select(col("o_custkey").as("user_id"),
           col("l_shipdate").cast("timestamp").as("listened_at"),
           col("p_partkey"), col("p_brand"))
-        .localCheckpoint()
+        .transform(graft.core.Pin.apply)
       val releases = purchases
         .groupBy(col("p_partkey"), col("p_brand"))
         .agg(min(col("listened_at")).as("release_date"))

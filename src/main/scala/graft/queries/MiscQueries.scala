@@ -761,7 +761,7 @@ object MiscQueries {
       // than the raw pair multiset) — it feeds both the exact count and
       // the sampled estimate; canonical() is idempotent downstream
       val e = graft.operators.Triangles.canonical(raw, "src", "dst")
-        .localCheckpoint()
+        .transform(graft.core.Pin.apply)
       val exact = graft.operators.Triangles.triangles(e, "a", "b")
         .agg(count(lit(1)).as("exact_triangles"))
       val est = graft.operators.Triangles.doulion(e, "a", "b",

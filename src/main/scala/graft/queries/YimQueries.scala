@@ -256,7 +256,7 @@ object MusicQueries {
       // anti join; materialize the distinct once (same rationale as
       // UserCosine.exact)
       val cp = l.select(col("user_id"), col("recording_mbid")).distinct()
-        .localCheckpoint()
+        .transform(graft.core.Pin.apply)
       // shared(u, u') is symmetric: generate each unordered pair once
       // (u1 < u2 halves the item-keyed join output) and mirror the
       // aggregated counts afterwards — same rows as the u != u' join at

@@ -52,7 +52,7 @@ object UserCosine {
           .select(col("it"))
         raw.join(degree, Seq("it"))
       case None => raw
-    }).localCheckpoint()
+    }).transform(graft.core.Pin.apply)
     val norms = counts.groupBy(col("u"))
       .agg(sum(col("c") * col("c")).as("norm2"))
     val a = counts.select(col("u").as("u1"), col("it"), col("c").as("c1"))
