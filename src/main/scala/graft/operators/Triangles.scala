@@ -89,7 +89,11 @@ object Triangles {
       col("a").cast("string"), col("b").cast("string"), lit(salt))), 1, 1)
     val keep = "0123456789abcdef".take(keepHex).map(_.toString)
     val f = 16L / keepHex
-    triangles(c.filter(coin.isin(keep: _*)), "a", "b", maxBloomEdges)
+    // the sampled set is already canonical — skip the redundant
+    // distinct exchange a re-canonicalization would pay
+    trianglesOfCanonical(
+        c.filter(coin.isin(keep: _*)).transform(graft.core.Pin.apply),
+        maxBloomEdges)
       .agg(count(lit(1)).as("sampled_triangles"))
       .select(col("sampled_triangles"),
         (col("sampled_triangles") * lit(f * f * f))
@@ -101,11 +105,23 @@ object Triangles {
     * step: semi-check the third edge against the oriented edge set. */
   def triangles(
       edges: DataFrame, src: String, dst: String,
-      maxBloomEdges: Long = 4000000L): DataFrame = {
+      maxBloomEdges: Long = 4000000L): DataFrame =
     // the edge set feeds FIVE plan positions (degrees twice, both wedge
     // sides, the close); materialize canonical + oriented once instead
     // of re-deriving the upstream pair join per consumer
-    val c = canonical(edges, src, dst).transform(graft.core.Pin.apply)
+    trianglesOfCanonical(
+      canonical(edges, src, dst).transform(graft.core.Pin.apply),
+      maxBloomEdges)
+
+  /** [[triangles]] over an ALREADY-canonical, already-pinned `(a, b)`
+    * edge set — the entry point for callers that run several counting
+    * passes over the same graph (q217 computes the exact count AND the
+    * sampled estimate side by side): re-pinning the canonical set per
+    * pass would hold one extra materialized edge copy per consumer,
+    * which at 30× is the difference between fitting the default probe
+    * heap and not. */
+  def trianglesOfCanonical(
+      c: DataFrame, maxBloomEdges: Long = 4000000L): DataFrame = {
     val o = orient(c).transform(graft.core.Pin.apply)
     // wedges centered at u: out-neighbor pairs stated once as
     // (v1 < v2 by id); in the acyclic degree orientation each triangle
@@ -134,7 +150,7 @@ object Triangles {
       val bytes = BloomPrune.bloomBytesLong(
         c.select(xxhash64(col("a"), col("b")).as("__graft_ek")),
         "__graft_ek", expectedItems = m, fpp = 0.01)
-      graft.functions.GraftFunctions.register(edges.sparkSession)
+      graft.functions.GraftFunctions.register(c.sparkSession)
       w.filter(graft.functions.GraftFunctions.bloomContains(
         xxhash64(col("v1"), col("v2")), lit(bytes)))
     } else w

@@ -762,7 +762,9 @@ object MiscQueries {
       // the sampled estimate; canonical() is idempotent downstream
       val e = graft.operators.Triangles.canonical(raw, "src", "dst")
         .transform(graft.core.Pin.apply)
-      val exact = graft.operators.Triangles.triangles(e, "a", "b")
+      // e is already canonical and pinned: both passes share the ONE
+      // materialized edge copy instead of re-pinning per consumer
+      val exact = graft.operators.Triangles.trianglesOfCanonical(e)
         .agg(count(lit(1)).as("exact_triangles"))
       val est = graft.operators.Triangles.doulion(e, "a", "b",
         keepHex = 8)
