@@ -132,6 +132,27 @@ class DispatchAllSpec extends SparkSpec {
       "per-user-prefix chunked partials must combine to the exact counts")
   }
 
+  test("mlhd chunk predicates reach the scan as PARTITION filters " +
+    "(each chunk job reads one directory, not the whole store)") {
+    val wd = tmpDir("mlhd-prune")
+    val d2 = new Dispatch(spark, store,
+      new IncrementalStatsEngine(spark, tmpDir("mlhd-prune-work")),
+      caches, workDir = wd)
+    d2.handle(d2.StatRequest("import.dump.mlhd",
+      data = Some(listensDf(fixture))))
+    val mlhd = spark.read.parquet(s"$wd/mlhd")
+    // the dispatch's predicate shape: cast survives partition pruning
+    val pruned = mlhd.filter(col("chunk").cast("string") === "1")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters:"), scan)
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*chunk[^\\]]*\\].*"),
+      s"chunk predicate must appear as a partition filter:\n$scan")
+    // and it selects exactly the user-1..3 fixture slice it should
+    val direct = listensDf(fixture)
+      .filter(col("user_id").cast("string").startsWith("1")).count()
+    assert(pruned.count() === direct)
+  }
+
   test("import commands mutate the store end-to-end") {
     // force the fixture store to exist before mutating it
     val baseCount = store.baseListens.count()
