@@ -258,9 +258,10 @@ final class Dispatch(
         // (mlhd.py:32-40 + similarity/recording/common.py:190-213). Chunks
         // are the user id's leading hex char — the real corpus keys users
         // by UUID string (download.py:24-27); integer fixture ids land on
-        // their leading digit, still disjoint and covering.
-        val chunks = graft.ingest.MlhdImport.Chunks
-          .map(c => graft.ingest.MlhdImport.chunkOf(col("user_id")) === c)
+        // their leading digit. chunkPredicates appends the non-hex
+        // catch-all so the set COVERS arbitrary ids, not just [0-9a-f].
+        val chunks = graft.ingest.MlhdImport.chunkPredicates(
+          graft.ingest.MlhdImport.chunkOf(col("user_id")))
         ChunkedRunner.run(spark,
           windowed.filter(col("recording_mbid").isNotNull),
           TopEntityStats("user_id", Seq("recording_mbid"), top = 1000),
@@ -287,10 +288,11 @@ final class Dispatch(
           // driver-proves chunked ≡ direct aggregation.
           val mlhdListens = spark.read.parquet(s"$workDir/mlhd")
           // cast: digit-only chunk dirs type-infer as int on read; the
-          // predicate still references only the partition column, so
-          // each chunk job stays partition-pruned
-          val chunks = graft.ingest.MlhdImport.Chunks
-            .map(c => col("chunk").cast("string") === c)
+          // predicates still reference only the partition column, so
+          // each chunk job (the non-hex catch-all included) stays
+          // partition-pruned
+          val chunks = graft.ingest.MlhdImport.chunkPredicates(
+            col("chunk").cast("string"))
           ChunkedRunner.run(spark, mlhdListens,
             graft.popularity.Popularity.PopularityStats(
               "user_id", Seq(req.entity)),

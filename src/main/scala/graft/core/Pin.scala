@@ -5,9 +5,10 @@ import org.apache.spark.storage.StorageLevel
 
 /** Lineage-truncating materialization for multiply-consumed frames.
   *
-  * `df.transform(graft.core.Pin.apply)` stores blocks DESERIALIZED
+  * Plain `df.localCheckpoint()` stores blocks DESERIALIZED
   * (MEMORY_AND_DISK_DESER) — row objects, 3-5× the footprint of the
-  * serialized columnar form. Under a production-sized executor heap
+  * serialized columnar form; Pin uses MEMORY_AND_DISK_SER instead.
+  * Under a production-sized executor heap
   * that difference is the line between spilling and OOM: the 4 GiB
   * constrained-heap probe (SCALE.md round 7) showed checkpoint-heavy
   * iterative operators dying in storage memory that the SERIALIZED

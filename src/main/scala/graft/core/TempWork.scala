@@ -1,0 +1,47 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+import scala.collection.mutable
+
+/** Managed scratch directories for queries that persist intermediate
+  * state (chunk partials, persisted indexes) as part of their contract.
+  * Every directory is created under ONE per-JVM root that a shutdown
+  * hook deletes recursively — repeated correctness/bench runs inside a
+  * long-lived session no longer leak parquet trees under /tmp (each
+  * `Files.createTempDirectory` call used to strand one per invocation).
+  *
+  * On a cluster these paths would be a real filesystem workDir owned by
+  * the orchestrator (the reference's HDFS temp layout); the JVM-scoped
+  * root is the local-mode stand-in, not a distributed-FS abstraction.
+  */
+object TempWork {
+
+  private lazy val root: Path = {
+    val r = Files.createTempDirectory("graft-work")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(r)))
+    r
+  }
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** A fresh scratch directory under the managed root. */
+  def dir(prefix: String): String =
+    Files.createDirectory(
+      root.resolve(s"$prefix-${counter.getAndIncrement()}")).toString
+
+  private def deleteTree(p: Path): Unit = {
+    val stack = mutable.Stack(p)
+    val toDelete = mutable.ListBuffer.empty[Path]
+    while (stack.nonEmpty) {
+      val cur = stack.pop()
+      toDelete.prepend(cur)
+      if (Files.isDirectory(cur)) {
+        val s = Files.list(cur)
+        try s.forEach(c => stack.push(c)) finally s.close()
+      }
+    }
+    toDelete.foreach(f => try Files.deleteIfExists(f) catch {
+      case _: java.io.IOException => ()
+    })
+  }
+}

@@ -37,6 +37,21 @@ object MlhdImport {
   def chunkOf(userId: Column): Column =
     lower(substring(userId.cast("string"), 1, 1))
 
+  /** Disjoint AND COVERING chunk predicates over a chunk-valued column:
+    * the 16 hex-prefix equalities plus one catch-all for every row whose
+    * chunk is outside [0-9a-f] (non-hex leading characters, null ids).
+    * [[ChunkedRunner]]-style chunked aggregation is exact only when the
+    * predicates PARTITION the input — the hex set alone silently drops
+    * rows the real corpus never produces but an arbitrary import can
+    * (import.dump.mlhd writes whatever payload it is handed, partitioned
+    * by [[chunkOf]]); the catch-all turns that silent undercount into an
+    * ordinary 17th (normally empty) chunk job. On a partition column the
+    * catch-all still prunes: `NOT chunk IN (…)` selects only the non-hex
+    * partition directories. */
+  def chunkPredicates(chunkCol: Column): Seq[Column] =
+    Chunks.map(c => chunkCol === c) :+
+      coalesce(!chunkCol.isin(Chunks: _*), lit(true))
+
   /** Raw per-user TSV columns (download.py:85-91: headerless, tab-sep). */
   val rawSchema: StructType = StructType(Seq(
     StructField("listened_at", LongType),

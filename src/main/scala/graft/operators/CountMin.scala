@@ -164,12 +164,15 @@ object CountMin {
     * collide somewhere, in which case it's the minimum row product. */
   def innerProduct(skA: DataFrame, skB: DataFrame): DataFrame = {
     val (dA, dB) = (depthOf(skA), depthOf(skB))
+    if (dA == 0 || dB == 0)
+      // an empty sketch is an empty relation: the true join size is 0
+      // regardless of the other side — checked BEFORE the depth-equality
+      // guard, which would otherwise fire on (0, d) and turn a
+      // well-defined answer into an exception
+      return skA.sparkSession.range(1).select(lit(0L).as("join_size_est"))
     require(dA == dB,
       s"sketches built with different depths: $dA vs $dB — estimates " +
         "across mismatched grids are meaningless")
-    if (dA == 0)
-      // an empty sketch is an empty relation: the true join size is 0
-      return skA.sparkSession.range(1).select(lit(0L).as("join_size_est"))
     skA.join(skB.select(col("sk_row"), col("sk_bucket"),
         col("cnt").as("__cnt_b")), Seq("sk_row", "sk_bucket"))
       .groupBy(col("sk_row"))

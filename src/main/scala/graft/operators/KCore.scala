@@ -13,16 +13,24 @@ import org.apache.spark.sql.functions._
   * borderline matches peels away), and it is the classic spam/authority
   * prefilter before [[MassRank]]-style propagation.
   *
-  * `rounds` is an EXPLICIT parameter, not a driver-side convergence
-  * loop: each round is one degree aggregate plus two semi-joins, all
-  * replayable, so a fixed round count makes the whole decomposition
-  * SQL-unrollable (q220 oracles it round-for-round) and bounds the job
-  * graph. Peeling converges in at most O(peel depth) rounds — on real
-  * graphs a handful (the synthetic fixtures reach fixpoint in 2; a path
-  * graph peels one layer per round, the worst case KCoreSpec pins) —
-  * and extra rounds past the fixpoint are exact no-ops, so callers pick
-  * a small bound and verify with [[core]]'s idempotence rather than
-  * looping until quiescence on the driver.
+  * `rounds` is an EXPLICIT bound, not an open-ended driver loop: each
+  * round is one degree aggregate plus two semi-joins, all replayable,
+  * so a fixed round count makes the whole decomposition SQL-unrollable
+  * (q220 oracles it round-for-round) and bounds the job graph. Peeling
+  * converges in at most O(peel depth) rounds — on real graphs a handful
+  * (the synthetic fixtures reach fixpoint in 2; a path graph peels one
+  * layer per round, the worst case KCoreSpec pins).
+  *
+  * CONVERGENCE IS VERIFIED, never assumed: the peel stops early at the
+  * fixpoint (the surviving-edge count is already in hand — each round's
+  * frame is pinned — so the check is one cheap count), and if `rounds`
+  * is exhausted while the edge set is still shrinking, [[core]] checks
+  * whether the final round happened to land exactly on the fixpoint
+  * (min degree ≥ k) and THROWS if it did not. An under-provisioned
+  * `rounds` used to return a supergraph of the k-core silently — the
+  * same silently-wrong-knob class as a degenerate fuzzy-join gram size,
+  * which [[FuzzyJoin.selectQ]] closes by measuring; here the measurement
+  * is the fixpoint itself.
   *
   * Scale shape (100 TB): per round ONE map-side-combinable degree
   * aggregate and TWO semi-joins of the edge list against the (smaller)
@@ -32,10 +40,13 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** Surviving `(node, core_degree)` rows after `rounds` peel
-    * iterations at threshold `k` over the undirected simple graph of
-    * `edges` (direction ignored, self-loops and duplicates dropped).
-    * Empty when the k-core is empty. */
+  /** The k-core's `(node, core_degree)` rows over the undirected simple
+    * graph of `edges` (direction ignored, self-loops and duplicates
+    * dropped). Empty when the k-core is empty. Peels until the fixpoint,
+    * stopping early when a round drops no edge; throws
+    * IllegalStateException when `rounds` is exhausted while the edge set
+    * is still shrinking AND the final frame is not yet the fixpoint —
+    * a partial peel is a supergraph of the k-core, never returned. */
   def core(
       edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int = 4): DataFrame = {
@@ -49,13 +60,37 @@ object KCore {
     var e = und.unionByName(
         und.select(col("b").as("a"), col("a").as("b")))
       .transform(graft.core.Pin.apply)
-    for (_ <- 1 to rounds) {
+    // counts are over already-pinned frames — each check is a cached
+    // scan, not a recompute; edge count unchanged ⟺ the round's keep
+    // filter dropped nobody ⟺ fixpoint (0 edges is trivially one too)
+    var prev = e.count()
+    var converged = prev == 0L
+    var r = 0
+    while (r < rounds && !converged) {
       val keep = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("a"))
         .transform(graft.core.Pin.apply) // consumed by both endpoint semi-joins
       e = e.join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
         .transform(graft.core.Pin.apply)
+      val c = e.count()
+      converged = c == prev || c == 0L
+      prev = c
+      r += 1
+    }
+    if (!converged) {
+      // the last permitted round still shrank the edge set; it may have
+      // landed exactly on the fixpoint — certify with one min-degree
+      // check (the fixpoint condition itself) before deciding
+      val violating = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") < k).limit(1).count()
+      if (violating > 0L)
+        throw new IllegalStateException(
+          s"k-core peel did not converge within $rounds rounds " +
+            s"($prev directed edges survive, some node still below " +
+            s"degree $k): the partial result would be a SUPERGRAPH of " +
+            "the k-core, not the k-core — raise rounds (peel depth is " +
+            "bounded by the longest chain the threshold unravels)")
     }
     e.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("core_degree"))

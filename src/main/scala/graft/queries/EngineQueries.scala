@@ -245,8 +245,7 @@ object EngineQueries {
         col("event_type").as("recording_name"),
         lit(null).cast("string").as("recording_mbid"),
         lit(null).cast("array<string>").as("artist_credit_mbids"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q121").toString
+      val work = graft.core.TempWork.dir("graft-q121")
       val store = new graft.engine.ListenStore(s, s"$work/store")
       store.writeBase(listens.filter(
         col("listened_at") < lit(Pivot).cast("timestamp")))
@@ -306,8 +305,7 @@ object EngineQueries {
         col("event_type").as("recording_name"),
         lit(null).cast("string").as("recording_mbid"),
         lit(null).cast("array<string>").as("artist_credit_mbids"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q135").toString
+      val work = graft.core.TempWork.dir("graft-q135")
       // stage as 4 files → 4 micro-batches under maxFilesPerTrigger=1
       listens.repartition(4).write.parquet(s"$work/stage")
       val store = new graft.engine.ListenStore(s, s"$work/store")
@@ -347,8 +345,7 @@ object EngineQueries {
     (s, d) => {
       import graft.popularity.SketchDistinct
       val ev = graft.core.Tables.events(s, d)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q158").toString
+      val work = graft.core.TempWork.dir("graft-q158")
       (0 until 3).foreach { c =>
         SketchDistinct
           .partial(ev.filter(pmod(col("event_id"), lit(3)) === c),
@@ -390,8 +387,7 @@ object EngineQueries {
     (s, d) => {
       val ev = graft.core.Tables.events(s, d)
         .select(col("ts"), col("event_type"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q173").toString
+      val work = graft.core.TempWork.dir("graft-q173")
       ev.repartition(4).write.parquet(s"$work/stage")
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
@@ -424,8 +420,7 @@ object EngineQueries {
     "q189_stream_interval_join",
     (s, d) => {
       val ev = graft.core.Tables.events(s, d)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q189").toString
+      val work = graft.core.TempWork.dir("graft-q189")
       ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"),
           col("event_id").as("click_id"))
@@ -697,8 +692,7 @@ object EngineQueries {
   val q129BucketedAgg = Q(
     "q129_bucketed_agg",
     (s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q129").toString
+      val work = graft.core.TempWork.dir("graft-q129")
       graft.core.Bucketing.writeBucketed(
         Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
         s"$work/orders-bkt", "graft_q129_orders", buckets = 8,
@@ -729,10 +723,9 @@ object EngineQueries {
     "q216_mlhd_popularity",
     (s, d) => {
       val ev = graft.core.Tables.events(s, d)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q216").toString
-      val chunks = graft.ingest.MlhdImport.Chunks.map(c =>
-        graft.ingest.MlhdImport.chunkOf(col("user_id")) === c)
+      val work = graft.core.TempWork.dir("graft-q216")
+      val chunks = graft.ingest.MlhdImport.chunkPredicates(
+        graft.ingest.MlhdImport.chunkOf(col("user_id")))
       graft.engine.ChunkedRunner.run(s, ev,
           graft.popularity.Popularity.PopularityStats(
             "user_id", Seq("event_type")),

@@ -18,7 +18,7 @@ import graft.ingest.{FileIngest, JdbcCache, MlhdImport}
 object IngestQueries {
 
   private def tempDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(tag).toString
+    graft.core.TempWork.dir(tag)
 
   // ---------------------------------------------------------------- q123
   /** Glob-filtered chunk-file scan (the MLHD per-prefix chunk layout,

@@ -379,8 +379,7 @@ object MiscQueries {
         "user_id", Seq("event_type"), top = 3)
       val chunks = graft.ingest.MlhdImport.Chunks
         .map(c => graft.ingest.MlhdImport.chunkOf(col("user_id")) === c)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-chunked-q114").toString
+      val work = graft.core.TempWork.dir("graft-chunked-q114")
       graft.engine.ChunkedRunner
         .run(s, Tables.events(s, d), provider, chunks, work)
         .select(col("user_id"), col("total_count"),

@@ -326,8 +326,7 @@ object PipelineQueries {
         4L / 5L
       val corpus = docs.filter(col("doc_id") < cut)
       val batch = docs.filter(col("doc_id") >= cut)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q139").toString
+      val work = graft.core.TempWork.dir("graft-q139")
       // one-time index build (amortized across every future batch)
       MinHash.buckets(
           MinHash.signatures(

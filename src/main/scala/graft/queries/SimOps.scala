@@ -441,8 +441,7 @@ object SimOps {
       import graft.operators.AnnIndex
       val e = Tables.embeddings(s, d)
       val planes = lshPlanes(e)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q161").toString
+      val work = graft.core.TempWork.dir("graft-q161")
       // epoch 0: the standing corpus, indexed once
       AnnIndex.indexRows(e.filter(col("vec_id") >= 16),
           "vec_id", "embedding", planes)

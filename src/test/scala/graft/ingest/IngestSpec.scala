@@ -216,4 +216,28 @@ class IngestSpec extends SparkSpec {
     assert(onlyA.select("user_id").collect().map(_.getString(0)).toSeq ==
       Seq("a-user"))
   }
+
+  test("chunkPredicates PARTITIONS arbitrary ids — non-hex and null " +
+    "leading chars land in the catch-all instead of vanishing") {
+    // ids the hex-only predicate set silently excluded: 'user_1' (chunk
+    // 'u'), '-3' (chunk '-'), null (chunk null) — plus ordinary hex ones
+    import spark.implicits._
+    val df = Seq(Some("a1b2"), Some("0fab"), Some("user_1"), Some("-3"),
+      Some("Fcaps"), None).toDF("user_id")
+    val preds = MlhdImport.chunkPredicates(
+      MlhdImport.chunkOf(col("user_id")))
+    assert(preds.length == 17)
+    // covering with no double-count: per-predicate match counts sum to
+    // the row count (each equality matches a distinct constant and the
+    // catch-all negates their union, so the set is disjoint by
+    // construction — the sum check then proves coverage)
+    assert(preds.map(p => df.filter(p).count()).sum == 6L)
+    // 'Fcaps' lower-cases into hex chunk f, not the catch-all
+    assert(df.filter(preds(15)).collect().map(_.getString(0)).toSeq ==
+      Seq("Fcaps"))
+    // the catch-all picks up exactly the non-hex and null ids
+    assert(df.filter(preds.last).collect()
+      .map(r => Option(r.getString(0))).toSet ==
+      Set(Some("user_1"), Some("-3"), None))
+  }
 }

@@ -9,15 +9,35 @@ class KCoreSpec extends SparkSpec {
   private def nodes(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("path graph peels one layer per round — the worst case the " +
-    "fixed round bound must be sized for") {
+  test("path graph peels one layer per round — an under-provisioned " +
+    "round bound trips the convergence guard instead of returning a " +
+    "supergraph") {
     val path = (0L until 8L).map(i => (i, i + 1)).toDF("s", "t")
     // 9 nodes: endpoints have degree 1, so each round peels exactly the
-    // two current endpoints; the 2-core is empty but takes 4 rounds
-    assert(KCore.core(path, "s", "t", k = 2, rounds = 1).count() === 7)
-    assert(KCore.core(path, "s", "t", k = 2, rounds = 2).count() === 5)
-    assert(KCore.core(path, "s", "t", k = 2, rounds = 3).count() === 3)
+    // two current endpoints; the 2-core is empty but takes 4 rounds —
+    // at rounds 1..3 the edge set is still shrinking and nodes still sit
+    // below degree 2, so the guard must refuse the partial peel
+    for (r <- 1 to 3) {
+      val ex = intercept[IllegalStateException](
+        KCore.core(path, "s", "t", k = 2, rounds = r).count())
+      assert(ex.getMessage.contains("did not converge"))
+      assert(ex.getMessage.contains("SUPERGRAPH"))
+    }
     assert(KCore.core(path, "s", "t", k = 2, rounds = 4).count() === 0)
+  }
+
+  test("a bound landing exactly on the fixpoint passes the guard — the " +
+    "final-round min-degree certification, not just edge-count equality") {
+    // triangle 1-2-3 with pendant 4: rounds=1 drops the pendant and the
+    // edge count is still shrinking when the bound exhausts (8 → 6
+    // directed edges), but the surviving triangle IS the 2-core — the
+    // guard must certify via min degree and return it, not throw
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "t")
+    assert(nodes(KCore.core(e, "s", "t", k = 2, rounds = 1)) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // and a graph that empties on the final round converges trivially
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "t")
+    assert(KCore.core(star, "s", "t", k = 2, rounds = 1).count() === 0)
   }
 
   test("clique is its own core at k = size−1; rounds past the fixpoint " +

@@ -130,6 +130,11 @@ class SketchOpsSpec extends SparkSpec {
     val empty = CountMin.sketch(
       Seq.empty[String].toDF("k"), "k", depth = 4)
     assert(CountMin.innerProduct(empty, empty).as[Long].head() == 0L)
+    // ONE-sided empty: an empty relation's true join size is 0 on either
+    // side — the emptiness check precedes the depth-equality guard
+    // (an empty sketch has no rows to derive a depth from)
+    assert(CountMin.innerProduct(empty, d4).as[Long].head() == 0L)
+    assert(CountMin.innerProduct(d4, empty).as[Long].head() == 0L)
     // same-depth fast and md5 grids ARE accepted structurally (both are
     // cell tables); estimates across families are the caller's error the
     // depth check cannot see — families must match by contract
