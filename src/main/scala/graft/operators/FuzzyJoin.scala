@@ -64,6 +64,13 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Sentinel gram size: "measure, don't guess" — [[buildIndex]] and
+    * [[selfJoin]] resolve it via [[selectQ]], so the DEFAULT path can
+    * never dispatch the degenerate-q quadratic regime (the 22-minute
+    * footgun round 6 measured); an explicit q still works and is still
+    * validated against the measured block load. */
+  val AutoQ: Int = 0
+
   /** Persisted blocking state for incremental matching: the corpus
     * side's normalized rows, canonical-prefix elements, gram-frequency
     * order, and short-string pool, all keyed by the (k, q) they were
@@ -192,25 +199,31 @@ object FuzzyJoin {
     * [[selectQ]] can pass `validate = false` to skip it. */
   def buildIndex(
       df: DataFrame, idCol: String, strCol: String,
-      k: Int, q: Int = 2, validate: Boolean = true,
+      k: Int, q: Int = AutoQ, validate: Boolean = true,
       maxAvgBlock: Double = 512.0): FuzzyIndex = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(q >= 1, s"q must be >= 1, got $q")
-    if (validate) {
+    require(q >= 0, s"q must be >= 1 (or AutoQ = 0 to measure), got $q")
+    // AutoQ: one corpus pass measures every candidate gram size and picks
+    // the smallest viable one — selectQ throws on degenerate corpora, so
+    // the per-q validation below is already satisfied
+    val qr = if (q == AutoQ)
+      selectQ(df, idCol, strCol, k, maxAvgBlock)
+    else q
+    if (validate && q != AutoQ) {
       val base0 = normalized(df, idCol, strCol)
-      val load = blockLoadOf(base0, q, k)
+      val load = blockLoadOf(base0, qr, k)
       require(load <= maxAvgBlock,
-        f"q=$q is degenerate on this corpus (avg gram-block load " +
+        f"q=$qr is degenerate on this corpus (avg gram-block load " +
           f"$load%.0f > $maxAvgBlock%.0f): candidate generation would " +
           "go quadratic — use selectQ to pick q, or raise q manually")
     }
-    val prefixLen = q * k + 1
+    val prefixLen = qr * k + 1
     // strings with fewer than prefixLen grams (len < q(k+1)) get a
     // vacuous overlap bound; anything within len+k of them joins the
     // same all-pairs pool so short-vs-longer pairs are still covered.
-    val shortLen = q * (k + 1) + k
+    val shortLen = qr * (k + 1) + k
     val base = normalized(df, idCol, strCol)
-    val grams = gramsOf(base, q)
+    val grams = gramsOf(base, qr)
     val freq = grams.groupBy(col("gram"), col("occ"))
       .agg(count(lit(1)).as("gf"))
     FuzzyIndex(
@@ -218,7 +231,7 @@ object FuzzyJoin {
       prefixes = prefixesOf(grams, freq, prefixLen),
       freq = freq,
       pool = base.filter(length(col("s")) < shortLen),
-      k = k, q = q)
+      k = k, q = qr)
   }
 
   /** All unordered pairs (a_id < b_id) of distinct-id rows whose
@@ -227,7 +240,7 @@ object FuzzyJoin {
     */
   def selfJoin(
       df: DataFrame, idCol: String, strCol: String,
-      k: Int, q: Int = 2, validate: Boolean = true): DataFrame = {
+      k: Int, q: Int = AutoQ, validate: Boolean = true): DataFrame = {
     val idx = buildIndex(df, idCol, strCol, k, q, validate)
     val gramPairs = idx.prefixes.as("a")
       .join(idx.prefixes.as("b"),

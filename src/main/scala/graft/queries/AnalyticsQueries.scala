@@ -545,8 +545,40 @@ object AnalyticsQueries {
       FROM lt FULL OUTER JOIN ft USING (channel)
       ORDER BY channel"""))
 
+  // ---------------------------------------------------------------- q224
+  /** Linear multi-touch attribution ([[graft.operators.Attribution]]
+    * linear): every touch inside a purchase's 7-day lookback splits the
+    * conversion's credit 1/n ways — the credit-split model last/first
+    * touch cannot express. The Spark side is ONE range window (state
+    * bounded by the lookback span) + explode + a cell-bounded aggregate;
+    * the oracle is the naive range self-join, so the driver hash proves
+    * the windowed split equals the definitional pairing. Credits are
+    * exact rationals (bigint / bigint through one IEEE division), so
+    * they replay bit-for-bit cross-engine. */
+  val q224LinearAttribution = Q(
+    "q224_linear_attribution",
+    (s, d) => graft.operators.Attribution.linear(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        conversionType = "purchase", lookbackDays = 7)
+      .orderBy(col("channel"), col("window_touches")),
+    Some("""WITH ev AS (SELECT user_id,
+        cast(epoch(ts) AS BIGINT) AS es, event_type, event_id
+      FROM events),
+      j AS (SELECT c.event_id AS cid, t.event_type AS channel
+        FROM ev c JOIN ev t ON t.user_id = c.user_id
+          AND t.event_type <> 'purchase'
+          AND t.es BETWEEN c.es - 604800 AND c.es
+        WHERE c.event_type = 'purchase'),
+      n AS (SELECT cid, count(*) AS wn FROM j GROUP BY 1),
+      x AS (SELECT j.channel, n.wn FROM j JOIN n USING (cid))
+      SELECT channel, wn AS window_touches,
+        count(*) AS touch_events,
+        count(*) / wn AS credit
+      FROM x GROUP BY channel, wn
+      ORDER BY channel, window_touches"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
     q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
     q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows,
-    q208GroupTrend, q209DriftTv, q222Attribution)
+    q208GroupTrend, q209DriftTv, q222Attribution, q224LinearAttribution)
 }

@@ -113,4 +113,32 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(FuzzyJoin.selectQ(healthy, "id", "s", k = 1) === 2)
     FuzzyJoin.buildIndex(healthy, "id", "s", k = 1, q = 2)
   }
+
+  test("no q at all resolves through selectQ — the default path cannot " +
+    "dispatch the degenerate regime") {
+    import graft.operators.FuzzyJoin
+    // digit-structured keys (the Customer#000… shape) need q=3 once the
+    // corpus outgrows the ~100-bigram alphabet (3000 rows ÷ ~115 bigrams
+    // is still under the load bound — and q=2 is then genuinely fine;
+    // 30k rows is the measured-degenerate regime of SCALE.md round 6);
+    // measured, not guessed, when the caller passes nothing
+    val structured = (0 until 30000).map(i =>
+      i.toLong -> f"Customer#${i}%09d").toDF("id", "s")
+    assert(FuzzyJoin.buildIndex(structured, "id", "s", k = 1).q === 3)
+    // binary-alphabet keys resolve to the measured q=6 (maxAvgBlock default
+    // applies; selectQ's qMax default of 6 just reaches it)
+    val degenerate = (0 until 3000).map(i =>
+      i.toLong -> (0 until 14).map(b => (i >> b) & 1).mkString).toDF("id", "s")
+    assert(FuzzyJoin.buildIndex(degenerate, "id", "s", k = 1).q === 6)
+    // a natural-name corpus resolves to q=2, and the default-path join
+    // returns the same pairs as the explicitly-tuned one
+    val healthy = (0 until 300).map(i =>
+      i.toLong -> s"Artist ${('a' + i % 26).toChar}${('a' + (i / 26) % 26).toChar} no$i")
+      .toDF("id", "s")
+    val auto = FuzzyJoin.selfJoin(healthy, "id", "s", k = 1)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val tuned = FuzzyJoin.selfJoin(healthy, "id", "s", k = 1, q = 2)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(auto === tuned)
+  }
 }
