@@ -38,6 +38,19 @@ object ProbeDoulion {
     time(s"doulion keepHex=$keepHex")(
       Triangles.doulion(e, "a", "b", keepHex))
     Triangles.doulion(e, "a", "b", keepHex).show(1, false)
+    // error-vs-p envelope at scale: estimates across salts per keep rate,
+    // against the exact count — the measured accuracy story behind the
+    // sampling knob (SCALE.md round 8)
+    val exact = Triangles.triangles(e, "a", "b").count().toDouble
+    for (kh <- Seq(8, 4, 1)) {
+      val errs = (0 until 4).map { i =>
+        val est = Triangles.doulion(e, "a", "b", kh, salt = s"env$i")
+          .collect()(0).getLong(1)
+        math.abs(est - exact) / exact
+      }
+      println(f"[doulion] exact=$exact%.0f keepHex=$kh rel errs: " +
+        errs.map(x => f"$x%.4f").mkString(" "))
+    }
     spark.stop()
   }
 }

@@ -173,17 +173,30 @@ object MinHash {
     val newSh = shingles(newDocs, idCol, textCol, shingleLen)
     val newBuckets = buckets(
       signatures(newSh, idCol, numPerms), idCol, numPerms, bands)
+    // cands feeds `touched` AND the verify join; candSh feeds verify's
+    // size aggregate and BOTH pair-side joins — pin both so the
+    // recompute (corpus scan + shingle explode ×3) is paid once.
     val cands = incrementalCandidates(
-      newBuckets, corpusBuckets, idCol, maxBucketSize)
+        newBuckets, corpusBuckets, idCol, maxBucketSize)
+      .transform(graft.core.Pin.apply)
     val touched = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
     // batch shingles are already in hand (newSh) — only candidate-touched
-    // CORPUS docs get re-shingled, keeping the batch text scan single
+    // CORPUS docs get re-shingled, keeping the batch text scan single.
+    // The `merge` hint is the memory-safety decision the 4 GiB probe
+    // forced: both verify-side frames are PAIR-DRIVEN — their true size
+    // is a function of candidate volume the static planner cannot see
+    // (it guessed small and hard-coded broadcast builds that died at 30×
+    // under a production-sized heap; the pin does not help because
+    // localCheckpoint carries the ORIGINAL static estimate over). A
+    // sort-merge join spills instead of building driver-side hash
+    // tables, which is the only plan that survives every scale.
     val candSh = shingles(
         corpusDocs.join(touched, Seq(idCol), "left_semi"),
         idCol, textCol, shingleLen)
       .unionByName(newSh.join(touched, Seq(idCol), "left_semi"))
-    verify(cands, candSh, idCol)
+      .transform(graft.core.Pin.apply)
+    verify(cands.hint("merge"), candSh.hint("merge"), idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

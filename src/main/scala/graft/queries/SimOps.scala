@@ -611,7 +611,118 @@ object SimOps {
       SELECT qid, cast(rank AS bigint) AS rank, vec_id, adc_d2
       FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---------------------------------------------------------------- q225
+  /** TRAINED product quantization
+    * ([[graft.operators.ProductQuantization]] trainedCodebooks): two
+    * Lloyd iterations per subspace refine the seed codebooks before
+    * encoding and ADC retrieval — the path that buys retrieval recall
+    * (ProductQuantizationSpec measures 0.43 → 0.95 recall@10 on
+    * cluster-blind seeds). Because centroid updates stay on the integer
+    * lattice (round(sum/n), one IEEE division per cell), the ENTIRE
+    * training run replays in SQL: the oracle unrolls both iterations —
+    * assign argmin, per-dim integer mean, empty-code carryover — then
+    * encode and ADC, so the driver hash pins trained-PQ end-to-end. */
+  val q225PqTrained = Q(
+    "q225_pq_trained",
+    (s, d) => {
+      import graft.operators.{ProductQuantization => PQ, VectorQuantization}
+      val q = VectorQuantization
+        .quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("q8"))
+      val corpus = q.filter(col("vec_id") >= 8)
+      val queries = q.filter(col("vec_id") < 8)
+      val books = PQ.trainedCodebooks(corpus, "vec_id", m = 2, k = 4,
+        iters = 2)
+      val enc = PQ.encode(corpus, books, "vec_id", m = 2)
+      PQ.adcTopK(queries, "vec_id", books, enc, "vec_id", m = 2, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      sc AS (SELECT vec_id, v,
+        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+          AS scale FROM e),
+      q AS (SELECT vec_id,
+        list_transform(v, x -> cast(round(x * scale) AS BIGINT)) AS qv
+        FROM sc),
+      sub AS (SELECT vec_id, u.s AS subspace,
+          qv[u.s * 32 + 1 : u.s * 32 + 32] AS sv
+        FROM q, unnest(generate_series(0, 1)) AS u(s)),
+      subn AS (SELECT vec_id, subspace, sv,
+        cast(list_dot_product(sv::DOUBLE[], sv::DOUBLE[]) AS BIGINT)
+          AS svn2 FROM sub),
+      seedids AS (SELECT vec_id,
+          row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM (SELECT DISTINCT vec_id FROM subn WHERE vec_id >= 8
+          ORDER BY vec_id LIMIT 4) t),
+      cb0 AS (SELECT n.subspace, si.code, n.sv AS cv, n.svn2 AS cvn2
+        FROM subn n JOIN seedids si USING (vec_id)),
+      asg1 AS (SELECT vec_id, subspace, code FROM (
+        SELECT n.vec_id, n.subspace, c.code,
+          row_number() OVER (PARTITION BY n.vec_id, n.subspace
+            ORDER BY n.svn2 + c.cvn2 - 2 * cast(
+              list_dot_product(n.sv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT),
+            c.code) AS rk
+        FROM subn n JOIN cb0 c USING (subspace) WHERE n.vec_id >= 8) t
+        WHERE rk = 1),
+      upd1 AS (SELECT subspace, code,
+          list(cc ORDER BY d) AS cv
+        FROM (SELECT a.subspace, a.code, u.d,
+            cast(round(cast(sum(n.sv[u.d]) AS BIGINT)
+              / count(*)) AS BIGINT) AS cc
+          FROM asg1 a JOIN subn n USING (vec_id, subspace),
+            unnest(generate_series(1, 32)) AS u(d)
+          GROUP BY 1, 2, 3) t GROUP BY 1, 2),
+      cb1 AS (SELECT c.subspace, c.code,
+          coalesce(u.cv, c.cv) AS cv,
+          cast(list_dot_product(coalesce(u.cv, c.cv)::DOUBLE[],
+            coalesce(u.cv, c.cv)::DOUBLE[]) AS BIGINT) AS cvn2
+        FROM cb0 c LEFT JOIN upd1 u USING (subspace, code)),
+      asg2 AS (SELECT vec_id, subspace, code FROM (
+        SELECT n.vec_id, n.subspace, c.code,
+          row_number() OVER (PARTITION BY n.vec_id, n.subspace
+            ORDER BY n.svn2 + c.cvn2 - 2 * cast(
+              list_dot_product(n.sv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT),
+            c.code) AS rk
+        FROM subn n JOIN cb1 c USING (subspace) WHERE n.vec_id >= 8) t
+        WHERE rk = 1),
+      upd2 AS (SELECT subspace, code,
+          list(cc ORDER BY d) AS cv
+        FROM (SELECT a.subspace, a.code, u.d,
+            cast(round(cast(sum(n.sv[u.d]) AS BIGINT)
+              / count(*)) AS BIGINT) AS cc
+          FROM asg2 a JOIN subn n USING (vec_id, subspace),
+            unnest(generate_series(1, 32)) AS u(d)
+          GROUP BY 1, 2, 3) t GROUP BY 1, 2),
+      cb2 AS (SELECT c.subspace, c.code,
+          coalesce(u.cv, c.cv) AS cv,
+          cast(list_dot_product(coalesce(u.cv, c.cv)::DOUBLE[],
+            coalesce(u.cv, c.cv)::DOUBLE[]) AS BIGINT) AS cvn2
+        FROM cb1 c LEFT JOIN upd2 u USING (subspace, code)),
+      encd AS (SELECT vec_id, subspace, code FROM (
+        SELECT n.vec_id, n.subspace, c.code,
+          row_number() OVER (PARTITION BY n.vec_id, n.subspace
+            ORDER BY n.svn2 + c.cvn2 - 2 * cast(
+              list_dot_product(n.sv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT),
+            c.code) AS rk
+        FROM subn n JOIN cb2 c USING (subspace) WHERE n.vec_id >= 8) t
+        WHERE rk = 1),
+      qtab AS (SELECT n.vec_id AS qid, n.subspace, c.code,
+          n.svn2 + c.cvn2 - 2 * cast(
+            list_dot_product(n.sv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT)
+            AS sub_d2
+        FROM subn n JOIN cb2 c USING (subspace) WHERE n.vec_id < 8),
+      adc AS (SELECT qt.qid, k.vec_id,
+          cast(sum(qt.sub_d2) AS BIGINT) AS adc_d2
+        FROM encd k JOIN qtab qt
+          ON qt.subspace = k.subspace AND qt.code = k.code
+        GROUP BY 1, 2),
+      r AS (SELECT qid, vec_id, adc_d2, row_number() OVER (
+          PARTITION BY qid ORDER BY adc_d2, vec_id) AS rank FROM adc)
+      SELECT qid, cast(rank AS bigint) AS rank, vec_id, adc_d2
+      FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
     q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized, q155KmeansAssign,
-    q161AnnIncremental, q172ClusterBalanced, q223PqAdc)
+    q161AnnIncremental, q172ClusterBalanced, q223PqAdc, q225PqTrained)
 }

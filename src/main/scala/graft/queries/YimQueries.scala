@@ -260,13 +260,15 @@ object MusicQueries {
       // shared(u, u') is symmetric: generate each unordered pair once
       // (u1 < u2 halves the item-keyed join output) and mirror the
       // aggregated counts afterwards — same rows as the u != u' join at
-      // half the shuffle volume (measured 4.5 s -> 3.3 s at sf0.1)
-      val half = cp.select(col("user_id").as("u1"), col("recording_mbid"))
-        .join(cp.select(col("user_id").as("u2"), col("recording_mbid")),
-          Seq("recording_mbid"))
-        .filter(col("u1") < col("u2"))
-        .groupBy(col("u1"), col("u2"))
-        .agg(count(lit(1)).as("shared"))
+      // half the shuffle volume (measured 4.5 s -> 3.3 s at sf0.1).
+      // ChunkedPairs with c=1 IS this count (Σ 1·1), run out-of-core in
+      // 4 per-u1-chunk jobs so the pair aggregate survives the
+      // production per-executor heap share (the 4 GiB probe)
+      val half = graft.similarity.ChunkedPairs.dots(
+          cp.select(col("user_id").as("u"),
+            col("recording_mbid").as("it"), lit(1L).as("c")),
+          "u", "it", "c", chunks = 4)
+        .select(col("u1"), col("u2"), col("dot").as("shared"))
       val shared = half.select(col("u1").as("user_id"),
           col("u2").as("other_user_id"), col("shared"))
         .unionByName(half.select(col("u2").as("user_id"),
@@ -344,7 +346,8 @@ object MusicQueries {
   val q101SimilarUsers = Q(
     "q101_similar_users",
     (s, d) => graft.yim.Yim.similarUsers(
-        listens(s, d), "user_id", "recording_mbid", k = 5)
+        listens(s, d), "user_id", "recording_mbid", k = 5,
+        pairChunks = 16)
       .select(col("user_id"),
         posexplode(col("similar_users")).as(Seq("pos", "x")))
       .select(col("user_id"), col("pos"), col("x.other_user_id"),

@@ -31,7 +31,8 @@ object UserCosine {
   def exact(
       listens: DataFrame, userCol: String, itemCol: String,
       minCosine: Double,
-      maxItemListeners: Option[Long] = None): DataFrame = {
+      maxItemListeners: Option[Long] = None,
+      pairChunks: Int = 1): DataFrame = {
     // counts feeds three consumers (norms + both join sides); Catalyst
     // does not reuse the exchange across the differently-pruned branches,
     // so materialize the (small, user×item-bounded) aggregate once
@@ -55,12 +56,11 @@ object UserCosine {
     }).transform(graft.core.Pin.apply)
     val norms = counts.groupBy(col("u"))
       .agg(sum(col("c") * col("c")).as("norm2"))
-    val a = counts.select(col("u").as("u1"), col("it"), col("c").as("c1"))
-    val b = counts.select(col("u").as("u2"), col("it"), col("c").as("c2"))
-    val dots = a.join(b, Seq("it"))
-      .filter(col("u1") < col("u2"))
-      .groupBy(col("u1"), col("u2"))
-      .agg(sum(col("c1") * col("c2")).as("dot"))
+    // pairChunks > 1 runs the pair stage out-of-core via [[ChunkedPairs]]
+    // (per-u1-chunk jobs + parquet partials) — same exact answer, peak
+    // pair-aggregate state ÷ pairChunks; the pinned counts frame serves
+    // every chunk job without recompute
+    val dots = ChunkedPairs.dots(counts, "u", "it", "c", pairChunks)
     dots
       .join(norms.select(col("u").as("u1"), col("norm2").as("n1")), Seq("u1"))
       .join(norms.select(col("u").as("u2"), col("norm2").as("n2")), Seq("u2"))

@@ -105,9 +105,15 @@ object Yim {
     * similar_users: array<struct<other_user_id, similarity>>). */
   def similarUsers(
       listens: DataFrame, userCol: String, itemCol: String,
-      k: Int = 25, maxItemListeners: Option[Long] = None): DataFrame = {
+      k: Int = 25, maxItemListeners: Option[Long] = None,
+      pairChunks: Int = 4): DataFrame = {
+    // pairChunks=4 by default: the co-listen pair aggregate is the
+    // engine's largest single working set, and chunking it is what lets
+    // this run at the production per-executor share (4 GiB probe) —
+    // exactness is unchanged, see ChunkedPairs
     val pairs = graft.similarity.UserCosine
-      .exact(listens, userCol, itemCol, minCosine = 0.0, maxItemListeners)
+      .exact(listens, userCol, itemCol, minCosine = 0.0, maxItemListeners,
+        pairChunks)
     val sym = pairs.select(col("u1").as("user_id"),
         col("u2").as("other_user_id"), col("cosine_r").as("similarity"))
       .unionByName(pairs.select(col("u2").as("user_id"),

@@ -165,6 +165,34 @@ class DedupSpec extends SparkSpec {
       "no corpus x corpus pair is ever regenerated")
   }
 
+  test("incremental verify joins plan as sort-merge, never a static " +
+    "broadcast build of the pair-driven sides") {
+    // the 4 GiB probe at 30x: the planner's static estimate of the
+    // candidate-shingle frames guessed small, hard-coded broadcast
+    // builds, and died building them — their true size is candidate-
+    // driven and unknowable statically, so the plan must keep them
+    // shuffle-side (spillable); only AQE may downgrade from runtime
+    // stats it actually measured
+    val corpus = variedCorpus
+    val batch = docs((200L, corpus.collect()(0).getString(1)))
+    val idx = MinHash.buckets(
+      MinHash.signatures(
+        MinHash.shingles(corpus, "doc_id", "text", 3), "doc_id", 32),
+      "doc_id", 32, 8)
+    val inc = MinHash.incrementalNearDuplicates(
+      batch, corpus, idx, "doc_id", "text",
+      shingleLen = 3, numPerms = 32, bands = 8, threshold = 0.5)
+    // the pre-AQE physical plan: every join at or above the verify stage
+    // must be sort-merge — zero BroadcastHashJoin nodes
+    val plan = inc.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"static plan still broadcasts a pair-driven side:\n$plan")
+    assert(plan.contains("SortMergeJoin"))
+    // and the result is still correct
+    assert(inc.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet.contains((0L, 200L)))
+  }
+
   test("decontamination flags planted eval leakage and nothing else") {
     import spark.implicits._
     val evalSentence = "the quick brown fox jumps over the lazy dog"

@@ -145,4 +145,42 @@ class GraphSweepSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Triangles.doulion(edges, "s", "t", keepHex = 5))
   }
+
+  test("doulion error envelope: relative error stays bounded at p=1/4 " +
+    "and degrades as theory predicts at p=1/16 — the sampling knob has " +
+    "a measured accuracy story, not just unbiasedness") {
+    import spark.implicits._
+    // K100 (exact = C(100,3) = 161700 by combinatorics — no circular
+    // dependence on the operator) plus a triangle-free noise path on
+    // disjoint ids; big enough that p=1/16 still expects ~40 surviving
+    // triangles, the regime where the estimator is usable at all
+    val clique = for (i <- 0L until 100L; j <- i + 1 until 100L)
+      yield (i, j)
+    val path = (1000L until 1200L).map(i => (i, i + 1))
+    val edges = (clique ++ path).toDF("s", "t")
+    val exact = 161700.0
+    def relErrs(keepHex: Int): Seq[Double] = (0 until 6).map { i =>
+      val est = Triangles.doulion(edges, "s", "t", keepHex,
+        salt = s"env$i").as[(Long, Long)].head()._2
+      math.abs(est - exact) / exact
+    }
+    // everything below is DETERMINISTIC (md5 coins over fixed salts):
+    // the bounds pin today's exact values with headroom, they are not
+    // statistical assertions that could flake
+    val errQuarter = relErrs(keepHex = 4) // p = 1/4
+    val errSixteenth = relErrs(keepHex = 1) // p = 1/16
+    info(f"p=1/4  rel errs: ${errQuarter.map(e => f"$e%.3f").mkString(" ")}")
+    info(f"p=1/16 rel errs: ${errSixteenth.map(e => f"$e%.3f").mkString(" ")}")
+    // measured today: p=1/4 errs ≤ 0.084 (mean 0.058), p=1/16 ≤ 0.216
+    // (mean 0.106); bounds pin ~2× headroom over those fixed values
+    assert(errQuarter.max <= 0.15,
+      s"p=1/4 envelope: ${errQuarter.mkString(", ")}")
+    assert(errQuarter.sum / 6 <= 0.10)
+    assert(errSixteenth.max <= 0.40,
+      s"p=1/16 envelope: ${errSixteenth.mkString(", ")}")
+    assert(errSixteenth.sum / 6 <= 0.25)
+    // and the envelope ORDERING: deeper sampling is strictly noisier on
+    // average — the knob trades cost for the accuracy measured here
+    assert(errQuarter.sum < errSixteenth.sum)
+  }
 }
