@@ -111,11 +111,16 @@ object SimHash {
       col("simhash").as("sh_a"), col("blk"), col("bv"))
     val b = keyed.select(col(idCol).as("id_b"),
       col("simhash").as("sh_b"), col("blk"), col("bv"))
+    // hamming BEFORE distinct: the popcount is a per-row map over the
+    // streaming join output, so filtering first means the distinct's
+    // hash state holds only genuine near-dup pairs — not every
+    // block-collision pair (the 4 GiB probe's q145 working set); the
+    // result is identical because hamming is a pure function of the pair
     a.join(b, Seq("blk", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         popcount(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

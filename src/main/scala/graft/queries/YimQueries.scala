@@ -267,7 +267,7 @@ object MusicQueries {
       val half = graft.similarity.ChunkedPairs.dots(
           cp.select(col("user_id").as("u"),
             col("recording_mbid").as("it"), lit(1L).as("c")),
-          "u", "it", "c", chunks = 4)
+          "u", "it", "c")
         .select(col("u1"), col("u2"), col("dot").as("shared"))
       val shared = half.select(col("u1").as("user_id"),
           col("u2").as("other_user_id"), col("shared"))
@@ -346,8 +346,7 @@ object MusicQueries {
   val q101SimilarUsers = Q(
     "q101_similar_users",
     (s, d) => graft.yim.Yim.similarUsers(
-        listens(s, d), "user_id", "recording_mbid", k = 5,
-        pairChunks = 16)
+        listens(s, d), "user_id", "recording_mbid", k = 5)
       .select(col("user_id"),
         posexplode(col("similar_users")).as(Seq("pos", "x")))
       .select(col("user_id"), col("pos"), col("x.other_user_id"),

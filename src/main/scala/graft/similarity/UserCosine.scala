@@ -23,6 +23,80 @@ import org.apache.spark.sql.functions._
   */
 object UserCosine {
 
+  /** Pinned `(u, it, c)` play-count aggregate with the optional hot-item
+    * guardrail. Counts feed three consumers (norms + both join sides);
+    * Catalyst does not reuse the exchange across the differently-pruned
+    * branches, so materialize the (small, user×item-bounded) aggregate
+    * once instead of re-aggregating the fact table three times.
+    *
+    * The cap is the LSH bucket-cap analogue: an item listened by d users
+    * contributes d² pair terms, so one viral track dominates the pair
+    * space at corpus scale; capping item degree drops those terms (a
+    * deliberate approximation — the norms keep the full vectors, only
+    * pair generation is bounded). None = exact, the oracled path. */
+  private def countsOf(
+      listens: DataFrame, userCol: String, itemCol: String,
+      maxItemListeners: Option[Long]): DataFrame = {
+    val raw = listens.groupBy(col(userCol).as("u"), col(itemCol).as("it"))
+      .agg(count(lit(1)).as("c"))
+    (maxItemListeners match {
+      case Some(cap) =>
+        val degree = raw.groupBy(col("it"))
+          .agg(count(lit(1)).as("item_degree"))
+          .filter(col("item_degree") <= cap)
+          .select(col("it"))
+        raw.join(degree, Seq("it"))
+      case None => raw
+    }).transform(graft.core.Pin.apply)
+  }
+
+  /** Per-user top-k most-similar users by exact cosine — [[exact]]'s
+    * answer REDUCED to k rows per user, computed so the full pair space
+    * is never persisted or globally sorted: the pair aggregate runs
+    * through [[ChunkedPairs]] and each chunk job reduces its complete
+    * (u1, u2) groups to per-user top-k BEFORE writing (cosine + the
+    * symmetric mirror + one windowed cut, all inside the chunk); the
+    * final pass merges ≤ 2·k·pairChunks candidate rows per user — a
+    * hierarchical top-k, exact because every (u, other) candidate
+    * appears in exactly one chunk. Output `(user_id, other_user_id,
+    * similarity)`, ties broken by other_user_id like [[exact]]'s
+    * consumers. This is the 4 GiB survival shape for the q101 family:
+    * peak state = one chunk's pair aggregate, written state = k rows
+    * per user per chunk. */
+  def exactTopK(
+      listens: DataFrame, userCol: String, itemCol: String, k: Int,
+      maxItemListeners: Option[Long] = None,
+      pairChunks: Int = ChunkedPairs.Auto): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = countsOf(listens, userCol, itemCol, maxItemListeners)
+    val norms = counts.groupBy(col("u"))
+      .agg(sum(col("c") * col("c")).as("norm2"))
+      .transform(graft.core.Pin.apply)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("similarity").desc, col("other_user_id"))
+    def topkOf(pairs: DataFrame): DataFrame = {
+      // norms is user-bounded (pinned, runtime-sized) — AQE broadcasts
+      // it when it fits, SMJ otherwise; no static hint to mis-size
+      val withCos = pairs
+        .join(norms.select(col("u").as("u1"), col("norm2").as("n1")),
+          Seq("u1"))
+        .join(norms.select(col("u").as("u2"), col("norm2").as("n2")),
+          Seq("u2"))
+        .withColumn("similarity", round(
+          col("dot") / sqrt((col("n1") * col("n2")).cast("double")), 6))
+      withCos.select(col("u1").as("user_id"),
+          col("u2").as("other_user_id"), col("similarity"))
+        .unionByName(withCos.select(col("u2").as("user_id"),
+          col("u1").as("other_user_id"), col("similarity")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
+    ChunkedPairs.dots(counts, "u", "it", "c", pairChunks, post = topkOf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Exact cosine between users u1 < u2 with score >= minCosine, via the
     * sparse item-keyed pair join (the join-based formulation a relational
     * engine would use — identical math to the DuckDB oracle). All sums are
@@ -33,27 +107,7 @@ object UserCosine {
       minCosine: Double,
       maxItemListeners: Option[Long] = None,
       pairChunks: Int = 1): DataFrame = {
-    // counts feeds three consumers (norms + both join sides); Catalyst
-    // does not reuse the exchange across the differently-pruned branches,
-    // so materialize the (small, user×item-bounded) aggregate once
-    // instead of re-aggregating the fact table three times
-    val raw = listens.groupBy(col(userCol).as("u"), col(itemCol).as("it"))
-      .agg(count(lit(1)).as("c"))
-    // optional hot-item guardrail (the LSH bucket-cap analogue): an item
-    // listened by d users contributes d² pair terms, so one viral track
-    // dominates the pair space at corpus scale; capping item degree drops
-    // those terms (a deliberate approximation — the norms keep the full
-    // vectors, only pair generation is bounded). None = exact, the
-    // oracled path.
-    val counts = (maxItemListeners match {
-      case Some(cap) =>
-        val degree = raw.groupBy(col("it"))
-          .agg(count(lit(1)).as("item_degree"))
-          .filter(col("item_degree") <= cap)
-          .select(col("it"))
-        raw.join(degree, Seq("it"))
-      case None => raw
-    }).transform(graft.core.Pin.apply)
+    val counts = countsOf(listens, userCol, itemCol, maxItemListeners)
     val norms = counts.groupBy(col("u"))
       .agg(sum(col("c") * col("c")).as("norm2"))
     // pairChunks > 1 runs the pair stage out-of-core via [[ChunkedPairs]]

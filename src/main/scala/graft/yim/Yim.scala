@@ -106,27 +106,18 @@ object Yim {
   def similarUsers(
       listens: DataFrame, userCol: String, itemCol: String,
       k: Int = 25, maxItemListeners: Option[Long] = None,
-      pairChunks: Int = 4): DataFrame = {
-    // pairChunks=4 by default: the co-listen pair aggregate is the
-    // engine's largest single working set, and chunking it is what lets
-    // this run at the production per-executor share (4 GiB probe) —
-    // exactness is unchanged, see ChunkedPairs
-    val pairs = graft.similarity.UserCosine
-      .exact(listens, userCol, itemCol, minCosine = 0.0, maxItemListeners,
+      pairChunks: Int = graft.similarity.ChunkedPairs.Auto): DataFrame =
+    // the co-listen pair space is the engine's largest single working
+    // set; exactTopK runs it through ChunkedPairs with per-chunk top-k
+    // pushdown (hierarchical top-k — exact), so neither the pair set
+    // nor its global sort ever materializes: the 4 GiB probe shape
+    graft.similarity.UserCosine
+      .exactTopK(listens, userCol, itemCol, k, maxItemListeners,
         pairChunks)
-    val sym = pairs.select(col("u1").as("user_id"),
-        col("u2").as("other_user_id"), col("cosine_r").as("similarity"))
-      .unionByName(pairs.select(col("u2").as("user_id"),
-        col("u1").as("other_user_id"), col("cosine_r").as("similarity")))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("similarity").desc, col("other_user_id"))
-    sym.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(
         col("similarity"), col("other_user_id"))), asc = false)
         .as("similar_users"))
-  }
 
   /** Tracks-of-the-year scoring (top_discoveries.py:72-88): per-user play
     * counts of recordings FIRST listened in the target year, keeping

@@ -90,4 +90,32 @@ class SimilaritySpec extends SparkSpec {
     val dense = key(UserCosine.denseSmall(ev, "user_id", "item", 0.1))
     assert(sparse.nonEmpty && sparse == dense)
   }
+
+  test("hierarchical exactTopK equals the global window over the full " +
+    "pair set, at every chunk count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val ev = Seq.fill(600)(
+      (rnd.nextInt(15).toLong + 1L, s"i${rnd.nextInt(20)}"))
+      .toDF("user_id", "item")
+    // reference: full exact pairs -> symmetric mirror -> one global
+    // window top-3 (the shape exactTopK must reproduce without ever
+    // materializing the pair set)
+    val pairs = UserCosine.exact(ev, "user_id", "item", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("cosine_r")))
+    val sym = pairs.flatMap { case (a, b, s) => Seq((a, b, s), (b, a, s)) }
+    val expect = sym.groupBy(_._1).view.mapValues(
+        _.sortBy { case (_, o, s) => (-s, o) }.take(3)
+          .map { case (_, o, s) => (o, s) }.toSeq).toMap
+    for (chunks <- Seq(ChunkedPairs.Auto, 1, 3, 16)) {
+      val got = UserCosine.exactTopK(ev, "user_id", "item", k = 3,
+          pairChunks = chunks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(
+          _.sortBy { case (_, o, s) => (-s, o) }
+            .map { case (_, o, s) => (o, s) }.toSeq).toMap
+      assert(got === expect, s"chunks=$chunks")
+    }
+  }
 }
