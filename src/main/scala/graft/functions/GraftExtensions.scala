@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[LongBloomMightContain].getName, "graft_bloom_contains"),
       withArity("graft_bloom_contains", 2)(e =>
         LongBloomMightContain(e(0), e(1)))))
+    // aggregate functions registered this way are wrapped in an
+    // AggregateExpression by the analyzer, exactly like built-ins
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(
+        classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
+      withArity("graft_heavy_hitters", 2)(e => MisraGriesAgg(e(0), e(1)))))
     // evaluation-strategy rewrite, not a semantic change — see the rule's
     // scaladoc for the exact predicate forms it covers
     ext.injectOptimizerRule(_ => LevenshteinRewrite)

@@ -207,6 +207,7 @@ object GraftFunctions {
   private val PolyName = "graft_poly_hash62"
   private val QuantName = "graft_int8_quantize"
   private val BloomName = "graft_bloom_contains"
+  private val HhName = "graft_heavy_hitters"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -218,6 +219,8 @@ object GraftFunctions {
       QuantName, exprs => Int8QuantizeCodes(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BloomName, exprs => LongBloomMightContain(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HhName, exprs => MisraGriesAgg(exprs(0), exprs(1)), "built-in")
   }
 
   /** Dot product of two array<float> columns (register first). */
@@ -233,4 +236,10 @@ object GraftFunctions {
     * filter literal (register first; see [[LongBloomMightContain]]). */
   def bloomContains(key: Column, bloomBytes: Column): Column =
     call_function(BloomName, key, bloomBytes)
+
+  /** Misra–Gries heavy-hitters aggregate over `item` with a bounded
+    * k-counter state (register first; see [[MisraGriesAgg]] for the
+    * error bound and the exactness condition). */
+  def heavyHitters(item: Column, capacity: Int): Column =
+    call_function(HhName, item, org.apache.spark.sql.functions.lit(capacity))
 }

@@ -293,7 +293,46 @@ object SketchQueries {
       SELECT cast(p.pct AS bigint) AS pct, n.n, true AS within_bound
       FROM (VALUES (25), (50), (75), (90)) p(pct), n ORDER BY pct"""))
 
+  // ---------------------------------------------------------------- q226
+  /** Per-group top-10 heavy hitters via the native Misra–Gries
+    * aggregate ([[graft.functions.MisraGriesAgg]], the engine's first
+    * `TypedImperativeAggregate`): per order-priority, the customers
+    * placing the most orders. Capacity 1<<17 exceeds the distinct
+    * customer count at oracle scale, so the sketch is provably EXACT
+    * and partitioning-invariant (no decrement ever fires — see the
+    * aggregate's scaladoc) and the driver hash-matches DuckDB's exact
+    * count + window. The sketch array is already (count desc, item
+    * asc)-sorted, so `slice(.., 1, 10)` IS the top-10 — no window, no
+    * second shuffle; at 100 TB the exchange carries k counters per
+    * group instead of the customer domain. */
+  val q226HeavyHitters = Q(
+    "q226_heavy_hitters",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(graft.functions.GraftFunctions
+          .heavyHitters(col("o_custkey"), 1 << 17).as("hh"))
+        .select(col("prio"),
+          posexplode(slice(col("hh"), 1, 10)).as(Seq("pos", "e")))
+        .select(col("prio"), (col("pos") + 1).cast("long").as("rnk"),
+          col("e.item").as("custkey"), col("e.count").as("cnt"))
+        .orderBy(col("prio"), col("rnk"))
+    },
+    Some("""WITH c AS (
+        SELECT o_orderpriority AS prio, o_custkey AS custkey,
+          count(*) AS cnt
+        FROM orders GROUP BY 1, 2),
+      r AS (
+        SELECT prio, custkey, cnt,
+          row_number() OVER (PARTITION BY prio
+            ORDER BY cnt DESC, custkey) AS rnk
+        FROM c)
+      SELECT prio, rnk, custkey, cnt FROM r WHERE rnk <= 10
+      ORDER BY prio, rnk"""))
+
   val all: Seq[Q] =
     Seq(q153CmsFrequency, q176BloomJoin, q177BloomAnti, q178BloomStringJoin,
-      q206CmsJoinEstimate, q218CmsFast, q221QuantileEnvelope)
+      q206CmsJoinEstimate, q218CmsFast, q221QuantileEnvelope,
+      q226HeavyHitters)
 }

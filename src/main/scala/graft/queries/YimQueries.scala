@@ -784,10 +784,41 @@ object MusicQueries {
           c_custkey AS user_id FROM customer) u USING (spark_user_id)
         WHERE rank <= 10 GROUP BY 1, 2)"""
 
+  // ---------------------------------------------------------------- q227
+  /** PMI-scored "also played" item associations
+    * ([[graft.similarity.Cooccurrence]]): co-listened recording pairs
+    * with at least 5 shared listeners, scored by pointwise mutual
+    * information over presence sets. The pair stage rides
+    * [[graft.similarity.ChunkedPairs]] (measured chunking, per-chunk
+    * support filter); all counts are exact bigints and the oracle
+    * replays the identical ln(bigint·bigint / (bigint·bigint))
+    * float step. */
+  val q227CooccurPmi = Q(
+    "q227_cooccur_pmi",
+    (s, d) => graft.similarity.Cooccurrence.pmi(
+        listens(s, d), "user_id", "recording_mbid", minBoth = 5)
+      .orderBy(col("item_a"), col("item_b")),
+    Some(s"""WITH pres AS (
+        SELECT DISTINCT l_partkey AS item, o_custkey AS u
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      n AS (SELECT count(DISTINCT u) AS nu FROM pres),
+      deg AS (SELECT item, count(*) AS d FROM pres GROUP BY item),
+      pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS users_both
+        FROM pres a JOIN pres b ON a.u = b.u AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT p.item_a, p.item_b, p.users_both,
+        round(ln((p.users_both * n.nu) / (da.d * db.d)), 6) AS pmi_r
+      FROM pairs p
+      CROSS JOIN n
+      JOIN deg da ON p.item_a = da.item
+      JOIN deg db ON p.item_b = db.item
+      ORDER BY p.item_a, p.item_b"""))
+
   val all: Seq[Q] = Seq(
     q95Tags, q96TopGenres, q97MostListenedYear, q98ListensPerDay,
     q99ListenCount, q100TopMissed, q101SimilarUsers, q102Discovery,
     q103RecommendFlat, q104RecommendNested, q105EraActivity,
     q106GenreHour, q107YimTopStats, q108TopDiscoveries, q115ArtistMap,
-    q116SitewideActivity, q120MissingMbData)
+    q116SitewideActivity, q120MissingMbData, q227CooccurPmi)
 }

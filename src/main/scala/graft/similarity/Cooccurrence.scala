@@ -1,0 +1,68 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PMI-scored item co-occurrence — the classic "people who played X
+  * also played Y" association table (pointwise mutual information over
+  * user-presence sets), the non-personalized complement to the ALS and
+  * cosine recommenders (reference similarity family,
+  * similar_users.py / recommendations_recording.py, re-expressed as an
+  * item-item association measure).
+  *
+  * Presence-based: `c_xy` = #users who touched both items, `c_x` =
+  * #users who touched x, N = #distinct users;
+  * `pmi(x, y) = ln(c_xy · N / (c_x · c_y))`. All inputs are exact
+  * bigints; the single float step (divide + ln, rounded to 1e-6) is
+  * IEEE-deterministic cross-engine, the [[UserCosine]] discipline.
+  *
+  * Scale shape (100 TB): the pair stage is [[ChunkedPairs]] — the
+  * shared-user join runs per measured u1-chunk against an item-bucketed
+  * scratch side, and the `minBoth` support filter is pushed INSIDE each
+  * chunk job, so written partials hold only supported pairs and the
+  * full pair space exists only transiently inside one chunk's shuffle.
+  * Degree/total-user anchors are one aggregate each over the pinned
+  * presence frame. Hot items (the d² pair-term blowup) are the caller's
+  * `maxItemUsers` cap, same guardrail as [[UserCosine]].
+  */
+object Cooccurrence {
+
+  /** `(item_a, item_b, users_both, pmi_r)` with item_a < item_b and
+    * `users_both >= minBoth`. `maxItemUsers` drops items touched by
+    * more users than the cap from PAIRING only (a deliberate
+    * approximation for viral items; None = exact, the oracled path). */
+  def pmi(
+      events: DataFrame, userCol: String, itemCol: String,
+      minBoth: Long = 2L,
+      maxItemUsers: Option[Long] = None,
+      pairChunks: Int = ChunkedPairs.Auto): DataFrame = {
+    require(minBoth >= 1, s"minBoth must be >= 1, got $minBoth")
+    val pres = events
+      .select(col(itemCol).as("item"), col(userCol).as("user"))
+      .distinct()
+      .transform(graft.core.Pin.apply)
+    // scalar anchor: one long for the PMI normalizer
+    val nUsers = pres.select(col("user")).distinct().count()
+    val deg = pres.groupBy(col("item")).agg(count(lit(1)).as("d"))
+      .transform(graft.core.Pin.apply)
+    val paired = maxItemUsers match {
+      case Some(cap) => pres.join(
+        deg.filter(col("d") <= cap).select(col("item")), Seq("item"))
+      case None => pres
+    }
+    val both = ChunkedPairs.dots(
+      paired.select(col("item"), col("user"), lit(1L).as("c")),
+      "item", "user", "c", pairChunks,
+      post = df => df.filter(col("dot") >= minBoth))
+    both.select(col("u1").as("item_a"), col("u2").as("item_b"),
+        col("dot").as("users_both"))
+      .join(deg.select(col("item").as("item_a"), col("d").as("da")),
+        Seq("item_a"))
+      .join(deg.select(col("item").as("item_b"), col("d").as("db")),
+        Seq("item_b"))
+      .withColumn("pmi_r", round(
+        log(col("users_both") * lit(nUsers) / (col("da") * col("db"))), 6))
+      .select(col("item_a"), col("item_b"), col("users_both"),
+        col("pmi_r"))
+  }
+}

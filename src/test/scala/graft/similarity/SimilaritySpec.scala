@@ -118,4 +118,32 @@ class SimilaritySpec extends SparkSpec {
       assert(got === expect, s"chunks=$chunks")
     }
   }
+
+  test("cooccurrence PMI: hand-computed fixture, chunk-count invariant") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B"), (4L, "C"),
+      (1L, "A") /* duplicate listen — presence dedups */)
+      .toDF("user_id", "item")
+    // N=4; deg A=3 B=3 C=2; both: (A,B)=2, (A,C)=1, (B,C)=1
+    val expect = Map(
+      ("A", "B") -> (2L, BigDecimal(math.log(2.0 * 4 / (3 * 3)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("A", "C") -> (1L, BigDecimal(math.log(1.0 * 4 / (3 * 2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("B", "C") -> (1L, BigDecimal(math.log(1.0 * 4 / (3 * 2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    for (chunks <- Seq(ChunkedPairs.Auto, 1, 4)) {
+      val got = Cooccurrence.pmi(ev, "user_id", "item", minBoth = 1,
+          pairChunks = chunks)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got === expect, s"chunks=$chunks")
+    }
+    // support filter prunes inside the chunk job
+    val sup = Cooccurrence.pmi(ev, "user_id", "item", minBoth = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(sup.toSeq === Seq(("A", "B")))
+  }
 }
