@@ -40,6 +40,14 @@ object Bench {
 
     def runOne(name: String): Double = {
       val ts = Seq.fill(repeat)(runOnce(name))
+      // OUTSIDE the timed section: drop the query's pinned blocks
+      // (core.Pin localCheckpoints are per-query artifacts — nothing is
+      // intentionally shared across queries). Without this, one JVM
+      // accumulates 200+ queries' storage blocks and the later heavy
+      // queries time GC debt, not their plans — the r7→r8 "uniform
+      // 1.33× drift" the isolated ProbeOne pairs disproved (SCALE.md).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       if (ts.exists(_ < 0)) -1.0
       else ts.sorted.apply(ts.size / 2) // median (upper for even sizes)
     }

@@ -454,6 +454,55 @@ object EngineQueries {
         AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
       ORDER BY click_id, err_id"""))
 
+  // ---------------------------------------------------------------- q228
+  /** Streaming heavy hitters — the [[graft.functions.MisraGriesAgg]]
+    * bounded-state sketch running INSIDE Structured Streaming
+    * (complete-mode aggregation, file-per-micro-batch replay): per
+    * event type, the top-10 users by event count. Each micro-batch
+    * merges its partial sketches into the state store through the
+    * aggregate's own `merge`, so this exercises the mergeable-summaries
+    * path the batch plan never does; capacity 1<<17 exceeds the user
+    * domain at oracle scale, so the streamed sketch is EXACT for every
+    * replay order and the driver hash-matches DuckDB's count + window.
+    * At 100 TB the streaming state per (type) key is k counters —
+    * bounded — where exact streaming count-distinct state grows with
+    * the user domain. */
+  val q228StreamingHeavyHitters = Q(
+    "q228_streaming_heavy_hitters",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = graft.core.Tables.events(s, d)
+        .select(col("event_type"), col("user_id"))
+      val work = graft.core.TempWork.dir("graft-q228")
+      ev.repartition(4).write.parquet(s"$work/stage")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+      stream.groupBy(col("event_type"))
+        .agg(graft.functions.GraftFunctions
+          .heavyHitters(col("user_id"), 1 << 17).as("hh"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("q228_hh")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table("q228_hh")
+        .select(col("event_type"),
+          posexplode(slice(col("hh"), 1, 10)).as(Seq("pos", "e")))
+        .select(col("event_type"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("e.item").as("user_id"), col("e.count").as("cnt"))
+        .orderBy(col("event_type"), col("rnk"))
+    },
+    Some("""WITH c AS (
+        SELECT event_type, user_id, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, user_id, cnt,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY cnt DESC, user_id) AS rnk
+        FROM c)
+      SELECT event_type, rnk, user_id, cnt FROM r WHERE rnk <= 10
+      ORDER BY event_type, rnk"""))
+
   // ---------------------------------------------------------------- q89
   /** Cache-joined genre activity via CacheJoinedStats.GenreActivity: the
     * part table plays the dimension cache (partkey → brand ≙ recording →
@@ -742,5 +791,6 @@ object EngineQueries {
     q89GenreActivity, q90ListeningTime, q91FreshReleases,
     q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
     q129BucketedAgg, q135StreamingIngest, q158SketchDistinct,
-    q173StreamingWindows, q189StreamIntervalJoin, q216MlhdPopularity)
+    q173StreamingWindows, q189StreamIntervalJoin, q216MlhdPopularity,
+    q228StreamingHeavyHitters)
 }
