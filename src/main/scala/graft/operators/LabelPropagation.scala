@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (Raghavan et al.
+  * 2007, the deterministic synchronous variant): every node starts
+  * labeled with its own id; each round every node adopts the label
+  * most frequent among its neighbours, ties broken toward the SMALLEST
+  * label. Complements the graph family's other semantics — connected
+  * components ([[graft.dedup.Clusters]]) answer "reachable at all",
+  * k-core ([[KCore]]) "densely embedded", LPA "which dense region" —
+  * the community assignment that groups listener/artist graphs into
+  * taste clusters without a cluster-count parameter.
+  *
+  * Determinism: the synchronous update + smallest-label tie-break make
+  * every round a pure function of the previous labeling — no
+  * merge-order or visit-order ambiguity, so the result is
+  * bit-reproducible and SQL-unrollable (q229 replays rounds as chained
+  * CTEs). Fixed `rounds` is the standard LPA contract (the synchronous
+  * variant may 2-cycle on bipartite structure rather than reach a
+  * fixpoint, so unlike [[KCore]] a convergence guard would reject
+  * legitimate inputs; k-round LPA is the documented semantic, and
+  * callers wanting a stability signal can compare `communities(r)`
+  * with `communities(r+1)`).
+  *
+  * Scale shape (100 TB): per round ONE shuffle join (labels ⋈
+  * adjacency on the neighbour key) and TWO map-side-combinable
+  * aggregates ((node, label) counts, then per-node argmax via
+  * max(struct)) — the [[MassRank]] iteration shape; the symmetrized
+  * adjacency is pinned once, labels re-pin per round so lineage stays
+  * O(1). No window functions: the argmax is an aggregate, so no
+  * per-node sort materializes.
+  */
+object LabelPropagation {
+
+  /** `(node, label)` after `rounds` synchronous rounds over the
+    * undirected simple graph induced by `edges` (direction, duplicate
+    * edges, and self-loops are normalized away). Node ids must be
+    * numeric (the engine's graph discipline) — the smallest-label
+    * tie-break rides an integer negation inside `max(struct)`. */
+  def communities(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1,64], got $rounds")
+    val ed = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = ed.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(ed.select(col("b").as("node"), col("a").as("nbr")))
+      .transform(graft.core.Pin.apply)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .transform(graft.core.Pin.apply)
+    for (_ <- 1 to rounds) {
+      val nbrCounts = adj
+        .join(labels.select(col("node").as("nbr"), col("label")),
+          Seq("nbr"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = nbrCounts.groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .transform(graft.core.Pin.apply)
+    }
+    labels
+  }
+}

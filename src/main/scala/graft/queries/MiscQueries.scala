@@ -837,6 +837,44 @@ object MiscQueries {
       SELECT a AS node, cast(count(*) AS bigint) AS core_degree
       FROM e4 GROUP BY a ORDER BY node"""))
 
+  // ---------------------------------------------------------------- q229
+  /** Two-round synchronous label propagation
+    * ([[graft.operators.LabelPropagation]]) over the customer↔supplier
+    * co-order graph (the q220 edge recipe): each node adopts its
+    * neighbourhood's most frequent label, smallest label on ties. The
+    * synchronous update is a pure function of the previous labeling,
+    * so the oracle replays both rounds as chained CTEs (count →
+    * row_number argmax) and the verdict is hash-exact. */
+  val q229LabelProp = Q(
+    "q229_label_prop",
+    (s, d) => {
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      graft.operators.LabelPropagation
+        .communities(e, "src", "dst", rounds = 2)
+        .orderBy(col("node"))
+    },
+    Some("""WITH ed AS (SELECT DISTINCT
+        least(o_custkey, l_suppkey + 10000000) AS a,
+        greatest(o_custkey, l_suppkey + 10000000) AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      adj AS (SELECT a AS node, b AS nbr FROM ed
+        UNION ALL SELECT b AS node, a AS nbr FROM ed),
+      n1 AS (SELECT adj.node, adj.nbr AS label, count(*) AS c
+        FROM adj GROUP BY 1, 2),
+      p1 AS (SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (PARTITION BY node
+          ORDER BY c DESC, label) AS rn FROM n1) z WHERE rn = 1),
+      n2 AS (SELECT adj.node, p1.label, count(*) AS c
+        FROM adj JOIN p1 ON adj.nbr = p1.node GROUP BY 1, 2),
+      p2 AS (SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (PARTITION BY node
+          ORDER BY c DESC, label) AS rn FROM n2) z WHERE rn = 1)
+      SELECT node, label FROM p2 ORDER BY node"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
@@ -844,5 +882,5 @@ object MiscQueries {
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
     q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
     q157ZorderKey, q160Funnel, q162MassRank, q163EventWindows,
-    q191Triangles, q217DoulionTriangles, q220KCore)
+    q191Triangles, q217DoulionTriangles, q220KCore, q229LabelProp)
 }
