@@ -815,10 +815,67 @@ object MusicQueries {
       JOIN deg db ON p.item_b = db.item
       ORDER BY p.item_a, p.item_b"""))
 
+  // ---------------------------------------------------------------- q230
+  /** Incrementally-maintained PMI associations: the co-presence state
+    * is built on the first 80% of orders, persisted to parquet, then
+    * the remaining 20% merges through
+    * [[graft.similarity.Cooccurrence.updateCounts]] — O(batch ×
+    * affected-user degree), no corpus re-pair. The oracle is the FULL
+    * single-pass PMI over all listens (q227's SQL at this support),
+    * i.e. the verdict pins incremental ≡ direct, including replayed
+    * (item, user) rows straddling the cut. */
+  val q230CooccurIncremental = Q(
+    "q230_cooccur_incremental",
+    (s, d) => {
+      val ev = listens(s, d)
+      // a user-id split would put whole users on one side; splitting on
+      // recording id makes users straddle the cut, so batch rows
+      // collide with existing presence (the hard incremental case)
+      val cutRec =
+        (ev.agg(max(col("recording_mbid"))).collect()(0).getLong(0) + 1L) *
+          4L / 5L
+      val base = ev.filter(col("recording_mbid") < cutRec)
+      val batch = ev.filter(col("recording_mbid") >= cutRec)
+      val basePres = base
+        .select(col("recording_mbid").as("item"), col("user_id").as("user"))
+        .distinct().transform(graft.core.Pin.apply)
+      val basePairs = graft.similarity.ChunkedPairs.dots(
+          basePres.select(col("item"), col("user"), lit(1L).as("c")),
+          "item", "user", "c")
+        .select(col("u1").as("item_a"), col("u2").as("item_b"),
+          col("dot").as("users_both"))
+      val work = graft.core.TempWork.dir("graft-q230")
+      basePres.write.parquet(s"$work/presence")
+      basePairs.write.parquet(s"$work/pairs")
+      val (pairs, presence) = graft.similarity.Cooccurrence.updateCounts(
+        s.read.parquet(s"$work/pairs"), s.read.parquet(s"$work/presence"),
+        batch, "user_id", "recording_mbid")
+      graft.similarity.Cooccurrence.scoreCounts(pairs, presence,
+          minBoth = 5)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+    Some(s"""WITH pres AS (
+        SELECT DISTINCT l_partkey AS item, o_custkey AS u
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      n AS (SELECT count(DISTINCT u) AS nu FROM pres),
+      deg AS (SELECT item, count(*) AS d FROM pres GROUP BY item),
+      pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS users_both
+        FROM pres a JOIN pres b ON a.u = b.u AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT p.item_a, p.item_b, p.users_both,
+        round(ln((p.users_both * n.nu) / (da.d * db.d)), 6) AS pmi_r
+      FROM pairs p
+      CROSS JOIN n
+      JOIN deg da ON p.item_a = da.item
+      JOIN deg db ON p.item_b = db.item
+      ORDER BY p.item_a, p.item_b"""))
+
   val all: Seq[Q] = Seq(
     q95Tags, q96TopGenres, q97MostListenedYear, q98ListensPerDay,
     q99ListenCount, q100TopMissed, q101SimilarUsers, q102Discovery,
     q103RecommendFlat, q104RecommendNested, q105EraActivity,
     q106GenreHour, q107YimTopStats, q108TopDiscoveries, q115ArtistMap,
-    q116SitewideActivity, q120MissingMbData, q227CooccurPmi)
+    q116SitewideActivity, q120MissingMbData, q227CooccurPmi,
+    q230CooccurIncremental)
 }

@@ -65,4 +65,70 @@ object Cooccurrence {
       .select(col("item_a"), col("item_b"), col("users_both"),
         col("pmi_r"))
   }
+
+  /** PMI scores from MAINTAINED state (`pairs` = `(item_a, item_b,
+    * users_both)`, `presence` = `(item, user)`) — the scoring half of
+    * [[pmi]], for callers holding state kept current by
+    * [[updateCounts]]. Same column contract and float discipline. */
+  def scoreCounts(
+      pairs: DataFrame, presence: DataFrame,
+      minBoth: Long = 2L): DataFrame = {
+    val pres = presence.transform(graft.core.Pin.apply)
+    val nUsers = pres.select(col("user")).distinct().count()
+    val deg = pres.groupBy(col("item")).agg(count(lit(1)).as("d"))
+    pairs.filter(col("users_both") >= minBoth)
+      .join(deg.select(col("item").as("item_a"), col("d").as("da")),
+        Seq("item_a"))
+      .join(deg.select(col("item").as("item_b"), col("d").as("db")),
+        Seq("item_b"))
+      .withColumn("pmi_r", round(
+        log(col("users_both") * lit(nUsers) / (col("da") * col("db"))), 6))
+      .select(col("item_a"), col("item_b"), col("users_both"),
+        col("pmi_r"))
+  }
+
+  /** EXACT incremental maintenance of the co-presence state: merge a
+    * listen batch into `(pairs, presence)` without re-pairing the
+    * corpus. New presence rows are the batch's (item, user) pairs not
+    * already known (idempotent under replayed listens); the pair delta
+    * is exactly the pairs those rows create —
+    * `Δ = newPres ⋈ oldPres (same user) ∪ pairs within newPres` —
+    * so the daily cost is O(batch × affected-user degree), bounded by
+    * user activity, never corpus size (the [[graft.dedup.MinHash]]
+    * incremental discipline applied to the recommender family).
+    * Returns `(mergedPairs, mergedPresence)`; feeding them to
+    * [[scoreCounts]] equals a full [[pmi]] recompute bit-for-bit
+    * (q230's oracle states exactly that).
+    *
+    * Scale note: the delta joins key on `user` — a power listener's
+    * degree caps the fan-out, the same d² pressure [[pmi]]'s
+    * `maxItemUsers` bounds on the item side; cap batch users upstream
+    * if individual histories are unbounded. The final merge is one
+    * key-partitioned aggregate over state ∪ delta. */
+  def updateCounts(
+      pairs: DataFrame, presence: DataFrame,
+      batch: DataFrame, userCol: String, itemCol: String)
+      : (DataFrame, DataFrame) = {
+    val bp = batch.select(col(itemCol).as("item"), col(userCol).as("user"))
+      .distinct()
+    val newPres = bp.join(presence, Seq("item", "user"), "left_anti")
+      .transform(graft.core.Pin.apply)
+    // (n.item, user) is new and (o.item, user) is prior state, so the
+    // two items can never coincide — no self-pair filter needed
+    val d1 = newPres.alias("n")
+      .join(presence.alias("o"), col("n.user") === col("o.user"))
+      .select(least(col("n.item"), col("o.item")).as("item_a"),
+        greatest(col("n.item"), col("o.item")).as("item_b"))
+    val d2 = newPres.alias("x")
+      .join(newPres.alias("y"),
+        col("x.user") === col("y.user") && col("x.item") < col("y.item"))
+      .select(col("x.item").as("item_a"), col("y.item").as("item_b"))
+    val delta = d1.unionByName(d2)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).cast("long").as("users_both"))
+    val merged = pairs.unionByName(delta)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("users_both")).as("users_both"))
+    (merged, presence.unionByName(newPres))
+  }
 }

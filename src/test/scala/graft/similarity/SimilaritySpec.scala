@@ -146,4 +146,37 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(sup.toSeq === Seq(("A", "B")))
   }
+
+  test("incremental co-occurrence maintenance equals the full recompute " +
+    "and is idempotent under replayed batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val all = Seq.fill(400)(
+      (rnd.nextInt(20).toLong + 1L, s"i${rnd.nextInt(12)}"))
+      .toDF("user_id", "item")
+    // split on item so users straddle the cut (replayed (item, user)
+    // rows collide with existing presence — the hard case)
+    val base = all.filter(col("item") < "i6")
+    val batch = all.filter(col("item") >= "i6")
+    val basePres = base.select(col("item"), col("user_id").as("user"))
+      .distinct()
+    val basePairs = ChunkedPairs.dots(
+        basePres.select(col("item"), col("user"), lit(1L).as("c")),
+        "item", "user", "c")
+      .select(col("u1").as("item_a"), col("u2").as("item_b"),
+        col("dot").as("users_both"))
+    val (pairs, presence) = Cooccurrence.updateCounts(
+      basePairs, basePres, batch, "user_id", "item")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val full = key(Cooccurrence.pmi(all, "user_id", "item", minBoth = 1))
+    assert(key(Cooccurrence.scoreCounts(pairs, presence, minBoth = 1))
+      === full)
+    // replaying the same batch must be a no-op (presence anti-join)
+    val (pairs2, presence2) = Cooccurrence.updateCounts(
+      pairs, presence, batch, "user_id", "item")
+    assert(key(Cooccurrence.scoreCounts(pairs2, presence2, minBoth = 1))
+      === full)
+  }
 }
