@@ -85,11 +85,22 @@ object SimHash {
       maxHamming: Int = 3,
       tokenHash: Column => Column = xxhash64(_), totalBits: Int = 64,
       hashDistinct: Boolean = false,
+      maxBlockSize: Option[Int] = None): DataFrame =
+    pairsOfFingerprints(
+      fingerprints(docs, idCol, textCol, tokenHash, totalBits,
+        hashDistinct),
+      idCol, maxHamming, totalBits, maxBlockSize)
+
+  /** The pigeonhole block join over an existing `(idCol, simhash)`
+    * frame — the pair-search half of [[nearDuplicates]], reusable over
+    * any fingerprint set (in particular [[componentEdges]]'s DISTINCT
+    * fingerprints). */
+  def pairsOfFingerprints(
+      fps: DataFrame, idCol: String, maxHamming: Int,
+      totalBits: Int = 64,
       maxBlockSize: Option[Int] = None): DataFrame = {
     val blocks = maxHamming + 1
     val bits = totalBits / blocks
-    val fps = fingerprints(docs, idCol, textCol, tokenHash, totalBits,
-      hashDistinct)
     val chunks = (0 until blocks).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), b * bits)
@@ -122,5 +133,46 @@ object SimHash {
         popcount(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Connectivity-sufficient near-dup edge set `(id_a, id_b)` — EXACTLY
+    * the connected components of [[nearDuplicates]]' full pair set, with
+    * quadratically fewer edges. Two exact facts make the collapse safe:
+    * hamming distance is a pure function of the FINGERPRINTS, so
+    * (1) docs sharing a fingerprint are pairwise near-dups (distance 0)
+    * — a star from the group's min id carries identical connectivity to
+    * the group's clique — and (2) if ANY member of fingerprint group A
+    * pairs with ANY member of group B, every cross pair holds, so ONE
+    * representative edge carries the A↔B connectivity. The edge set is
+    * therefore (rep, member) stars within identical-fingerprint groups
+    * plus the block join over DISTINCT fingerprints only.
+    *
+    * This is the clustering-scale fix for dup-heavy corpora: a
+    * duplicate family of s docs contributes s−1 star edges instead of
+    * s(s−1)/2 pairs, and the block self-join's n² term shrinks from
+    * docs-per-block to distinct-fingerprints-per-block. Measured at the
+    * 30× ScaleUp corpus (150k docs): 108.5M pairs → the star+rep form
+    * (SCALE.md round 8). Use for [[graft.dedup.Clusters]] component
+    * work (q145/q148); [[nearDuplicates]] remains the per-pair listing
+    * (q47's contract, where every pair IS the answer). */
+  def componentEdges(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = xxhash64(_), totalBits: Int = 64,
+      hashDistinct: Boolean = false,
+      maxBlockSize: Option[Int] = None): DataFrame = {
+    val fps = fingerprints(docs, idCol, textCol, tokenHash, totalBits,
+        hashDistinct)
+      .transform(graft.core.Pin.apply)
+    val groups = fps.groupBy(col("simhash")).agg(min(col(idCol)).as("rep"))
+      .transform(graft.core.Pin.apply)
+    val intra = fps.join(groups, Seq("simhash"))
+      .filter(col(idCol) =!= col("rep"))
+      .select(col("rep").as("id_a"), col(idCol).as("id_b"))
+    val cross = pairsOfFingerprints(
+        groups.select(col("rep").as(idCol), col("simhash")),
+        idCol, maxHamming, totalBits, maxBlockSize)
+      .select(col("id_a"), col("id_b"))
+    intra.unionByName(cross)
   }
 }

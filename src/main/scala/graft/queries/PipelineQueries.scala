@@ -369,11 +369,15 @@ object PipelineQueries {
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
-      val pairs = SimHash.nearDuplicates(
+      // componentEdges: identical components to the full pair set with
+      // quadratically fewer edges (dup families star-collapse onto
+      // their min id; one edge per fingerprint-group pair) — the
+      // oracle's full pair closure proves the equivalence
+      val edges = SimHash.componentEdges(
         docs, "doc_id", "text", maxHamming = 4,
         tokenHash = graft.functions.GraftFunctions.polyHash62,
         totalBits = 62, hashDistinct = true)
-      Clusters.assign(docs, "doc_id", pairs)
+      Clusters.assign(docs, "doc_id", edges)
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH RECURSIVE $PolyFingerprintSql,
@@ -444,11 +448,13 @@ object PipelineQueries {
         size(filter(split(col("text"), " "), t => t =!= ""))
           .cast("long").as("n_tokens"))
       val good = stats.filter(col("n_tokens") >= 20)
-      val pairs = SimHash.nearDuplicates(
+      // connectivity-sufficient edges — keepCanonical only consumes
+      // components, so the star+representative form is exact here too
+      val edges = SimHash.componentEdges(
         good, "doc_id", "text", maxHamming = 4,
         tokenHash = graft.functions.GraftFunctions.polyHash62,
         totalBits = 62, hashDistinct = true)
-      val kept = Clusters.keepCanonical(good, "doc_id", pairs)
+      val kept = Clusters.keepCanonical(good, "doc_id", edges)
       graft.operators.DataSplit.assign(
           kept.select(col("doc_id"), col("lang"), col("source"),
             col("n_tokens")),

@@ -435,4 +435,37 @@ class DedupSpec extends SparkSpec {
     assert((0 to 2).forall(i => (fps.values.toSeq(i) >>> 62) == 0),
       "polyHash62 fingerprints use only the low 62 bits")
   }
+
+  test("componentEdges yields the same components as the full pair " +
+    "set, with fewer edges on dup families") {
+    import spark.implicits._
+    // three exact-dup families (identical token multisets), one near
+    // family (small edits), singletons — the dup-heavy corpus shape
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "alpha beta gamma delta epsilon")) ++
+      (11 to 14).map(i => (i.toLong, "one two three four five six")) ++
+      Seq(
+        (21L, "alpha beta gamma delta zeta"), // near family 1's fp
+        (31L, "totally different content here entirely"),
+        (32L, "unrelated words nothing shared anywhere"))
+      ).toDF("doc_id", "text")
+    def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Clusters.assign(docs, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = SimHash.nearDuplicates(docs, "doc_id", "text",
+      maxHamming = 6, tokenHash = SimHash.polyHash62, totalBits = 62,
+      hashDistinct = true)
+    val edges = SimHash.componentEdges(docs, "doc_id", "text",
+      maxHamming = 6, tokenHash = SimHash.polyHash62, totalBits = 62,
+      hashDistinct = true)
+    assert(comps(edges) === comps(full))
+    val nFull = full.count()
+    val nEdges = edges.count()
+    assert(nEdges < nFull,
+      s"star+rep form should shrink the edge set ($nEdges vs $nFull)")
+    // family of 6 identical docs: 5 star edges, not C(6,2)=15 pairs
+    val intraFam1 = edges.filter(col("id_a") === 1L &&
+      col("id_b").between(2L, 6L)).count()
+    assert(intraFam1 === 5L)
+  }
 }
