@@ -184,4 +184,41 @@ object ProductQuantization {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col(idCol), col("adc_d2"))
   }
+
+  /** [[adcTopK]] restricted to a per-query candidate set
+    * `cands = (qid, idCol)` — the scoring half of IVF-ADC
+    * ([[IvfAdc]]): identical ADC arithmetic, but each query ranks only
+    * its candidates, so the scored volume is candidates × m instead of
+    * corpus × m. The broadcast distance table is unchanged; the join
+    * keys on (qid, subspace, code) so a candidate row matches exactly
+    * its own query's table slice. */
+  def adcTopKAmong(
+      queries: DataFrame, qidCol: String, books: DataFrame,
+      encoded: DataFrame, idCol: String, m: Int, k: Int,
+      cands: DataFrame): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val qsubs = subVectors(queries, qidCol, m)
+      .withColumnRenamed(qidCol, "qid")
+    val table = qsubs.join(broadcast(books), Seq("subspace"))
+      .select(col("qid"), col("subspace"), col("code_id").as("code"),
+        (col("vn2") + col("scn2") - lit(2L) *
+          VectorQuantization.int8DotFast(col("v8"), col("sc8")))
+          .as("sub_d2"))
+    val corpusCodes = encoded
+      .select(col(idCol), posexplode(col("codes"))
+        .as(Seq("subspace", "code")))
+      .select(col(idCol), col("subspace").cast("long").as("subspace"),
+        col("code"))
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_d2"), col(idCol))
+    cands.select(col("qid"), col(idCol))
+      .join(corpusCodes, Seq(idCol))
+      .join(broadcast(table), Seq("qid", "subspace", "code"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("sub_d2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(wQ).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("adc_d2"))
+  }
 }

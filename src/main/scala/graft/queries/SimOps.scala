@@ -722,7 +722,94 @@ object SimOps {
       SELECT qid, cast(rank AS bigint) AS rank, vec_id, adc_d2
       FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---------------------------------------------------------------- q231
+  /** IVF-ADC retrieval ([[graft.operators.IvfAdc]]) — the two-level ANN
+    * architecture: 6 coarse centroid lists, each query probes its 2
+    * nearest, PQ ADC (m=4, 16-entry codebooks) ranks only the probed
+    * lists' members. Every level is integer arithmetic, so the oracle
+    * replays list assignment, probe selection, codebooks, codes, and
+    * the candidate-restricted ADC sums end-to-end — the full q223
+    * pipeline plus the coarse quantizer in one hash-pinned statement. */
+  val q231IvfAdc = Q(
+    "q231_ivf_adc",
+    (s, d) => {
+      import graft.operators.{IvfAdc, VectorQuantization}
+      val q = VectorQuantization
+        .quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("q8"), col("qnorm2"))
+      IvfAdc.topK(
+          q.filter(col("vec_id") >= 8), q.filter(col("vec_id") < 8),
+          "vec_id", "vec_id",
+          coarseK = 6, nprobe = 2, m = 4, pqK = 16, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      s AS (SELECT vec_id, v,
+        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+          AS scale FROM e),
+      q AS (SELECT vec_id,
+        list_transform(v, x -> cast(round(x * scale) AS BIGINT)) AS qv
+        FROM s),
+      fn AS (SELECT vec_id, qv,
+        cast(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT)
+          AS qn2 FROM q),
+      c AS (SELECT vec_id AS cluster_id, qv AS cv, qn2 AS cn2
+        FROM fn WHERE vec_id >= 8 ORDER BY vec_id LIMIT 6),
+      asg AS (SELECT vec_id, cluster_id FROM (
+        SELECT fn.vec_id, c.cluster_id,
+          row_number() OVER (PARTITION BY fn.vec_id
+            ORDER BY fn.qn2 + c.cn2 - 2 * cast(
+              list_dot_product(fn.qv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT),
+              c.cluster_id) AS rk
+        FROM fn CROSS JOIN c WHERE fn.vec_id >= 8) z WHERE rk = 1),
+      probes AS (SELECT qid, cluster_id FROM (
+        SELECT fn.vec_id AS qid, c.cluster_id,
+          row_number() OVER (PARTITION BY fn.vec_id
+            ORDER BY fn.qn2 + c.cn2 - 2 * cast(
+              list_dot_product(fn.qv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT),
+              c.cluster_id) AS rk
+        FROM fn CROSS JOIN c WHERE fn.vec_id < 8) z WHERE rk <= 2),
+      cands AS (SELECT p.qid, a.vec_id
+        FROM probes p JOIN asg a USING (cluster_id)),
+      sub AS (SELECT vec_id, u.s AS subspace,
+          qv[u.s * 16 + 1 : u.s * 16 + 16] AS sv
+        FROM q, unnest(generate_series(0, 3)) AS u(s)),
+      subn AS (SELECT vec_id, subspace, sv,
+        cast(list_dot_product(sv::DOUBLE[], sv::DOUBLE[]) AS BIGINT)
+          AS svn2 FROM sub),
+      seedids AS (SELECT vec_id,
+          row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM (SELECT DISTINCT vec_id FROM subn WHERE vec_id >= 8
+          ORDER BY vec_id LIMIT 16) t),
+      cb AS (SELECT sn.subspace, si.code, sn.sv AS cv2, sn.svn2 AS cvn2
+        FROM subn sn JOIN seedids si USING (vec_id)),
+      encd AS (SELECT sn.vec_id, sn.subspace, cb.code,
+          row_number() OVER (PARTITION BY sn.vec_id, sn.subspace
+            ORDER BY sn.svn2 + cb.cvn2 - 2 * cast(
+              list_dot_product(sn.sv::DOUBLE[], cb.cv2::DOUBLE[]) AS BIGINT),
+            cb.code) AS rk
+        FROM subn sn JOIN cb USING (subspace) WHERE sn.vec_id >= 8),
+      codes AS (SELECT vec_id, subspace, code FROM encd WHERE rk = 1),
+      qtab AS (SELECT sn.vec_id AS qid, sn.subspace, cb.code,
+          sn.svn2 + cb.cvn2 - 2 * cast(
+            list_dot_product(sn.sv::DOUBLE[], cb.cv2::DOUBLE[]) AS BIGINT)
+            AS sub_d2
+        FROM subn sn JOIN cb USING (subspace) WHERE sn.vec_id < 8),
+      adc AS (SELECT cd.qid, k2.vec_id,
+          cast(sum(qt.sub_d2) AS BIGINT) AS adc_d2
+        FROM cands cd
+        JOIN codes k2 ON cd.vec_id = k2.vec_id
+        JOIN qtab qt ON qt.qid = cd.qid
+          AND qt.subspace = k2.subspace AND qt.code = k2.code
+        GROUP BY 1, 2),
+      r AS (SELECT qid, vec_id, adc_d2, row_number() OVER (
+          PARTITION BY qid ORDER BY adc_d2, vec_id) AS rank FROM adc)
+      SELECT qid, cast(rank AS bigint) AS rank, vec_id, adc_d2
+      FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
     q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized, q155KmeansAssign,
-    q161AnnIncremental, q172ClusterBalanced, q223PqAdc, q225PqTrained)
+    q161AnnIncremental, q172ClusterBalanced, q223PqAdc, q225PqTrained,
+    q231IvfAdc)
 }
