@@ -75,4 +75,14 @@ class HeavyHittersSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((1L, 2L), (2L, 2L)))
   }
+
+  test("q226 plans ObjectHashAggregate — map-side bounded-state " +
+    "partials, not a sort-based fallback") {
+    val plan = Registry.byName("q226_heavy_hitters")
+      .run(spark, sf("")).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // two-phase: a partial before the exchange, a merge after — the
+    // shuffle carries k counters per group, not the raw key stream
+    assert(plan.contains("partial_graft_heavy_hitters"), plan)
+  }
 }
