@@ -54,6 +54,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
       withArity("graft_heavy_hitters", 2)(e => MisraGriesAgg(e(0), e(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[BoundedTopKAgg].getName, "graft_top_k"),
+      withArity("graft_top_k", 3)(e =>
+        BoundedTopKAgg(e(0), e(1), e(2), smallest = false))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bottom_k"),
+      new ExpressionInfo(classOf[BoundedTopKAgg].getName, "graft_bottom_k"),
+      withArity("graft_bottom_k", 3)(e =>
+        BoundedTopKAgg(e(0), e(1), e(2), smallest = true))))
     // evaluation-strategy rewrite, not a semantic change — see the rule's
     // scaladoc for the exact predicate forms it covers
     ext.injectOptimizerRule(_ => LevenshteinRewrite)

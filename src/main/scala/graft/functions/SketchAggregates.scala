@@ -191,3 +191,207 @@ case class MisraGriesAgg(
 
   override def prettyName: String = "graft_heavy_hitters"
 }
+
+/** Exact bounded-state per-group top-k (or bottom-k) as a native
+  * Catalyst aggregate: keeps the k best `(weight, item)` pairs per
+  * group in an O(k) ordered buffer. Unlike Misra–Gries this is EXACT
+  * for every k — top-k of a union is the top-k of the per-partition
+  * top-ks — so the result is partitioning-invariant by construction.
+  *
+  * This is the aggregate form of the `Window.partitionBy(g)
+  * .orderBy(w.desc) + row_number <= k` idiom (reference:
+  * stats top-N queries, e.g. stats/user/entity.py's per-user top
+  * artists): the window formulation shuffles EVERY row of the group
+  * and sorts it; this aggregate reduces map-side under
+  * ObjectHashAggregate, so the exchange carries at most k pairs per
+  * group per map partition — at 100 TB the shuffle is O(groups × k),
+  * independent of group size. Spark's WindowGroupLimit pushdown trims
+  * post-shuffle; this trims pre-shuffle.
+  *
+  * Semantics: DISTINCT on the exact `(weight, item)` pair (a re-seen
+  * identical pair does not occupy a second slot). That makes the same
+  * aggregate double as a KMV/bottom-k sketch ([[graft.operators.Kmv]]):
+  * feed `weight = xxhash64(item)` and the retained set is the k
+  * minimum hash values — mergeable, bounded distinct-count /
+  * set-overlap state. Total order: weight, then item (ascending item
+  * breaks ties in BOTH directions), so output is deterministic.
+  *
+  * Output: `array<struct<item, weight>>` sorted best-first (weight
+  * desc for top-k, asc for bottom-k; ties item asc) — `slice(.., 1, n)`
+  * IS the top-n.
+  */
+case class BoundedTopKAgg(
+    item: Expression,
+    weight: Expression,
+    kExpr: Expression,
+    smallest: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[(Long, Any)]] {
+
+  private lazy val isString = item.dataType.isInstanceOf[StringType]
+
+  lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  // ascending = worst-first, so first() is the eviction candidate; the
+  // comparator returns 0 only for an identical (weight, item) pair,
+  // which is what gives the buffer its distinct-pair set semantics
+  private def compareItems(a: Any, b: Any): Int =
+    if (isString)
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    else java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+      b.asInstanceOf[Number].longValue())
+
+  private lazy val cmp: java.util.Comparator[(Long, Any)] =
+    new java.util.Comparator[(Long, Any)] {
+      override def compare(a: (Long, Any), b: (Long, Any)): Int = {
+        val byW =
+          if (smallest) java.lang.Long.compare(b._1, a._1)
+          else java.lang.Long.compare(a._1, b._1)
+        // larger item = worse in both directions (item asc wins ties)
+        if (byW != 0) byW else compareItems(b._2, a._2)
+      }
+    }
+
+  override def children: Seq[Expression] = Seq(item, weight, kExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!item.dataType.isInstanceOf[StringType] &&
+        item.dataType != LongType && item.dataType != IntegerType)
+      return TypeCheckResult.TypeCheckFailure(
+        s"item must be string/bigint/int, got ${item.dataType}")
+    if (weight.dataType != LongType && weight.dataType != IntegerType)
+      return TypeCheckResult.TypeCheckFailure(
+        s"weight must be bigint/int, got ${weight.dataType}")
+    if (!kExpr.foldable ||
+        !Seq(IntegerType, LongType).contains(kExpr.dataType))
+      return TypeCheckResult.TypeCheckFailure(
+        s"k must be an integer literal, got ${kExpr.dataType}")
+    if (kExpr.eval() == null ||
+        kExpr.eval().asInstanceOf[Number].longValue() < 1 ||
+        kExpr.eval().asInstanceOf[Number].longValue() > 4000000)
+      return TypeCheckResult.TypeCheckFailure("k must be in [1, 4e6]")
+    TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", item.dataType, nullable = false),
+    StructField("weight", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Any)] =
+    new java.util.TreeSet[(Long, Any)](cmp)
+
+  private def insert(
+      buf: java.util.TreeSet[(Long, Any)], w: Long, v: Any): Unit = {
+    val probe = (w, v)
+    if (buf.size < k) {
+      if (!buf.contains(probe)) {
+        val key = v match {
+          case s: UTF8String => s.copy()
+          case other         => other
+        }
+        buf.add((w, key))
+      }
+    } else if (cmp.compare(probe, buf.first()) > 0 &&
+        !buf.contains(probe)) {
+      buf.pollFirst()
+      val key = v match {
+        case s: UTF8String => s.copy()
+        case other         => other
+      }
+      buf.add((w, key))
+    }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[(Long, Any)],
+      input: InternalRow): java.util.TreeSet[(Long, Any)] = {
+    val v = item.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) insert(buf, w.asInstanceOf[Number].longValue(), v)
+    buf
+  }
+
+  override def merge(
+      b1: java.util.TreeSet[(Long, Any)],
+      b2: java.util.TreeSet[(Long, Any)]): java.util.TreeSet[(Long, Any)] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      insert(b1, e._1, e._2) // already-copied keys; insert dedups/evicts
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Any)]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.descendingIterator() // best-first
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e._2, e._1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Any)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeLong(e._1)
+      if (isString) {
+        val bytes = e._2.asInstanceOf[UTF8String].getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      } else out.writeLong(e._2.asInstanceOf[Number].longValue())
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): java.util.TreeSet[(Long, Any)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val w = in.readLong()
+      val key: Any =
+        if (isString) {
+          val len = in.readInt()
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          UTF8String.fromBytes(b)
+        } else if (item.dataType == IntegerType)
+          Integer.valueOf(in.readLong().toInt)
+        else java.lang.Long.valueOf(in.readLong())
+      buf.add((w, key))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): BoundedTopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): BoundedTopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(item = newChildren(0), weight = newChildren(1),
+      kExpr = newChildren(2))
+
+  override def prettyName: String =
+    if (smallest) "graft_bottom_k" else "graft_top_k"
+}

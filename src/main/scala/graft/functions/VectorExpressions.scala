@@ -208,6 +208,8 @@ object GraftFunctions {
   private val QuantName = "graft_int8_quantize"
   private val BloomName = "graft_bloom_contains"
   private val HhName = "graft_heavy_hitters"
+  private val TopKName = "graft_top_k"
+  private val BottomKName = "graft_bottom_k"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -221,6 +223,14 @@ object GraftFunctions {
       BloomName, exprs => LongBloomMightContain(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HhName, exprs => MisraGriesAgg(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKName,
+      exprs => BoundedTopKAgg(exprs(0), exprs(1), exprs(2), smallest = false),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BottomKName,
+      exprs => BoundedTopKAgg(exprs(0), exprs(1), exprs(2), smallest = true),
+      "built-in")
   }
 
   /** Dot product of two array<float> columns (register first). */
@@ -242,4 +252,17 @@ object GraftFunctions {
     * error bound and the exactness condition). */
   def heavyHitters(item: Column, capacity: Int): Column =
     call_function(HhName, item, org.apache.spark.sql.functions.lit(capacity))
+
+  /** Exact bounded-state per-group top-k by weight (register first;
+    * see [[BoundedTopKAgg]] — the aggregate form of the window
+    * row_number <= k idiom, O(groups × k) exchange). */
+  def topK(item: Column, weight: Column, k: Int): Column =
+    call_function(TopKName, item, weight,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Bottom-k twin of [[topK]] — with `weight = xxhash64(item)` this
+    * is a KMV sketch (see [[graft.operators.Kmv]]). */
+  def bottomK(item: Column, weight: Column, k: Int): Column =
+    call_function(BottomKName, item, weight,
+      org.apache.spark.sql.functions.lit(k))
 }

@@ -503,6 +503,46 @@ object EngineQueries {
       SELECT event_type, rnk, user_id, cnt FROM r WHERE rnk <= 10
       ORDER BY event_type, rnk"""))
 
+  // ---------------------------------------------------------------- q234
+  /** Streaming top-k leaderboard via Spark 4's `transformWithState`
+    * ([[graft.streaming.StreamingTopK]]): per order priority, the
+    * top-7 orders by price cents, maintained incrementally across
+    * file-replayed micro-batches in a RocksDB-backed ValueState of
+    * exactly k pairs per key. Distinct-pair semantics make the fold
+    * idempotent under replay; the per-key monotone `seq` stamp (no
+    * wall clock) picks each group's final leaderboard
+    * deterministically. The final answer equals the batch
+    * [[graft.functions.BoundedTopKAgg]] result, so the driver
+    * hash-matches the same two-window DuckDB oracle as q232's top
+    * side — the streamed state and the batch aggregate implement one
+    * total order. */
+  val q234TwsTopK = Q(
+    "q234_tws_topk",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        col("o_orderkey").as("item"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("weight"))
+      val work = graft.core.TempWork.dir("graft-q234")
+      o.repartition(5).write.parquet(s"$work/stage")
+      val stream = s.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+        .as[graft.streaming.StreamingTopK.TopKEvent]
+      graft.streaming.StreamingTopK
+        .finalLeaderboard(s, stream, k = 7, queryName = "q234_topk")
+        .select(col("grp").as("prio"), col("rnk"),
+          col("item").as("okey"), col("weight").as("cents"))
+        .orderBy(col("prio"), col("rnk"))
+    },
+    Some("""WITH o AS (
+        SELECT o_orderpriority AS prio, o_orderkey AS okey,
+          cast(round(o_totalprice * 100) AS bigint) AS cents FROM orders),
+      r AS (SELECT prio, okey, cents, row_number() OVER (
+          PARTITION BY prio ORDER BY cents DESC, okey) AS rnk FROM o)
+      SELECT prio, cast(rnk AS bigint) AS rnk, okey, cents FROM r
+      WHERE rnk <= 7 ORDER BY prio, rnk"""))
+
   // ---------------------------------------------------------------- q89
   /** Cache-joined genre activity via CacheJoinedStats.GenreActivity: the
     * part table plays the dimension cache (partkey → brand ≙ recording →
@@ -792,5 +832,5 @@ object EngineQueries {
     q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
     q129BucketedAgg, q135StreamingIngest, q158SketchDistinct,
     q173StreamingWindows, q189StreamIntervalJoin, q216MlhdPopularity,
-    q228StreamingHeavyHitters)
+    q228StreamingHeavyHitters, q234TwsTopK)
 }

@@ -331,8 +331,102 @@ object SketchQueries {
       SELECT prio, rnk, custkey, cnt FROM r WHERE rnk <= 10
       ORDER BY prio, rnk"""))
 
+  // ---------------------------------------------------------------- q232
+  /** Per-group top-7 / bottom-7 orders by price via the native exact
+    * bounded-state aggregate ([[graft.functions.BoundedTopKAgg]]) —
+    * the aggregate form of the window row_number <= k idiom. Money
+    * snapped to integer cents per [[Q.sqlCents]]'s discipline, item
+    * ties broken ascending in both directions, so the result is
+    * deterministic and hash-matches DuckDB's two windows. Unlike q226's
+    * Misra–Gries this is exact at EVERY k: the shuffle carries at most
+    * k pairs per group per map partition (O(groups × k) exchange) where
+    * the window form shuffles and sorts every row of every group. */
+  val q232TopKAgg = Q(
+    "q232_topk_agg",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("prio"),
+        col("o_orderkey").as("okey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      o.groupBy("prio")
+        .agg(
+          graft.functions.GraftFunctions
+            .topK(col("okey"), col("cents"), 7).as("hi"),
+          graft.functions.GraftFunctions
+            .bottomK(col("okey"), col("cents"), 7).as("lo"))
+        .select(col("prio"),
+          posexplode(arrays_zip(col("hi"), col("lo"))).as(Seq("pos", "e")))
+        .select(col("prio"), (col("pos") + 1).cast("long").as("rnk"),
+          col("e.hi.item").as("top_key"), col("e.hi.weight").as("top_cents"),
+          col("e.lo.item").as("bot_key"), col("e.lo.weight").as("bot_cents"))
+        .orderBy(col("prio"), col("rnk"))
+    },
+    Some("""WITH o AS (
+        SELECT o_orderpriority AS prio, o_orderkey AS okey,
+          cast(round(o_totalprice * 100) AS bigint) AS cents FROM orders),
+      hi AS (SELECT prio, okey, cents, row_number() OVER (
+          PARTITION BY prio ORDER BY cents DESC, okey) AS rnk FROM o),
+      lo AS (SELECT prio, okey, cents, row_number() OVER (
+          PARTITION BY prio ORDER BY cents, okey) AS rnk FROM o)
+      SELECT hi.prio, cast(hi.rnk AS bigint) AS rnk, hi.okey AS top_key,
+        hi.cents AS top_cents, lo.okey AS bot_key, lo.cents AS bot_cents
+      FROM hi JOIN lo ON hi.prio = lo.prio AND hi.rnk = lo.rnk
+      WHERE hi.rnk <= 7 ORDER BY hi.prio, hi.rnk"""))
+
+  // ---------------------------------------------------------------- q233
+  /** Pairwise audience overlap between order priorities from KMV
+    * bottom-k sketches alone ([[graft.operators.Kmv]]): one pass
+    * builds a k-bounded `(xxhash64(custkey), custkey)` sketch per
+    * priority; every pair's intersection / union then comes from the
+    * sketch arrays — the fact table is never rescanned per pair. At
+    * k = 1<<17 > the distinct customer count at oracle scale the
+    * sketches retain the FULL audience sets (the exact regime the
+    * KMV estimator inherits below k — Kmv.distinctEstimate), so the
+    * driver hash-matches DuckDB's exact distinct-intersection joins;
+    * KmvSpec pins the k < n estimation envelope. The pair stage is a
+    * broadcast nested-loop over G sketch rows (G = #groups), state
+    * O(G × k) — independent of fact cardinality. */
+  val q233AudienceOverlap = Q(
+    "q233_audience_overlap",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val pres = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"), col("o_custkey").as("uid"))
+        .distinct()
+      val sk = pres.groupBy("grp")
+        .agg(graft.functions.GraftFunctions
+          .bottomK(col("uid"), xxhash64(col("uid")), 1 << 17).as("sk"))
+        .select(col("grp"),
+          expr("transform(sk, e -> e.item)").as("aud"),
+          size(col("sk")).cast("long").as("n"))
+      val a = sk.select(col("grp").as("grp_a"), col("aud").as("aud_a"),
+        col("n").as("n_a"))
+      val b = sk.select(col("grp").as("grp_b"), col("aud").as("aud_b"),
+        col("n").as("n_b"))
+      a.join(broadcast(b), col("grp_a") < col("grp_b"))
+        .withColumn("inter_users",
+          size(array_intersect(col("aud_a"), col("aud_b"))).cast("long"))
+        .select(col("grp_a"), col("grp_b"), col("inter_users"),
+          (col("n_a") + col("n_b") - col("inter_users")).as("union_users"))
+        .orderBy(col("grp_a"), col("grp_b"))
+    },
+    Some("""WITH pres AS (
+        SELECT DISTINCT o_orderpriority AS grp, o_custkey AS uid
+        FROM orders),
+      cnt AS (SELECT grp, count(*) AS n FROM pres GROUP BY 1),
+      ij AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS inter
+             FROM pres a JOIN pres b ON a.uid = b.uid AND a.grp < b.grp
+             GROUP BY 1, 2)
+      SELECT ca.grp AS grp_a, cb.grp AS grp_b,
+        coalesce(ij.inter, 0) AS inter_users,
+        ca.n + cb.n - coalesce(ij.inter, 0) AS union_users
+      FROM cnt ca JOIN cnt cb ON ca.grp < cb.grp
+      LEFT JOIN ij ON ij.grp_a = ca.grp AND ij.grp_b = cb.grp
+      ORDER BY grp_a, grp_b"""))
+
   val all: Seq[Q] =
     Seq(q153CmsFrequency, q176BloomJoin, q177BloomAnti, q178BloomStringJoin,
       q206CmsJoinEstimate, q218CmsFast, q221QuantileEnvelope,
-      q226HeavyHitters)
+      q226HeavyHitters, q232TopKAgg, q233AudienceOverlap)
 }
