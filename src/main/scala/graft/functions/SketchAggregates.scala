@@ -201,12 +201,14 @@ case class MisraGriesAgg(
   * This is the aggregate form of the `Window.partitionBy(g)
   * .orderBy(w.desc) + row_number <= k` idiom (reference:
   * stats top-N queries, e.g. stats/user/entity.py's per-user top
-  * artists): the window formulation shuffles EVERY row of the group
-  * and sorts it; this aggregate reduces map-side under
-  * ObjectHashAggregate, so the exchange carries at most k pairs per
-  * group per map partition — at 100 TB the shuffle is O(groups × k),
-  * independent of group size. Spark's WindowGroupLimit pushdown trims
-  * post-shuffle; this trims pre-shuffle.
+  * artists). Spark's own WindowGroupLimit pushdown already trims the
+  * rank-window exchange to ~k rows per group per map partition, but
+  * only AFTER a full local sort of every input partition; this
+  * aggregate reaches the same O(groups × k) exchange with an O(log k)
+  * heap update per row under ObjectHashAggregate — no sort, no sort
+  * buffer, and the map side combines groups hash-wise, so at 100 TB
+  * the scan stays pipelined where the window form pays an
+  * O(n log n) local sort per partition.
   *
   * Semantics: DISTINCT on the exact `(weight, item)` pair (a re-seen
   * identical pair does not occupy a second slot). That makes the same

@@ -577,8 +577,47 @@ object AnalyticsQueries {
       FROM x GROUP BY channel, wn
       ORDER BY channel, window_touches"""))
 
+  // ---------------------------------------------------------------- q235
+  /** Exact ROC-AUC at corpus scale ([[graft.operators.Evaluation]]):
+    * score = price cents, label = return flag — "does price rank
+    * returned line items above kept ones". Mann–Whitney U from
+    * per-score aggregates + the PrefixSum range-exchange running sum:
+    * no global sort of the scored rows, no single-partition window;
+    * the shuffle carries distinct scores. Mid-rank tie handling is
+    * exact via the ×2 integer scaling — auc_num/auc_den are bigints,
+    * the one IEEE division replays bit-identically in DuckDB. */
+  val q235AucExact = Q(
+    "q235_auc_exact",
+    (s, d) => {
+      val scored = Tables.lineitem(s, d).select(
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("score"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("label"))
+      graft.operators.Evaluation
+        .aucExact(scored, col("score"), col("label"))
+        .select(col("auc_num"), col("auc_den"), col("n_pos"),
+          col("n_neg"), col("auc"))
+    },
+    Some("""WITH t AS (
+        SELECT cast(round(l_extendedprice * 100) AS bigint) AS s,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+      g AS (SELECT s, count(*) AS n, sum(y) AS p FROM t GROUP BY s),
+      c AS (SELECT s, n, p,
+          coalesce(sum(n) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+        FROM g),
+      a AS (SELECT cast(sum(p * (2 * less + n + 1)) AS bigint) AS rank2,
+          cast(sum(p) AS bigint) AS pos, cast(sum(n) AS bigint) AS tot
+        FROM c)
+      SELECT rank2 - pos * (pos + 1) AS auc_num,
+        2 * pos * (tot - pos) AS auc_den,
+        pos AS n_pos, tot - pos AS n_neg,
+        (rank2 - pos * (pos + 1)) / (2 * pos * (tot - pos)) AS auc
+      FROM a"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
     q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
     q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows,
-    q208GroupTrend, q209DriftTv, q222Attribution, q224LinearAttribution)
+    q208GroupTrend, q209DriftTv, q222Attribution, q224LinearAttribution,
+    q235AucExact)
 }

@@ -499,9 +499,64 @@ object PipelineQueries {
         FROM kept k JOIN good g ON k.doc_id = g.doc_id) t
       GROUP BY split, lang ORDER BY split, lang"""))
 
+  // ---------------------------------------------------------------- q237
+  /** Deterministic negative sampling
+    * ([[graft.operators.NegativeSampling]]): 5 never-purchased parts
+    * per customer from 12 counter-based draws — O(users × m) generated
+    * rows + one (user, item) anti-join, never the users × items cross
+    * product. The 31-bit two-round mixer replays exactly in DuckDB
+    * (no overflow wrap anywhere), so the driver hash-matches the full
+    * sampled training frame — the reproducible-negatives requirement
+    * of implicit-feedback training (companion to q80's ALS fit). */
+  val q237NegativeSampling = Q(
+    "q237_negative_sampling",
+    (s, d) => {
+      val users = Tables.customer(s, d).select(col("c_custkey"))
+      val positives = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")).distinct()
+      val nParts = Tables.part(s, d).count()
+      graft.operators.NegativeSampling
+        .negatives(users, col("c_custkey"),
+          positives, col("o_custkey"), col("l_partkey"),
+          itemCount = nParts, k = 5, m = 12)
+        .select(col("user").as("user_id"), col("item").as("neg_part"),
+          col("draw").cast("long").as("draw"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("user_id"), col("rnk"))
+    },
+    Some("""WITH users AS (SELECT c_custkey AS u FROM customer),
+      np AS (SELECT count(*) AS n FROM part),
+      cand0 AS (
+        SELECT u, draw,
+          ((u % 2147483648) * 2654435761 + draw * 97 + 20240801)
+            % 2147483648 AS h0
+        FROM users CROSS JOIN
+          (SELECT unnest(generate_series(1, 12)) AS draw) g),
+      cand1 AS (
+        SELECT u, draw,
+          (xor(h0, h0 >> 15) * 2246822519) % 2147483648 AS h1
+        FROM cand0),
+      cand AS (
+        SELECT u, draw, xor(h1, h1 >> 13) % np.n AS item
+        FROM cand1, np),
+      pos AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      surv AS (
+        SELECT c.u, c.item, min(c.draw) AS draw
+        FROM cand c LEFT JOIN pos p ON c.u = p.u AND c.item = p.item
+        WHERE p.u IS NULL
+        GROUP BY c.u, c.item),
+      r AS (SELECT u, item, draw, row_number() OVER (
+          PARTITION BY u ORDER BY draw) AS rnk FROM surv)
+      SELECT u AS user_id, item AS neg_part, cast(draw AS bigint) AS draw,
+        cast(rnk AS bigint) AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY user_id, rnk"""))
+
   val all: Seq[Q] = Seq(
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
     q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact,
     q128FrameSample, q132SimhashCapped, q139IncrementalNeardup,
-    q145DupClusters, q148CurationPipeline, q182ClustersStar)
+    q145DupClusters, q148CurationPipeline, q182ClustersStar,
+    q237NegativeSampling)
 }

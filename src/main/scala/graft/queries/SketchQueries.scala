@@ -338,9 +338,10 @@ object SketchQueries {
     * snapped to integer cents per [[Q.sqlCents]]'s discipline, item
     * ties broken ascending in both directions, so the result is
     * deterministic and hash-matches DuckDB's two windows. Unlike q226's
-    * Misra–Gries this is exact at EVERY k: the shuffle carries at most
-    * k pairs per group per map partition (O(groups × k) exchange) where
-    * the window form shuffles and sorts every row of every group. */
+    * Misra–Gries this is exact at EVERY k: the exchange carries at most
+    * k pairs per group per map partition, and unlike the rank-window
+    * form (even with Spark's WindowGroupLimit pushdown) no local sort
+    * of the scan ever runs — the heap update is O(log k) per row. */
   val q232TopKAgg = Q(
     "q232_topk_agg",
     (s, d) => {

@@ -837,6 +837,39 @@ object TextOps {
         FROM per_lang GROUP BY doc_id ORDER BY doc_id""")
     })
 
+  // ---------------------------------------------------------------- q236
+  /** Hashing-trick featurization ([[graft.operators.FeatureHashing]]):
+    * signed-sum sparse features over 256 md5 buckets — the
+    * vocabulary-free, map-only featurizer (no corpus pass, no
+    * broadcast vocab; contrast q150's built Vocabulary). Exact integer
+    * weights; the md5 hex bucket + sign-bit replay cell-for-cell in
+    * DuckDB. Only a sample of docs is emitted to keep the verified
+    * frame small — the featurization itself is per-row. */
+  val q236FeatureHashing = Q(
+    "q236_feature_hashing",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.operators.FeatureHashing
+        .hashFeatures(toks, col("doc_id"), col("tok"), hexChars = 2)
+        .select(col("doc").as("doc_id"), col("bucket"), col("weight"))
+        .orderBy(col("doc_id"), col("bucket"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % 20 = 0),
+      h AS (SELECT doc_id,
+          substr(md5(tok || ':fh'), 1, 2) AS bucket,
+          CASE WHEN substr(md5(tok || ':fh'), 3, 1)
+            IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn
+        FROM toks WHERE tok <> '')
+      SELECT doc_id, bucket, cast(sum(sgn) AS bigint) AS weight
+      FROM h GROUP BY doc_id, bucket
+      HAVING cast(sum(sgn) AS bigint) <> 0
+      ORDER BY doc_id, bucket"""))
+
   val all: Seq[Q] = Seq(
     q41DedupExact, q42TokenStats, q43QualityScore, q44LangId,
     q45NgramJaccard, q117CorpusPipeline, q118RegexTokens,
@@ -844,5 +877,5 @@ object TextOps {
     q142DocChunks, q143RepetitionFilter, q146LeakageSafeSplit,
     q147QuantileFloor, q174BigramFamiliarity, q175WeightedSample,
     q179BigramHashed, q180BigramTopK, q183TfidfKeywords, q186Bm25Retrieve,
-    q215MixedLanguage)
+    q215MixedLanguage, q236FeatureHashing)
 }

@@ -44,6 +44,20 @@ class LabelPropagationSpec extends SparkSpec {
       assert(run(edges, r) === reference(edges, r), s"rounds=$r")
   }
 
+  test("measured shuffle width changes the plan, never the answer: " +
+    "rowsPerTask=8 (forcing a wide per-round exchange) ≡ default") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val edges = Seq.fill(200)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val wide = LabelPropagation.communities(
+        edges.toDF("src", "dst"), "src", "dst", rounds = 2, rowsPerTask = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide === reference(edges, 2))
+    // and the session width is restored after the scoped rounds
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
+  }
+
   test("two planted cliques with one bridge resolve to two communities") {
     val cliqueA = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
     val cliqueB = for (i <- 11L to 15L; j <- (i + 1) to 15L) yield (i, j)
