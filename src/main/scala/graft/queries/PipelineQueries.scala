@@ -553,10 +553,46 @@ object PipelineQueries {
         cast(rnk AS bigint) AS rnk
       FROM r WHERE rnk <= 5 ORDER BY user_id, rnk"""))
 
+  // ---------------------------------------------------------------- q238
+  /** Next-item training examples ([[graft.operators.TrainingWindows]]):
+    * each user's event stream, ordered by (ts, event_id), windowed
+    * into (ctx1..ctx3, label) supervised rows — all three context
+    * lags share ONE WindowSpec, so the plan is a single exchange on
+    * the user key + one partition-local sort. Strict order via the
+    * event-id tiebreak makes the frame replay-deterministic, and the
+    * scalar context columns hash-match DuckDB's lag windows. */
+  val q238TrainingWindows = Q(
+    "q238_training_windows",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      graft.operators.TrainingWindows
+        .nextItemExamples(ev, col("user_id"),
+          Seq(col("ts"), col("event_id")), col("event_type"),
+          contextLen = 3)
+        .select(col("user_id"), col("event_id"), col("ctx1"),
+          col("ctx2"), col("ctx3"), col("label"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH w AS (
+        SELECT user_id, event_id,
+          lag(event_type, 3) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS ctx1,
+          lag(event_type, 2) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS ctx2,
+          lag(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS ctx3,
+          event_type AS label
+        FROM events)
+      SELECT user_id, event_id, ctx1, ctx2, ctx3, label FROM w
+      WHERE ctx1 IS NOT NULL AND ctx2 IS NOT NULL AND ctx3 IS NOT NULL
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[Q] = Seq(
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
     q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact,
     q128FrameSample, q132SimhashCapped, q139IncrementalNeardup,
     q145DupClusters, q148CurationPipeline, q182ClustersStar,
-    q237NegativeSampling)
+    q237NegativeSampling, q238TrainingWindows)
 }
