@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Distributed global prefix sum — a running total in a TOTAL order
   * over the whole dataset, without the single-partition window Spark
@@ -42,9 +43,23 @@ object PrefixSum {
     */
   def runningTotal(
       df: DataFrame, orderCols: Seq[Column], valueCol: Column,
-      out: String, partitions: Int = 32): DataFrame = {
+      out: String, partitions: Int = 32): DataFrame =
+    runningTotals(df, orderCols, Seq(valueCol -> out), partitions)
+
+  /** Several running totals over the SAME total order in one pass —
+    * one range exchange, one pin, one partition-local window shared by
+    * every value column (the two-sample shapes: cumulative counts of
+    * both KS samples, cumulative value + cumulative count for a
+    * running mean). Each `(valueCol, out)` pair adds an output column.
+    */
+  def runningTotals(
+      df: DataFrame, orderCols: Seq[Column],
+      valueCols: Seq[(Column, String)],
+      partitions: Int = 32): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
     require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val k = valueCols.size
     // The range exchange is consumed by TWO jobs (partition totals,
     // then the final pass). RangePartitioner SAMPLES its input, and the
     // sample can shift between job runs when upstream row order is
@@ -53,29 +68,51 @@ object PrefixSum {
     // running sums). localCheckpoint materializes the exchange once so
     // both jobs read the SAME partitioning; the cost is one extra
     // write of the dataset — which any two-pass prefix sum pays anyway.
-    val ranged = df
-      .repartitionByRange(partitions, orderCols: _*)
-      .withColumn("__graft_v", valueCol.cast("long"))
+    val ranged = valueCols.zipWithIndex
+      .foldLeft(df.repartitionByRange(partitions, orderCols: _*)) {
+        case (acc, ((v, _), i)) =>
+          acc.withColumn(s"__graft_v$i", v.cast("long"))
+      }
       .transform(graft.core.Pin.apply)
       .withColumn("__graft_pid", spark_partition_id())
-    val within = ranged.withColumn("__graft_run",
-      sum(col("__graft_v")).over(Window.partitionBy(col("__graft_pid"))
-        .orderBy(orderCols: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val w = Window.partitionBy(col("__graft_pid"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = (0 until k).foldLeft(ranged) { case (acc, i) =>
+      acc.withColumn(s"__graft_run$i", sum(col(s"__graft_v$i")).over(w))
+    }
     // partition totals (sum, NOT max-of-running — deltas may be
     // negative): rows = #partitions, so driver-side cumulation is
     // O(partitions), the same bound any distributed scan-prefix pays
     val totals = ranged.groupBy(col("__graft_pid"))
-      .agg(sum(col("__graft_v")).as("__graft_total"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (pid, tot)) => (pid, acc + tot)
-    }.sliding(2).collect { case Array((_, prev), (pid, _)) => (pid, prev) }
-      .toSeq
-    val offDf = df.sparkSession
-      .createDataFrame(offsets).toDF("__graft_pid", "__graft_off")
-    within.join(broadcast(offDf), Seq("__graft_pid"))
-      .withColumn(out, col("__graft_run") + col("__graft_off"))
-      .drop("__graft_pid", "__graft_v", "__graft_run", "__graft_off")
+      .agg(sum(col("__graft_v0")).as("__graft_total0"),
+        (1 until k).map(i =>
+          sum(col(s"__graft_v$i")).as(s"__graft_total$i")): _*)
+      .collect()
+      .map(r => r.getInt(0) -> (0 until k).map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft(
+      (Int.MinValue, Seq.fill(k)(0L))) {
+        case ((_, acc), (pid, tots)) =>
+          (pid, acc.zip(tots).map { case (a, t) => a + t })
+      }.sliding(2)
+      .collect { case Array((_, prev), (pid, _)) =>
+        Row.fromSeq(pid +: prev)
+      }.toSeq
+    val offSchema = StructType(
+      StructField("__graft_pid", IntegerType) +:
+        (0 until k).map(i => StructField(s"__graft_off$i", LongType)))
+    val offDf = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(offsets, 1), offSchema)
+    val joined = within.join(broadcast(offDf), Seq("__graft_pid"))
+    val withOuts = valueCols.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out,
+          col(s"__graft_run$i") + col(s"__graft_off$i"))
+    }
+    val temps = Seq("__graft_pid") ++
+      (0 until k).flatMap(i =>
+        Seq(s"__graft_v$i", s"__graft_run$i", s"__graft_off$i"))
+    withOuts.drop(temps: _*)
   }
 }

@@ -615,9 +615,192 @@ object AnalyticsQueries {
         (rank2 - pos * (pos + 1)) / (2 * pos * (tot - pos)) AS auc
       FROM a"""))
 
+  // ---------------------------------------------------------------- q239
+  /** Reliability table ([[graft.operators.Calibration]]): a synthetic
+    * predicted-probability in permille (price cents mod 1001 — spread,
+    * deterministic, identical in both engines) against the return-flag
+    * outcome, 10 equal-width bins. Per-bin accuracy/confidence are
+    * IEEE quotients of bigints; the |gap| numerator stays integer.
+    * One map-side-combinable hash aggregate; the shuffle carries 10
+    * rows. */
+  val q239CalibrationBins = Q(
+    "q239_calibration_bins",
+    (s, d) => {
+      val scored = Tables.lineitem(s, d).select(
+        (expr("cast(round(l_extendedprice * 100) as bigint)") % 1001L)
+          .as("p"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      graft.operators.Calibration
+        .reliability(scored, col("p"), col("y"), bins = 10)
+        .orderBy(col("bin"))
+    },
+    Some("""WITH t AS (
+        SELECT cast(round(l_extendedprice * 100) AS bigint) % 1001 AS p,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+      b AS (SELECT least((p * 10) // 1000, 9) AS bin, p, y FROM t)
+      SELECT bin, count(*) AS n, cast(sum(y) AS bigint) AS pos,
+        cast(sum(p) AS bigint) AS score_sum,
+        sum(y) / count(*) AS accuracy,
+        sum(p) / (count(*) * 1000) AS confidence,
+        cast(abs(1000 * sum(y) - sum(p)) AS bigint) AS gap_num
+      FROM b GROUP BY bin ORDER BY bin"""))
+
+  // ---------------------------------------------------------------- q240
+  /** One-row exact calibration summary: Brier and ECE as
+    * ratio-of-bigints (`Σ(p−1000y)² / 10⁶N`,
+    * `Σ_b |1000·pos_b − ssum_b| / 1000N`) — float summation order
+    * never appears, so the quotients replay bit-identically in
+    * DuckDB. Same scored frame as q239. */
+  val q240CalibrationSummary = Q(
+    "q240_calibration_summary",
+    (s, d) => {
+      val scored = Tables.lineitem(s, d).select(
+        (expr("cast(round(l_extendedprice * 100) as bigint)") % 1001L)
+          .as("p"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      graft.operators.Calibration
+        .summary(scored, col("p"), col("y"), bins = 10)
+    },
+    Some("""WITH t AS (
+        SELECT cast(round(l_extendedprice * 100) AS bigint) % 1001 AS p,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+      b AS (SELECT least((p * 10) // 1000, 9) AS bin, p, y FROM t),
+      g AS (SELECT bin, count(*) AS n, sum(y) AS pos, sum(p) AS ssum,
+          sum((p - 1000 * y) * (p - 1000 * y)) AS sq
+        FROM b GROUP BY bin)
+      SELECT cast(sum(n) AS bigint) AS n,
+        cast(sum(sq) AS bigint) AS brier_num,
+        cast(sum(n) * 1000000 AS bigint) AS brier_den,
+        sum(sq) / (sum(n) * 1000000) AS brier,
+        cast(sum(abs(1000 * pos - ssum)) AS bigint) AS ece_num,
+        cast(sum(n) * 1000 AS bigint) AS ece_den,
+        sum(abs(1000 * pos - ssum)) / (sum(n) * 1000) AS ece
+      FROM g"""))
+
+  // ---------------------------------------------------------------- q244
+  /** Catalog concentration ([[graft.operators.Concentration]]): how
+    * unevenly do line items spread across suppliers — exact Gini, HHI
+    * and top-25 share as ratio-of-bigints. Supplier rank comes from
+    * the PrefixSum range-exchange running count, so no
+    * single-partition window plans even for billion-unit catalogs;
+    * the statistic pass is one map-side-combinable aggregate. */
+  val q244Concentration = Q(
+    "q244_concentration",
+    (s, d) => {
+      val perSupplier = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Concentration
+        .report(perSupplier, col("l_suppkey"), col("w"), topK = 25)
+    },
+    Some("""WITH u AS (
+        SELECT l_suppkey AS unit, count(*) AS w
+        FROM lineitem GROUP BY 1),
+      r AS (SELECT unit, w,
+          row_number() OVER (ORDER BY w, unit) AS i,
+          count(*) OVER () AS n FROM u),
+      a AS (SELECT max(n) AS nu, cast(sum(w) AS bigint) AS s,
+          cast(sum(i * w) AS bigint) AS iw,
+          cast(sum(w * w) AS bigint) AS ww,
+          cast(sum(CASE WHEN i > n - 25 THEN w ELSE 0 END) AS bigint)
+            AS topw
+        FROM r)
+      SELECT nu AS n, s AS total,
+        2 * iw - (nu + 1) * s AS gini_num, nu * s AS gini_den,
+        ww AS hhi_num, s * s AS hhi_den,
+        topw AS topk_num, s AS topk_den,
+        (2 * iw - (nu + 1) * s) / (nu * s) AS gini,
+        ww / (s * s) AS hhi,
+        topw / s AS topk_share
+      FROM a"""))
+
+  // ---------------------------------------------------------------- q245
+  /** 2×2 chi-square independence ([[graft.operators.ChiSquare]]):
+    * does cohort membership (even vs odd user id) move the purchase
+    * rate? Cells and det are exact bigints from one conditional
+    * aggregate; the statistic is five fixed-order IEEE steps that
+    * replay bit-identically in DuckDB — never the int64-overflowing
+    * N·det² numerator. */
+  val q245ChiSquare = Q(
+    "q245_chi_square",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .select((col("user_id") % 2L === 0L).as("grp"),
+          (col("converted") === 1L).as("out"))
+      graft.operators.ChiSquare.test2x2(perUser, col("grp"), col("out"))
+    },
+    Some("""WITH pu AS (
+        SELECT user_id % 2 = 0 AS grp,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+            AS o
+        FROM events GROUP BY user_id),
+      c AS (SELECT
+          cast(sum(CASE WHEN grp AND o THEN 1 ELSE 0 END) AS bigint)
+            AS n11,
+          cast(sum(CASE WHEN grp AND NOT o THEN 1 ELSE 0 END) AS bigint)
+            AS n10,
+          cast(sum(CASE WHEN NOT grp AND o THEN 1 ELSE 0 END) AS bigint)
+            AS n01,
+          cast(sum(CASE WHEN NOT grp AND NOT o THEN 1 ELSE 0 END)
+            AS bigint) AS n00
+        FROM pu)
+      SELECT n11, n10, n01, n00,
+        n11 + n10 + n01 + n00 AS n,
+        n11 * n00 - n10 * n01 AS det,
+        CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0
+            OR n11 + n01 = 0 OR n10 + n00 = 0 THEN NULL
+          ELSE (cast(n11 * n00 - n10 * n01 AS double) / (n11 + n10))
+            * (cast(n11 * n00 - n10 * n01 AS double) / (n11 + n01))
+            * (n11 + n10 + n01 + n00) / (n01 + n00) / (n10 + n00)
+        END AS chi2
+      FROM c"""))
+
+  // ---------------------------------------------------------------- q246
+  /** Two-sample Kolmogorov–Smirnov ([[graft.operators.KsTest]]): has
+    * the value distribution shifted between click and view events?
+    * D's numerator max|c1·n2 − c2·n1| stays bigint-exact; both CDFs
+    * cumulate in ONE PrefixSum range-exchange pass (the new
+    * multi-column runningTotals — one exchange, one window, two
+    * running counts); the shuffle carries distinct value cents. */
+  val q246KsDrift = Q(
+    "q246_ks_drift",
+    (s, d) => {
+      val scored = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(
+          expr("cast(round(value * 100) as bigint)").as("cents"),
+          (col("event_type") === "click").as("g"))
+      graft.operators.KsTest.twoSample(scored, col("cents"), col("g"))
+    },
+    Some("""WITH t AS (
+        SELECT cast(round(value * 100) AS bigint) AS s,
+          event_type = 'click' AS g
+        FROM events WHERE event_type IN ('click', 'view')),
+      gr AS (SELECT s,
+          cast(sum(CASE WHEN g THEN 1 ELSE 0 END) AS bigint) AS a1,
+          cast(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS bigint) AS a2
+        FROM t GROUP BY s),
+      c AS (SELECT s,
+          cast(sum(a1) OVER (ORDER BY s) AS bigint) AS c1,
+          cast(sum(a2) OVER (ORDER BY s) AS bigint) AS c2
+        FROM gr),
+      n AS (SELECT cast(sum(a1) AS bigint) AS n1,
+          cast(sum(a2) AS bigint) AS n2 FROM gr)
+      SELECT n1, n2,
+        cast(max(abs(c1 * n2 - c2 * n1)) AS bigint) AS ks_num,
+        n1 * n2 AS ks_den,
+        max(abs(c1 * n2 - c2 * n1)) / (n1 * n2) AS ks
+      FROM c, n GROUP BY n1, n2"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
     q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
     q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows,
     q208GroupTrend, q209DriftTv, q222Attribution, q224LinearAttribution,
-    q235AucExact)
+    q235AucExact, q239CalibrationBins, q240CalibrationSummary,
+    q244Concentration, q245ChiSquare, q246KsDrift)
 }

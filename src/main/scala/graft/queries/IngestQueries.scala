@@ -233,6 +233,43 @@ object IngestQueries {
       WHERE n_regionkey <> 0
       GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[Q] =
-    Seq(q123GlobChunkScan, q124CsvEtl, q126StatsEnvelope, q133JdbcImport)
+  def all: Seq[Q] =
+    Seq(q123GlobChunkScan, q124CsvEtl, q126StatsEnvelope, q133JdbcImport,
+      q243OrcRoundtrip)
+
+  // ---------------------------------------------------------------- q243
+  /** ORC interchange round-trip: the events slice written as
+    * partitioned ORC (Spark's built-in columnar alternative — the
+    * format a warehouse-side consumer would hand us), read back with
+    * a partition-pruning type filter plus a pushable user-id range,
+    * and reduced. The hash verdict covers the full disk round-trip:
+    * ORC writer → directory-partition layout → ORC vectorized reader
+    * with predicate pushdown → aggregate. Scale shape: identical to
+    * the parquet path — the partition filter prunes directories
+    * before any I/O, the range filter rides the ORC stripe stats. */
+  val q243OrcRoundtrip = Q(
+    "q243_orc_roundtrip",
+    (s, d) => {
+      val work = tempDir("graft-q243")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .orc(s"$work/orc")
+      s.read.orc(s"$work/orc")
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("user_id") % 3 =!= 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("value_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        count(DISTINCT user_id) AS n_users,
+        cast(sum(cast(round(value * 100) AS bigint)) AS bigint)
+          AS value_cents
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND user_id % 3 <> 0
+      GROUP BY event_type ORDER BY event_type"""))
 }

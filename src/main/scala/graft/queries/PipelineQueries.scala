@@ -589,10 +589,79 @@ object PipelineQueries {
       WHERE ctx1 IS NOT NULL AND ctx2 IS NOT NULL AND ctx3 IS NOT NULL
       ORDER BY user_id, event_id"""))
 
+  // ---------------------------------------------------------------- q241
+  /** Skip-gram pair extraction ([[graft.operators.SkipGrams]]):
+    * word2vec-style (center, context) counts within a ±2 window of
+    * each user's ordered event stream. The 4 context columns ride ONE
+    * WindowSpec (single exchange + single sort), then posexplode +
+    * one map-side-combinable count — never the quadratic per-entity
+    * self-join. Oracle unrolls the same lags/leads as a UNION ALL. */
+  val q241SkipgramPairs = Q(
+    "q241_skipgram_pairs",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.SkipGrams
+        .pairs(ev, col("user_id"), Seq(col("ts"), col("event_id")),
+          col("event_type"), window = 2)
+        .orderBy(col("center"), col("context"))
+    },
+    Some("""WITH w AS (
+        SELECT event_type AS center,
+          lag(event_type, 1) OVER ord AS c1,
+          lag(event_type, 2) OVER ord AS c2,
+          lead(event_type, 1) OVER ord AS c3,
+          lead(event_type, 2) OVER ord AS c4
+        FROM events
+        WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (
+        SELECT center, c1 AS context FROM w UNION ALL
+        SELECT center, c2 FROM w UNION ALL
+        SELECT center, c3 FROM w UNION ALL
+        SELECT center, c4 FROM w)
+      SELECT center, context, count(*) AS pair_count FROM p
+      WHERE context IS NOT NULL
+      GROUP BY center, context ORDER BY center, context"""))
+
+  // ---------------------------------------------------------------- q242
+  /** word2vec frequency subsampling
+    * ([[graft.operators.FrequencySubsample]]): occurrences of frequent
+    * event types survive with P = sqrt(tN/c) + tN/c, decided by the
+    * md5-hex-string threshold compare — no hex→int conversion, the
+    * fixed-width lowercase hex compares lexicographically exactly as
+    * the numbers do, so every per-row decision replays in DuckDB. The
+    * full surviving frame (not a summary) is hash-compared. */
+  val q242FrequencySubsample = Q(
+    "q242_frequency_subsample",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"))
+      graft.operators.FrequencySubsample
+        .subsample(ev, col("event_type"), col("event_id"), t = 1e-4)
+        .select(col("event_id"), col("event_type"), col("item_count"),
+          col("keep_thr"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH c AS (
+        SELECT event_type AS item, count(*) AS item_count
+        FROM events GROUP BY 1),
+      n AS (SELECT cast(count(*) AS double) AS nn FROM events),
+      d AS (SELECT item, item_count,
+          least(cast(floor(
+            (sqrt((1e-4 * nn) / item_count) + (1e-4 * nn) / item_count)
+              * 4294967296) AS bigint), 4294967296) AS keep_thr
+        FROM c, n)
+      SELECT e.event_id, e.event_type, d.item_count, d.keep_thr
+      FROM events e JOIN d ON e.event_type = d.item
+      WHERE d.keep_thr = 4294967296
+        OR substr(md5(cast(e.event_id AS varchar) || ':ss'), 1, 8)
+           < lpad(printf('%x', d.keep_thr), 8, '0')
+      ORDER BY e.event_id"""))
+
   val all: Seq[Q] = Seq(
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
     q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact,
     q128FrameSample, q132SimhashCapped, q139IncrementalNeardup,
     q145DupClusters, q148CurationPipeline, q182ClustersStar,
-    q237NegativeSampling, q238TrainingWindows)
+    q237NegativeSampling, q238TrainingWindows, q241SkipgramPairs,
+    q242FrequencySubsample)
 }

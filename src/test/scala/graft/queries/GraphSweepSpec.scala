@@ -23,6 +23,31 @@ class GraphSweepSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("multi-column runningTotals ≡ two single-column passes over " +
+    "the same order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(9) - 4L, rnd.nextInt(100).toLong))
+    val df = rows.toDF("k", "a", "b").repartition(6)
+    val multi = PrefixSum.runningTotals(df, Seq(col("k")),
+        Seq((col("a"), "ra"), (col("b"), "rb")), partitions = 5)
+      .orderBy(col("k")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("ra"),
+        r.getAs[Long]("rb")))
+    val ra = PrefixSum.runningTotal(df, Seq(col("k")), col("a"), "ra",
+        partitions = 5)
+      .orderBy(col("k")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("ra"))).toMap
+    val rb = PrefixSum.runningTotal(df, Seq(col("k")), col("b"), "rb",
+        partitions = 5)
+      .orderBy(col("k")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("rb"))).toMap
+    multi.foreach { case (k, a, b) =>
+      assert(a === ra(k) && b === rb(k))
+    }
+  }
+
   test("prefix sum: empty input and guards") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
