@@ -797,10 +797,49 @@ object AnalyticsQueries {
         max(abs(c1 * n2 - c2 * n1)) / (n1 * n2) AS ks
       FROM c, n GROUP BY n1, n2"""))
 
+  // ---------------------------------------------------------------- q247
+  /** Poisson bootstrap ([[graft.operators.Bootstrap]]): 16 replica
+    * means of the line-item price — every replica rides ONE corpus
+    * scan as 2·B map-side-combinable sums (the Chamandy et al.
+    * massive-data bootstrap), weights drawn by precomputed
+    * Poisson(1)-CDF hex thresholds against the md5 uniform, so each
+    * integer weight replays exactly in DuckDB. */
+  val q247Bootstrap = Q(
+    "q247_bootstrap",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("k"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("x"))
+      graft.operators.Bootstrap
+        .poissonMeans(li, col("k"), col("x"), replicas = 16, salt = "g")
+        .orderBy(col("replica"))
+    },
+    Some("""WITH reps AS (SELECT unnest(generate_series(0, 15)) AS rep),
+      t AS (SELECT cast(l_orderkey AS varchar) || '-' ||
+          cast(l_linenumber AS varchar) AS k,
+          cast(round(l_extendedprice * 100) AS bigint) AS x
+        FROM lineitem),
+      u AS (SELECT rep, x,
+          substr(md5(k || ':bs' || cast(rep AS varchar) || ':g'), 1, 8)
+            AS u
+        FROM t CROSS JOIN reps),
+      w AS (SELECT rep, x,
+          CASE WHEN u < '5e2d58d8' THEN 0 WHEN u < 'bc5ab1b1' THEN 1
+            WHEN u < 'eb715e1d' THEN 2 WHEN u < 'fb239797' THEN 3
+            WHEN u < 'ff1025f5' THEN 4 WHEN u < 'ffd90f3b' THEN 5
+            WHEN u < 'fffa8b71' THEN 6 ELSE 7 END AS w
+        FROM u)
+      SELECT cast(rep AS bigint) AS replica,
+        cast(sum(w) AS bigint) AS n_eff,
+        cast(sum(w * x) AS bigint) AS sum_cents,
+        sum(w * x) / sum(w) AS mean_cents
+      FROM w GROUP BY rep ORDER BY replica"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
     q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
     q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows,
     q208GroupTrend, q209DriftTv, q222Attribution, q224LinearAttribution,
     q235AucExact, q239CalibrationBins, q240CalibrationSummary,
-    q244Concentration, q245ChiSquare, q246KsDrift)
+    q244Concentration, q245ChiSquare, q246KsDrift, q247Bootstrap)
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** [[Bootstrap.poissonMeans]] — independent MessageDigest replay of
+  * the weights, replica-mean statistics, CI behavior, partitioning
+  * invariance. */
+class BootstrapSpec extends SparkSpec {
+
+  private val rows: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(83)
+    (1L to 2000L).map(i => (i, 100L + rnd.nextInt(900)))
+  }
+
+  private def run(b: Int, parts: Int = 4) = {
+    import spark.implicits._
+    Bootstrap.poissonMeans(
+      rows.toDF("k", "x").repartition(parts),
+      col("k"), col("x"), replicas = b, salt = "t")
+      .collect()
+      .map(r => (r.getAs[Long]("replica"),
+        (r.getAs[Long]("n_eff"), r.getAs[Long]("sum_cents"))))
+      .toMap
+  }
+
+  /** Same draw via java MessageDigest + the embedded CDF constants. */
+  private def bruteReplica(b: Int): (Long, Long) = {
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    var (n, s) = (0L, 0L)
+    rows.foreach { case (k, x) =>
+      val hex = mdi.digest(s"$k:bs$b:t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val w = Bootstrap.CdfHex.indexWhere(hex < _) match {
+        case -1 => 7L
+        case i  => i.toLong
+      }
+      n += w; s += w * x
+    }
+    (n, s)
+  }
+
+  test("every replica's weighted sums replay in an independent impl") {
+    val got = run(8)
+    (0 until 8).foreach { b =>
+      assert(got(b.toLong) === bruteReplica(b), s"replica $b")
+    }
+  }
+
+  test("replica effective sizes concentrate around n and replica " +
+    "means bracket the true mean") {
+    val got = run(32)
+    val trueMean = rows.map(_._2).sum.toDouble / rows.size
+    val means = got.values.toSeq.map { case (n, s) => s.toDouble / n }
+    // Poisson(1) total: mean n, sd sqrt(n) ~ 45 for n=2000
+    got.values.foreach { case (n, _) =>
+      assert(math.abs(n - 2000L) < 6 * math.sqrt(2000.0))
+    }
+    // the bootstrap distribution must straddle the point estimate
+    assert(means.min < trueMean && trueMean < means.max)
+    // and its spread must be near sd/sqrt(n) (within a loose 3x band)
+    val sd = math.sqrt(rows.map(x =>
+      math.pow(x._2 - trueMean, 2)).sum / rows.size)
+    val se = sd / math.sqrt(rows.size.toDouble)
+    val bootSd = math.sqrt(
+      means.map(m => math.pow(m - means.sum / means.size, 2)).sum
+        / means.size)
+    assert(bootSd > se / 3 && bootSd < se * 3)
+  }
+
+  test("partitioning-invariant and replica-independent: prefixes of " +
+    "the replica set agree") {
+    assert(run(8, 1).toSeq.sortBy(_._1) === run(8, 13).toSeq.sortBy(_._1))
+    val r16 = run(16)
+    val r8 = run(8)
+    (0 until 8).foreach(b => assert(r16(b.toLong) === r8(b.toLong)))
+  }
+}
