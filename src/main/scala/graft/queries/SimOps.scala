@@ -808,8 +808,33 @@ object SimOps {
       SELECT qid, cast(rank AS bigint) AS rank, vec_id, adc_d2
       FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---------------------------------------------------------------- q248
+  /** Sparse-sign random projection
+    * ([[graft.operators.RandomProjection]]): every 64-dim embedding
+    * down to 8 dims through a plan-time-constant ±1 matrix — map-only,
+    * zero shuffles, one codegen chain per output. The oracle SQL is
+    * GENERATED from the same sign constants in the same fixed
+    * left-associative order, so the doubles hash-match without
+    * rounding. */
+  val q248RandomProjection = Q(
+    "q248_random_projection",
+    (s, d) => {
+      graft.operators.RandomProjection
+        .project(Tables.embeddings(s, d), col("embedding"),
+          inDim = 64, outDim = 8)
+        .select(col("vec_id") +:
+          (0 until 8).map(k => col(s"p$k")): _*)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings)
+      SELECT vec_id,
+        ${graft.operators.RandomProjection
+          .oracleExprs("v", inDim = 64, outDim = 8).mkString(",\n        ")}
+      FROM e ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
     q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized, q155KmeansAssign,
     q161AnnIncremental, q172ClusterBalanced, q223PqAdc, q225PqTrained,
-    q231IvfAdc)
+    q231IvfAdc, q248RandomProjection)
 }
