@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * one row of 2·B longs crosses the wire after partial aggregation.
   *
   * Determinism: the Poisson draw never touches floats. The uniform is
-  * the engine's md5-hex discipline (first 8 hex chars of
-  * `md5(key ":bs" b ":" salt)`), and the inverse-CDF thresholds are
+  * the engine's md5-hex discipline (8 hex chars of
+  * `md5(key ":bs" (b div 4) ":" salt)` — one digest carries four
+  * replicas' uniforms), and the inverse-CDF thresholds are
   * PRECOMPUTED 8-hex-char constants (Poisson(1) CDF × 2³², floored —
   * the values below); weight = index of the first threshold above the
   * uniform, capped at 7 (P ≈ 8·10⁻⁵). Fixed-width lowercase hex
@@ -36,11 +37,16 @@ object Bootstrap {
     "ff1025f5", "ffd90f3b", "fffa8b71")
 
   /** The Poisson(1) weight of `key` in replica `b` (0-based) as a
-    * Column — exposed for oracles/specs. */
+    * Column — exposed for oracles/specs. One md5 digest is 32 hex
+    * chars = FOUR independent 8-char uniforms, so replicas 4g..4g+3
+    * share the digest of `key ":bs" g ":" salt` — a 4× cut in the
+    * dominant per-row cost (the digest), with the draw discipline
+    * unchanged. */
   private[operators] def weight(key: Column, b: Int, salt: String): Column = {
     val u = substring(
-      md5(concat(key.cast("string"), lit(s":bs$b:$salt")).cast("binary")),
-      1, 8)
+      md5(concat(key.cast("string"), lit(s":bs${b / 4}:$salt"))
+        .cast("binary")),
+      1 + 8 * (b % 4), 8)
     CdfHex.zipWithIndex.foldRight(lit(7L): Column) {
       case ((hex, k), acc) => when(u < lit(hex), k.toLong).otherwise(acc)
     }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact trimmed and winsorized means — outlier-robust location
+  * estimates over an integer-valued metric, computed from per-distinct-
+  * value counts and rank interval overlap instead of any global sort.
+  *
+  * Rank algebra: with n rows and trim count `t = n·num div den` per
+  * tail, value v occupying the 1-based rank interval (cum−cnt, cum]
+  * contributes `w(v) = max(0, min(cum, n−t) − max(cum−cnt, t))` rows
+  * to the trimmed interior (t, n−t] — an integer identity. Trimmed
+  * mean = Σ v·w / Σ w (one IEEE division of exact bigints).
+  * Winsorized mean replaces the tails instead of dropping them: the
+  * clamp bounds are the values at ranks t+1 and n−t (two scalar
+  * anchors off the same cumulated frame), and
+  * `(t·lo_clamp + Σ v·w + t·hi_clamp) / n` stays ratio-of-bigints.
+  *
+  * Scale shape (100 TB of rows): ONE `groupBy(value)` hash aggregate
+  * (map-side combinable — distinct values cross the wire, never rows)
+  * + [[PrefixSum.runningTotal]]'s range exchange for `cum`; the two
+  * clamp bounds are 1-row aggregates off the already-pinned cumulated
+  * frame; no single-partition window, no global sort at any corpus
+  * size. Integer envelope: Σv·w ≤ Σv·cnt, exact while the plain sum
+  * of the metric is — the [[Welch]] envelope.
+  */
+object RobustMean {
+
+  /** One-row frame: `n trim_n` (bigints), `sum_kept n_kept` (bigints),
+    * `trimmed_mean`, plus winsorized outputs `lo_clamp hi_clamp`
+    * (bigints) and `winsorized_mean`. Trim fraction = num/den per
+    * tail (exact rational, floored). Degenerate trims (2t ≥ n) yield
+    * null means. */
+  def means(
+      df: DataFrame, value: Column, trimNum: Int,
+      trimDen: Int): DataFrame = {
+    require(trimDen > 0 && trimNum >= 0 && 2 * trimNum < trimDen,
+      s"trim fraction must satisfy 0 <= num/den < 1/2, got " +
+        s"$trimNum/$trimDen")
+    val perValue = df.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = PrefixSum.runningTotal(perValue, Seq(col("v")), col("cnt"),
+        out = "cum")
+      .transform(graft.core.Pin.apply) // consumed by 3 aggregates
+    val totals = cum.agg(sum(col("cnt")).as("n"))
+      .withColumn("t",
+        expr(s"(n * $trimNum) div $trimDen"))
+    val joined = cum.crossJoin(broadcast(totals))
+      .withColumn("w",
+        greatest(lit(0L),
+          least(col("cum"), col("n") - col("t")) -
+            greatest(col("cum") - col("cnt"), col("t"))))
+    val kept = joined.agg(
+      first(col("n")).as("n"), first(col("t")).as("trim_n"),
+      sum(col("v") * col("w")).as("sum_kept"),
+      sum(col("w")).as("n_kept"),
+      min(when(col("cum") > col("t"), col("v"))).as("lo_clamp"),
+      min(when(col("cum") >= col("n") - col("t"), col("v")))
+        .as("hi_clamp"))
+    kept
+      .withColumn("trimmed_mean",
+        when(col("n_kept") === 0L, lit(null).cast("double"))
+          .otherwise(col("sum_kept") / col("n_kept")))
+      .withColumn("winsorized_mean",
+        when(col("n_kept") === 0L, lit(null).cast("double"))
+          .otherwise(
+            (col("trim_n") * col("lo_clamp") + col("sum_kept") +
+              col("trim_n") * col("hi_clamp")) / col("n")))
+  }
+}

@@ -821,8 +821,8 @@ object AnalyticsQueries {
           cast(round(l_extendedprice * 100) AS bigint) AS x
         FROM lineitem),
       u AS (SELECT rep, x,
-          substr(md5(k || ':bs' || cast(rep AS varchar) || ':g'), 1, 8)
-            AS u
+          substr(md5(k || ':bs' || cast(rep // 4 AS varchar) || ':g'),
+            1 + 8 * (rep % 4), 8) AS u
         FROM t CROSS JOIN reps),
       w AS (SELECT rep, x,
           CASE WHEN u < '5e2d58d8' THEN 0 WHEN u < 'bc5ab1b1' THEN 1
@@ -836,10 +836,348 @@ object AnalyticsQueries {
         sum(w * x) / sum(w) AS mean_cents
       FROM w GROUP BY rep ORDER BY replica"""))
 
+  // ---------------------------------------------------------------- q249
+  /** NDCG@5 per customer ([[graft.operators.RankingMetrics]]): does
+    * ranking a customer's orders by price surface the urgent ones?
+    * Gain = 2^priority−1 as a small integer; the discount weights
+    * 1/log2(i+1) are plan-time double constants interpolated
+    * IDENTICALLY into this oracle (the q248 constant discipline), and
+    * DCG/IDCG are one fixed left-associative 5-term chain each, so
+    * the doubles hash-match without rounding. Two row_number windows
+    * share one exchange on the customer key; the conditional
+    * aggregate's shuffle carries customers × 10 small columns. */
+  val q249Ndcg = Q(
+    "q249_ndcg",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        (when(col("o_orderpriority") === "1-URGENT", 7L)
+          .when(col("o_orderpriority") === "2-HIGH", 3L)
+          .when(col("o_orderpriority") === "3-MEDIUM", 1L)
+          .otherwise(0L)).as("gain"))
+      graft.operators.RankingMetrics
+        .ndcgAtK(o, col("o_custkey"), col("gain"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), k = 5)
+        .orderBy(col("query"))
+    },
+    Some {
+      val w = graft.operators.RankingMetrics.dcgWeights(5)
+      // E-notation — a bare decimal-point literal is DECIMAL in DuckDB
+      // (overflows DECIMAL(18,17) and double-rounds via int128/10^k on
+      // the cast, 1 ULP off); an exponent literal parses as DOUBLE
+      // directly, and 17 significant digits round-trip exactly
+      def chain(p: String): String =
+        (1 to 5).map { i =>
+          val lit = String.format(java.util.Locale.ROOT, "%.17E",
+            Double.box(w(i - 1)))
+          s"$p$i * $lit"
+        }.mkString(" + ")
+      val gAt = (1 to 5).map(i =>
+        s"coalesce(max(CASE WHEN rs = $i THEN g END), 0) AS g$i")
+      val hAt = (1 to 5).map(i =>
+        s"coalesce(max(CASE WHEN ri = $i THEN g END), 0) AS h$i")
+      s"""WITH o AS (SELECT o_custkey AS q, o_orderkey AS okey,
+          o_totalprice AS price,
+          CASE o_orderpriority WHEN '1-URGENT' THEN 7
+            WHEN '2-HIGH' THEN 3 WHEN '3-MEDIUM' THEN 1
+            ELSE 0 END AS g
+        FROM orders),
+      r AS (SELECT q, g,
+          row_number() OVER (PARTITION BY q
+            ORDER BY price DESC, okey) AS rs,
+          row_number() OVER (PARTITION BY q
+            ORDER BY g DESC, price DESC, okey) AS ri
+        FROM o),
+      p AS (SELECT q, ${(gAt ++ hAt).mkString(",\n          ")}
+        FROM r GROUP BY q),
+      d AS (SELECT q, ${chain("g")} AS dcg, ${chain("h")} AS idcg
+        FROM p)
+      SELECT q AS query, dcg, idcg,
+        CASE WHEN idcg = 0 THEN NULL ELSE dcg / idcg END AS ndcg
+      FROM d ORDER BY query"""
+    })
+
+  // ---------------------------------------------------------------- q250
+  /** Precision/recall@5 + reciprocal rank per customer
+    * ([[graft.operators.RankingMetrics.hitsAtK]]): the hit-based
+    * ranking metrics beside q249's graded NDCG — relevant = urgent or
+    * high priority, system order = price. All ratios are one IEEE
+    * division of exact bigints; no-relevant customers go null by
+    * convention on both sides. */
+  val q250HitsAtK = Q(
+    "q250_hits_at_k",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      graft.operators.RankingMetrics
+        .hitsAtK(o, col("o_custkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), k = 5)
+        .orderBy(col("query"))
+    },
+    Some("""WITH r AS (SELECT o_custkey AS q,
+          o_orderpriority IN ('1-URGENT', '2-HIGH') AS rel,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rs
+        FROM orders),
+      a AS (SELECT q,
+          cast(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS bigint) AS n_rel,
+          cast(sum(CASE WHEN rel AND rs <= 5 THEN 1 ELSE 0 END)
+            AS bigint) AS hits_at_k,
+          cast(min(CASE WHEN rel THEN rs END) AS bigint)
+            AS first_hit_rank
+        FROM r GROUP BY q)
+      SELECT q AS query, n_rel, hits_at_k,
+        hits_at_k / 5 AS precision_at_k,
+        CASE WHEN n_rel = 0 THEN NULL
+          ELSE hits_at_k / n_rel END AS recall_at_k,
+        first_hit_rank,
+        1.0 / first_hit_rank AS reciprocal_rank
+      FROM a ORDER BY query"""))
+
+  // ---------------------------------------------------------------- q251
+  /** Welch's two-sample t-test ([[graft.operators.Welch]]): do
+    * returned line items differ from kept ones in mean quantity? The
+    * corpus contributes six exact bigints (per group count, Σx, Σx²)
+    * through ONE conditional aggregate; t and the Welch–Satterthwaite
+    * df are a fixed tree of IEEE steps replayed verbatim here. */
+  val q251Welch = Q(
+    "q251_welch_ttest",
+    (s, d) => {
+      graft.operators.Welch.tTest(
+        Tables.lineitem(s, d),
+        col("l_returnflag") === "R",
+        col("l_quantity"))
+    },
+    Some("""WITH b AS (SELECT
+        cast(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          AS bigint) AS n1,
+        cast(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+          AS bigint) AS n0,
+        cast(sum(CASE WHEN l_returnflag = 'R'
+          THEN cast(l_quantity AS bigint) ELSE 0 END) AS bigint) AS sum1,
+        cast(sum(CASE WHEN l_returnflag = 'R'
+          THEN 0 ELSE cast(l_quantity AS bigint) END) AS bigint) AS sum0,
+        cast(sum(CASE WHEN l_returnflag = 'R'
+          THEN cast(l_quantity AS bigint) * cast(l_quantity AS bigint)
+          ELSE 0 END) AS bigint) AS ss1,
+        cast(sum(CASE WHEN l_returnflag = 'R'
+          THEN 0 ELSE cast(l_quantity AS bigint) * cast(l_quantity
+            AS bigint) END) AS bigint) AS ss0
+      FROM lineitem),
+      m AS (SELECT *,
+        cast(sum1 AS double) / n1 AS mean1,
+        cast(sum0 AS double) / n0 AS mean0,
+        CASE WHEN n1 < 2 THEN NULL
+          ELSE (cast(ss1 AS double) - cast(sum1 AS double) * sum1 / n1)
+            / (n1 - 1) END AS var1,
+        CASE WHEN n0 < 2 THEN NULL
+          ELSE (cast(ss0 AS double) - cast(sum0 AS double) * sum0 / n0)
+            / (n0 - 1) END AS var0
+      FROM b),
+      s AS (SELECT *, var1 / n1 + var0 / n0 AS se2 FROM m)
+      SELECT n1, n0, sum1, sum0, ss1, ss0, mean1, mean0, var1, var0,
+        se2,
+        CASE WHEN se2 IS NULL OR se2 = 0 THEN NULL
+          ELSE (mean1 - mean0) / sqrt(se2) END AS t,
+        CASE WHEN se2 IS NULL OR se2 = 0 THEN NULL
+          ELSE se2 * se2 / (var1 / n1 * (var1 / n1) / (n1 - 1)
+            + var0 / n0 * (var0 / n0) / (n0 - 1)) END AS df_welch
+      FROM s"""))
+
+  // ---------------------------------------------------------------- q253
+  /** Exact Pearson correlation ([[graft.operators.Correlation]]):
+    * price vs quantity over the full line-item corpus. ONE map-side
+    * combinable aggregate; second moments accumulate in decimal
+    * (int64 overflows at price-cents scale), cast once to double, and
+    * the coefficient is the fixed mean-centered IEEE tree replayed
+    * verbatim here. */
+  val q253Pearson = Q(
+    "q253_pearson",
+    (s, d) => {
+      graft.operators.Correlation.pearson(
+        Tables.lineitem(s, d),
+        expr("cast(round(l_extendedprice * 100) as bigint)"),
+        col("l_quantity"))
+    },
+    Some("""WITH p AS (SELECT
+        cast(round(l_extendedprice * 100) AS bigint) AS x,
+        cast(l_quantity AS bigint) AS y FROM lineitem),
+      b AS (SELECT count(*) AS n,
+          cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+          cast(sum(cast(x AS hugeint) * y) AS double) AS sxy,
+          cast(sum(cast(x AS hugeint) * x) AS double) AS sxx,
+          cast(sum(cast(y AS hugeint) * y) AS double) AS syy
+        FROM p),
+      m AS (SELECT *, cast(sx AS double) / n AS mx,
+          cast(sy AS double) / n AS my
+        FROM b),
+      v AS (SELECT *, sxy / n - mx * my AS cov,
+          sxx / n - mx * mx AS vx, syy / n - my * my AS vy
+        FROM m)
+      SELECT n, sx, sy, sxy, sxx, syy,
+        CASE WHEN n < 2 OR vx <= 0 OR vy <= 0 THEN NULL
+          ELSE cov / (sqrt(vx) * sqrt(vy)) END AS pearson_r
+      FROM v"""))
+
+  // ---------------------------------------------------------------- q254
+  /** Exact Spearman rank correlation
+    * ([[graft.operators.Correlation.spearman]]): the same pair, but
+    * rank-based — doubled mid-ranks (the q235 AUC scaling) keep ties
+    * integral, assigned via one per-axis `groupBy(value)` + PrefixSum
+    * range exchange, never a global sort of the corpus; the rank maps
+    * join back distinct-value-sized. */
+  val q254Spearman = Q(
+    "q254_spearman",
+    (s, d) => {
+      graft.operators.Correlation.spearman(
+        Tables.lineitem(s, d),
+        expr("cast(round(l_extendedprice * 100) as bigint)"),
+        col("l_quantity"))
+    },
+    Some("""WITH p AS (SELECT
+        cast(round(l_extendedprice * 100) AS bigint) AS vx,
+        cast(l_quantity AS bigint) AS vy FROM lineitem),
+      gx AS (SELECT vx AS v, count(*) AS cnt FROM p GROUP BY vx),
+      cx AS (SELECT v, cnt, cast(sum(cnt) OVER (ORDER BY v) AS bigint)
+          AS cum FROM gx),
+      rx AS (SELECT v, 2 * (cum - cnt) + cnt + 1 AS r2 FROM cx),
+      gy AS (SELECT vy AS v, count(*) AS cnt FROM p GROUP BY vy),
+      cy AS (SELECT v, cnt, cast(sum(cnt) OVER (ORDER BY v) AS bigint)
+          AS cum FROM gy),
+      ry AS (SELECT v, 2 * (cum - cnt) + cnt + 1 AS r2 FROM cy),
+      j AS (SELECT rx.r2 AS x, ry.r2 AS y FROM p
+        JOIN rx ON p.vx = rx.v JOIN ry ON p.vy = ry.v),
+      b AS (SELECT count(*) AS n,
+          cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+          cast(sum(cast(x AS hugeint) * y) AS double) AS sxy,
+          cast(sum(cast(x AS hugeint) * x) AS double) AS sxx,
+          cast(sum(cast(y AS hugeint) * y) AS double) AS syy
+        FROM j),
+      m AS (SELECT *, cast(sx AS double) / n AS mx,
+          cast(sy AS double) / n AS my
+        FROM b),
+      v AS (SELECT *, sxy / n - mx * my AS cov,
+          sxx / n - mx * mx AS vx, syy / n - my * my AS vy
+        FROM m)
+      SELECT n, sx, sy, sxy, sxx, syy,
+        CASE WHEN n < 2 OR vx <= 0 OR vy <= 0 THEN NULL
+          ELSE cov / (sqrt(vx) * sqrt(vy)) END AS spearman_r
+      FROM v"""))
+
+  // ---------------------------------------------------------------- q255
+  /** Time-decayed activity score ([[graft.operators.TimeDecay]]): per
+    * event type, a 31-day half-life-7 recency-weighted count anchored
+    * at the day after the stream ends. Exact per-(key, day-offset)
+    * bigint counts; the decay weights are plan-time constants applied
+    * in one fixed chain and interpolated here as E-notation literals
+    * (the q249 recipe). ONE conditional aggregate — events never
+    * re-shuffle per day. */
+  val q255TimeDecay = Q(
+    "q255_time_decay",
+    (s, d) => {
+      graft.operators.TimeDecay.decayedCounts(
+        Tables.events(s, d), col("event_type"), col("ts"),
+        "2024-01-31", horizonDays = 31, halfLifeDays = 7.0)
+        .orderBy(col("key"))
+    },
+    Some {
+      val w = graft.operators.TimeDecay.weights(31, 7.0)
+      val cAt = (0 until 31).map(o =>
+        s"sum(CASE WHEN o = $o THEN 1 ELSE 0 END) AS c$o")
+      val chain = (0 until 31).map { o =>
+        val lit = String.format(java.util.Locale.ROOT, "%.17E",
+          Double.box(w(o)))
+        s"c$o * $lit"
+      }.mkString(" + ")
+      val total = (0 until 31).map(o => s"c$o").mkString(" + ")
+      s"""WITH e AS (SELECT event_type AS k,
+          datediff('day', cast(ts AS date), DATE '2024-01-31') AS o
+        FROM events),
+      b AS (SELECT k, ${cAt.mkString(",\n          ")}
+        FROM e WHERE o >= 0 AND o < 31 GROUP BY k)
+      SELECT k AS key, cast($total AS bigint) AS n_events,
+        $chain AS decayed_score
+      FROM b ORDER BY key"""
+    })
+
+  // ---------------------------------------------------------------- q256
+  /** Exact empirical CDF ([[graft.operators.Ecdf]]): the percentile-
+    * rank transform of the price distribution as a distinct-value-
+    * sized frame — one value-grouped aggregate + the PrefixSum range
+    * exchange, never a global sort or single-partition window; every
+    * quotient is bigint/bigint. */
+  val q256Ecdf = Q(
+    "q256_ecdf",
+    (s, d) => {
+      graft.operators.Ecdf.ecdf(
+        Tables.lineitem(s, d),
+        expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .orderBy(col("v"))
+    },
+    Some("""WITH g AS (SELECT
+          cast(round(l_extendedprice * 100) AS bigint) AS v,
+          count(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      c AS (SELECT v, cast(cnt AS bigint) AS cnt,
+          cast(sum(cnt) OVER (ORDER BY v) AS bigint) AS cum_le
+        FROM g),
+      t AS (SELECT cast(sum(cnt) AS bigint) AS n FROM c)
+      SELECT v, cnt, cum_le, cum_le / n AS ecdf
+      FROM c, t ORDER BY v"""))
+
+  // ---------------------------------------------------------------- q257
+  /** Exact trimmed + winsorized price mean
+    * ([[graft.operators.RobustMean]]): 5% per tail by rank-interval
+    * overlap over per-distinct-value counts — the robust location
+    * estimate without any global sort; clamp bounds are scalar
+    * anchors off the same cumulated frame, and both means stay
+    * ratio-of-bigints until one IEEE division. */
+  val q257RobustMean = Q(
+    "q257_robust_mean",
+    (s, d) => {
+      graft.operators.RobustMean.means(
+        Tables.lineitem(s, d),
+        expr("cast(round(l_extendedprice * 100) as bigint)"),
+        trimNum = 1, trimDen = 20)
+    },
+    Some("""WITH g AS (SELECT
+          cast(round(l_extendedprice * 100) AS bigint) AS v,
+          count(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      c AS (SELECT v, cast(cnt AS bigint) AS cnt,
+          cast(sum(cnt) OVER (ORDER BY v) AS bigint) AS cum
+        FROM g),
+      tt AS (SELECT cast(sum(cnt) AS bigint) AS n,
+          cast(sum(cnt) AS bigint) * 1 // 20 AS tr
+        FROM c),
+      j AS (SELECT c.v, c.cnt, c.cum, tt.n, tt.tr,
+          greatest(0, least(cum, n - tr) - greatest(cum - cnt, tr))
+            AS w
+        FROM c, tt),
+      k AS (SELECT
+          cast(max(n) AS bigint) AS n, cast(max(tr) AS bigint)
+            AS trim_n,
+          cast(sum(v * w) AS bigint) AS sum_kept,
+          cast(sum(w) AS bigint) AS n_kept,
+          cast(min(CASE WHEN cum > tr THEN v END) AS bigint)
+            AS lo_clamp,
+          cast(min(CASE WHEN cum >= n - tr THEN v END) AS bigint)
+            AS hi_clamp
+        FROM j)
+      SELECT n, trim_n, sum_kept, n_kept, lo_clamp, hi_clamp,
+        CASE WHEN n_kept = 0 THEN NULL
+          ELSE sum_kept / n_kept END AS trimmed_mean,
+        CASE WHEN n_kept = 0 THEN NULL
+          ELSE (trim_n * lo_clamp + sum_kept + trim_n * hi_clamp) / n
+          END AS winsorized_mean
+      FROM k"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
     q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
     q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows,
     q208GroupTrend, q209DriftTv, q222Attribution, q224LinearAttribution,
     q235AucExact, q239CalibrationBins, q240CalibrationSummary,
-    q244Concentration, q245ChiSquare, q246KsDrift, q247Bootstrap)
+    q244Concentration, q245ChiSquare, q246KsDrift, q247Bootstrap,
+    q249Ndcg, q250HitsAtK, q251Welch, q253Pearson, q254Spearman,
+    q255TimeDecay, q256Ecdf, q257RobustMean)
 }

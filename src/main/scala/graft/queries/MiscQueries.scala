@@ -875,6 +875,54 @@ object MiscQueries {
           ORDER BY c DESC, label) AS rn FROM n2) z WHERE rn = 1)
       SELECT node, label FROM p2 ORDER BY node"""))
 
+  // ---------------------------------------------------------------- q252
+  /** Multi-source BFS hop distance ([[graft.operators.Bfs]]): how far
+    * is every participant in the customer↔supplier trading graph (the
+    * q220 edge recipe) from the nation-0 customer seed set, within 3
+    * hops — the traversal primitive beside density (q191/q217),
+    * peeling (q220), propagation (q162), and communities (q229).
+    * Frontier-proportional work per hop; the oracle unrolls the
+    * identical frontier expansions as chained CTEs (the q220
+    * fixed-round discipline), so the whole reachability layering is
+    * hash-pinned hop-for-hop. */
+  val q252Bfs = Q(
+    "q252_bfs_distance",
+    (s, d) => {
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_nationkey") === 0)
+        .select(col("c_custkey").as("node"))
+      graft.operators.Bfs.distances(e, "src", "dst", seeds, maxHops = 3)
+        .orderBy(col("node"))
+    },
+    Some("""WITH ed AS (SELECT DISTINCT o_custkey AS a,
+          l_suppkey + 10000000 AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e0 AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+      d0 AS (SELECT DISTINCT c_custkey AS node FROM customer
+        WHERE c_nationkey = 0),
+      f1 AS (SELECT DISTINCT e0.b AS node FROM e0
+        JOIN d0 ON e0.a = d0.node
+        WHERE e0.b NOT IN (SELECT node FROM d0)),
+      f2 AS (SELECT DISTINCT e0.b AS node FROM e0
+        JOIN f1 ON e0.a = f1.node
+        WHERE e0.b NOT IN (SELECT node FROM d0
+          UNION ALL SELECT node FROM f1)),
+      f3 AS (SELECT DISTINCT e0.b AS node FROM e0
+        JOIN f2 ON e0.a = f2.node
+        WHERE e0.b NOT IN (SELECT node FROM d0
+          UNION ALL SELECT node FROM f1
+          UNION ALL SELECT node FROM f2))
+      SELECT node, cast(0 AS bigint) AS dist FROM d0
+      UNION ALL SELECT node, cast(1 AS bigint) FROM f1
+      UNION ALL SELECT node, cast(2 AS bigint) FROM f2
+      UNION ALL SELECT node, cast(3 AS bigint) FROM f3
+      ORDER BY node"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
@@ -882,5 +930,6 @@ object MiscQueries {
     q112JsonArtists, q113JamsDeterministic, q114ChunkedTopk, q119SaltedAgg,
     q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
     q157ZorderKey, q160Funnel, q162MassRank, q163EventWindows,
-    q191Triangles, q217DoulionTriangles, q220KCore, q229LabelProp)
+    q191Triangles, q217DoulionTriangles, q220KCore, q229LabelProp,
+    q252Bfs)
 }

@@ -29,8 +29,9 @@ class BootstrapSpec extends SparkSpec {
     val mdi = java.security.MessageDigest.getInstance("MD5")
     var (n, s) = (0L, 0L)
     rows.foreach { case (k, x) =>
-      val hex = mdi.digest(s"$k:bs$b:t".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 8)
+      val hex = mdi.digest(s"$k:bs${b / 4}:t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+        .substring(8 * (b % 4), 8 * (b % 4) + 8)
       val w = Bootstrap.CdfHex.indexWhere(hex < _) match {
         case -1 => 7L
         case i  => i.toLong
