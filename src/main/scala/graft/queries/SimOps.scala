@@ -833,8 +833,103 @@ object SimOps {
           .oracleExprs("v", inDim = 64, outDim = 8).mkString(",\n        ")}
       FROM e ORDER BY vec_id"""))
 
+  // ---------------------------------------------------------------- q258
+  /** Exact MMR diversified re-ranking ([[graft.operators.Mmr]]) on the
+    * integer lattice, composed end-to-end from the verified pieces:
+    * q248's plan-time-constant random projection 64→8, the q138
+    * round-to-lattice quantization (×1000), integer dot-product
+    * relevance of every item against the 20 query vectors, a top-20
+    * relevance pre-cut, then 5 greedy MMR rounds at λ=1/2 — every
+    * selection objective `rel − maxSim` an exact bigint, every argmax
+    * tie-broken by item id. The oracle GENERATES the projection
+    * chains, the quantization, and all five selection rounds as
+    * chained CTEs, so the whole diversified list is hash-pinned
+    * rank-for-rank. */
+  val q258Mmr = Q(
+    "q258_mmr_rerank",
+    (s, d) => {
+      val proj = graft.operators.RandomProjection
+        .project(Tables.embeddings(s, d), col("embedding"),
+          inDim = 64, outDim = 8)
+      val z = proj.select(col("vec_id"),
+        array((0 until 8).map(j =>
+          round(col(s"p$j") * 1000).cast("long")): _*).as("zv"))
+      val queries = z.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("zv").as("qv"))
+      val pairs = z.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand"),
+          graft.operators.Mmr.dotL(col("qv"), col("zv")).as("rel"),
+          col("zv"))
+      val cands = pairs
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rel").desc, col("cand"))))
+        .filter(col("__rn") <= 20)
+      graft.operators.Mmr
+        .rerank(cands, col("qid"), col("cand"), col("rel"), col("zv"),
+          k = 5, lambdaNum = 1, lambdaDen = 2)
+        .orderBy(col("query"), col("rank"))
+    },
+    Some {
+      val pChains = graft.operators.RandomProjection
+        .oracleExprs("v", inDim = 64, outDim = 8)
+      val zCols = (0 until 8).map(j =>
+        s"cast(round(p$j * 1000) AS bigint) AS z$j")
+      val iCols = (0 until 8).map(j => s"i$j")
+      def dotZZ(a: String, b: String): String =
+        (0 until 8).map(j => s"$a.z$j * $b.z$j").mkString(" + ")
+      def dotCI(c: String, s: String): String =
+        (0 until 8).map(j => s"$c.i$j * $s.i$j").mkString(" + ")
+      // per selection round t >= 2: remaining = cands minus selected,
+      // ms = max sim to the selected set, argmax of rel - ms
+      def round(t: Int): String = {
+        val u = s"u${t - 1}"
+        s"""r$t AS (SELECT c.q, c.item, c.rel,
+          ${iCols.map(ic => s"c.$ic").mkString(", ")},
+          max(${dotCI("c", "s")}) AS ms
+        FROM cands c JOIN $u s ON c.q = s.q
+        WHERE NOT EXISTS (SELECT 1 FROM $u x
+          WHERE x.q = c.q AND x.item = c.item)
+        GROUP BY c.q, c.item, c.rel,
+          ${iCols.map(ic => s"c.$ic").mkString(", ")}),
+      s$t AS (SELECT q, item, rel, ms, rel - ms AS score,
+          cast($t AS bigint) AS rank, ${iCols.mkString(", ")}
+        FROM (SELECT r.*, row_number() OVER (PARTITION BY q
+            ORDER BY rel - ms DESC, item) AS rn FROM r$t r) x
+        WHERE rn = 1),
+      u$t AS (SELECT * FROM u${t - 1} UNION ALL
+        SELECT q, item, rel, ms, score, rank, ${iCols.mkString(", ")}
+        FROM s$t)"""
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+      p AS (SELECT vec_id, ${pChains.mkString(",\n        ")} FROM e),
+      z AS (SELECT vec_id, ${zCols.mkString(", ")} FROM p),
+      c0 AS (SELECT qz.vec_id AS q, iz.vec_id AS item,
+          ${dotZZ("qz", "iz")} AS rel,
+          ${(0 until 8).map(j => s"iz.z$j AS i$j").mkString(", ")}
+        FROM z qz JOIN z iz ON iz.vec_id <> qz.vec_id
+        WHERE qz.vec_id < 20),
+      cands AS (SELECT q, item, rel, ${iCols.mkString(", ")}
+        FROM (SELECT c0.*, row_number() OVER (PARTITION BY q
+            ORDER BY rel DESC, item) AS rn FROM c0) x
+        WHERE rn <= 20),
+      s1 AS (SELECT q, item, rel, cast(0 AS bigint) AS ms,
+          rel AS score, cast(1 AS bigint) AS rank,
+          ${iCols.mkString(", ")}
+        FROM (SELECT cands.*, row_number() OVER (PARTITION BY q
+            ORDER BY rel DESC, item) AS rn FROM cands) x
+        WHERE rn = 1),
+      u1 AS (SELECT q, item, rel, ms, score, rank,
+        ${iCols.mkString(", ")} FROM s1),
+      ${(2 to 5).map(round).mkString(",\n      ")}
+      SELECT q AS query, rank, item, rel, ms AS max_sim, score
+      FROM u5 ORDER BY query, rank"""
+    })
+
   val all: Seq[Q] = Seq(q50AnnBruteforce, q51AnnIvf, q52EmbedNeardup,
     q127AnnLsh, q138AnnQuantized, q144AnnLshQuantized, q155KmeansAssign,
     q161AnnIncremental, q172ClusterBalanced, q223PqAdc, q225PqTrained,
-    q231IvfAdc, q248RandomProjection)
+    q231IvfAdc, q248RandomProjection, q258Mmr)
 }
