@@ -543,6 +543,75 @@ object EngineQueries {
       SELECT prio, cast(rnk AS bigint) AS rnk, okey, cents FROM r
       WHERE rnk <= 7 ORDER BY prio, rnk"""))
 
+  // ---------------------------------------------------------------- q259
+  /** Streaming gap sessionization with EVENT-TIME TIMERS
+    * ([[graft.streaming.SessionTimers]]): 2-hour-gap sessions over
+    * the event stream, closed by the WATERMARK passing last+gap —
+    * idle users emit without waiting for their own traffic, the
+    * timer-driven capability q234's ValueState fold does not touch.
+    * Replay is chronological (5-day chunks written one file each in
+    * time order, a far-future sentinel advances the final watermark
+    * past every close), so the emitted set equals batch
+    * sessionization and this oracle hash-pins it
+    * session-for-session. All algebra runs on unix MICROSECONDS —
+    * the millisecond timer clock is mechanism, never semantics. */
+  val q259SessionTimers = Q(
+    "q259_session_timers",
+    (s, d) => {
+      import s.implicits._
+      val gapUs = 2L * 3600L * 1000000L
+      val e = Tables.events(s, d).select(
+        col("user_id").as("user"), col("ts"),
+        expr("unix_micros(ts)").as("us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      val maxUs = e.agg(max(col("us"))).head().getLong(0) // scalar anchor
+      val sentinel = s.range(1).select(lit(-1L).as("user"),
+        expr(s"timestamp_micros(${maxUs + 3L * gapUs})").as("ts"),
+        lit(maxUs + 3L * gapUs).as("us"), lit(0L).as("cents"))
+      val spanUs = 5L * 86400L * 1000000L
+      val staged = e.unionByName(sentinel)
+        .withColumn("chunk", (col("us") / spanUs).cast("long"))
+      val work = graft.core.TempWork.dir("graft-q259")
+      // one file per 5-day span, written in time order: FileStreamSource
+      // replays by modification time, so arrival is chronological and
+      // delay-0 watermarking drops nothing
+      val chunks = staged.select(col("chunk")).distinct()
+        .orderBy(col("chunk")).as[Long].collect() // span-count-bounded
+      chunks.foreach { c =>
+        staged.filter(col("chunk") === c).drop("chunk")
+          .repartition(1).write.mode("append").parquet(s"$work/stage")
+        Thread.sleep(15) // distinct mtimes pin the replay order
+      }
+      val stream = s.readStream
+        .schema(staged.drop("chunk").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+        .as[graft.streaming.SessionTimers.SessEvent]
+      graft.streaming.SessionTimers
+        .closedSessions(s, stream, gapUs, "q259_sessions")
+        .filter(col("user") >= 0L)
+        .select(col("user").as("uid"), col("start_us"), col("end_us"),
+          col("n_events"), col("sum_cents"))
+        .orderBy(col("uid"), col("start_us"))
+    },
+    Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us,
+          cast(round(value * 100) AS bigint) AS cents
+        FROM events),
+      l AS (SELECT u, us, cents,
+          lag(us) OVER (PARTITION BY u ORDER BY us, cents) AS prev
+        FROM e),
+      f AS (SELECT u, us, cents,
+          CASE WHEN prev IS NULL OR us - prev > 7200000000 THEN 1
+            ELSE 0 END AS brk
+        FROM l),
+      g AS (SELECT u, us, cents,
+          sum(brk) OVER (PARTITION BY u ORDER BY us, cents
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+      SELECT u AS uid, min(us) AS start_us, max(us) AS end_us,
+        cast(count(*) AS bigint) AS n_events,
+        cast(sum(cents) AS bigint) AS sum_cents
+      FROM g GROUP BY u, sid ORDER BY uid, start_us"""))
+
   // ---------------------------------------------------------------- q89
   /** Cache-joined genre activity via CacheJoinedStats.GenreActivity: the
     * part table plays the dimension cache (partkey → brand ≙ recording →
@@ -832,5 +901,5 @@ object EngineQueries {
     q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
     q129BucketedAgg, q135StreamingIngest, q158SketchDistinct,
     q173StreamingWindows, q189StreamIntervalJoin, q216MlhdPopularity,
-    q228StreamingHeavyHitters, q234TwsTopK)
+    q228StreamingHeavyHitters, q234TwsTopK, q259SessionTimers)
 }
