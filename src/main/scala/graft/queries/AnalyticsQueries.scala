@@ -1172,6 +1172,43 @@ object AnalyticsQueries {
           END AS winsorized_mean
       FROM k"""))
 
+  // ---------------------------------------------------------------- q260
+  /** Per-type daily trend slope ([[graft.operators.TrendOls]]): OLS
+    * of the 30-day daily-count series per event type — slope_num is
+    * an exact bigint (Σt/Σt² are closed-form design constants,
+    * zero-event days are y=0 points with no densification join), and
+    * slope/intercept/R² are fixed IEEE steps replayed verbatim here.
+    * Two map-side-combinable aggregates: (key,day) then key. */
+  val q260TrendOls = Q(
+    "q260_trend_ols",
+    (s, d) => {
+      graft.operators.TrendOls.dailyTrend(
+        Tables.events(s, d), col("event_type"), col("ts"),
+        "2024-01-01", days = 30)
+        .orderBy(col("key"))
+    },
+    Some("""WITH e AS (SELECT event_type AS k,
+          datediff('day', DATE '2024-01-01', cast(ts AS date)) AS o
+        FROM events),
+      d AS (SELECT k, o, cast(count(*) AS bigint) AS cnt
+        FROM e WHERE o >= 0 AND o < 30 GROUP BY k, o),
+      a AS (SELECT k, cast(sum(cnt) AS bigint) AS sy,
+          cast(sum(o * cnt) AS bigint) AS sty,
+          cast(sum(cnt * cnt) AS bigint) AS syy
+        FROM d GROUP BY k),
+      b AS (SELECT k, sy, sty, syy,
+          30 * sty - 435 * sy AS slope_num,
+          30 * syy - sy * sy AS vy_n
+        FROM a),
+      c AS (SELECT *, cast(slope_num AS double) / 67425 AS slope
+        FROM b)
+      SELECT k AS key, sy, sty, syy, slope_num, slope,
+        (cast(sy AS double) - slope * 435) / 30 AS intercept,
+        CASE WHEN vy_n = 0 THEN NULL
+          ELSE cast(slope_num AS double) * slope_num
+            / (67425E0 * vy_n) END AS r2
+      FROM c ORDER BY key"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
     q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
     q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows,
@@ -1179,5 +1216,5 @@ object AnalyticsQueries {
     q235AucExact, q239CalibrationBins, q240CalibrationSummary,
     q244Concentration, q245ChiSquare, q246KsDrift, q247Bootstrap,
     q249Ndcg, q250HitsAtK, q251Welch, q253Pearson, q254Spearman,
-    q255TimeDecay, q256Ecdf, q257RobustMean)
+    q255TimeDecay, q256Ecdf, q257RobustMean, q260TrendOls)
 }
