@@ -543,6 +543,60 @@ object EngineQueries {
       SELECT prio, cast(rnk AS bigint) AS rnk, okey, cents FROM r
       WHERE rnk <= 7 ORDER BY prio, rnk"""))
 
+  // ---------------------------------------------------------------- q261
+  /** Warm-started streaming top-k
+    * ([[graft.streaming.StreamingTopK.WarmTopKProcessor]]): the
+    * batch→streaming MIGRATION path — the even-orderkey half of the
+    * catalog is a batch [[graft.functions.BoundedTopKAgg]] standing
+    * that SEEDS the state store via
+    * `StatefulProcessorWithInitialState`, the odd half streams in as
+    * file-replayed micro-batches, and the final leaderboard equals
+    * one batch over the union (the q234 oracle shape over ALL
+    * orders) — cutting a nightly top-k job over to continuous
+    * maintenance without replaying history. The batch aggregate and
+    * the streamed fold implement ONE total order, which is the whole
+    * reason the handoff is exact. */
+  val q261WarmTopK = Q(
+    "q261_warm_topk",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        col("o_orderkey").as("item"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("weight"))
+      val initial = o.filter(col("item") % 2L === 0L)
+        .groupBy(col("grp"))
+        .agg(graft.functions.GraftFunctions
+          .topK(col("item"), col("weight"), 7).as("tk"))
+        .select(col("grp"),
+          expr("transform(tk, x -> x.item)").as("items"),
+          expr("transform(tk, x -> x.weight)").as("weights"))
+        .as[(String, Array[Long], Array[Long])]
+        .map { case (g, items, weights) =>
+          (g, graft.streaming.StreamingTopK.TopKState(1L, items, weights))
+        }
+      val streamed = o.filter(col("item") % 2L =!= 0L)
+      val work = graft.core.TempWork.dir("graft-q261")
+      streamed.repartition(5).write.parquet(s"$work/stage")
+      val stream = s.readStream.schema(streamed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+        .as[graft.streaming.StreamingTopK.TopKEvent]
+      graft.streaming.StreamingTopK
+        .finalLeaderboardWarm(s, stream, initial, k = 7,
+          queryName = "q261_warm")
+        .select(col("grp").as("prio"), col("rnk"),
+          col("item").as("okey"), col("weight").as("cents"))
+        .orderBy(col("prio"), col("rnk"))
+    },
+    Some("""WITH o AS (
+        SELECT o_orderpriority AS prio, o_orderkey AS okey,
+          cast(round(o_totalprice * 100) AS bigint) AS cents FROM orders),
+      r AS (SELECT prio, okey, cents, row_number() OVER (
+          PARTITION BY prio ORDER BY cents DESC, okey) AS rnk FROM o)
+      SELECT prio, cast(rnk AS bigint) AS rnk, okey, cents FROM r
+      WHERE rnk <= 7 ORDER BY prio, rnk"""))
+
   // ---------------------------------------------------------------- q259
   /** Streaming gap sessionization with EVENT-TIME TIMERS
     * ([[graft.streaming.SessionTimers]]): 2-hour-gap sessions over
@@ -901,5 +955,6 @@ object EngineQueries {
     q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
     q129BucketedAgg, q135StreamingIngest, q158SketchDistinct,
     q173StreamingWindows, q189StreamIntervalJoin, q216MlhdPopularity,
-    q228StreamingHeavyHitters, q234TwsTopK, q259SessionTimers)
+    q228StreamingHeavyHitters, q234TwsTopK, q259SessionTimers,
+    q261WarmTopK)
 }

@@ -120,4 +120,85 @@ object StreamingTopK {
       .select(col("grp"), col("rnk").cast("long").as("rnk"),
         col("item"), col("weight"))
   }
+
+  /** [[TopKProcessor]] with WARM-START: the batch-computed standing
+    * seeds the state store before the first micro-batch
+    * (`StatefulProcessorWithInitialState` — the batch→streaming
+    * migration path: cut over a nightly top-k job to continuous
+    * maintenance without replaying history). `handleInitialState`
+    * runs once per key carrying initial state; the fold thereafter is
+    * identical, so warm-start + increment ≡ one batch over the union
+    * — which is exactly what the q261 oracle pins. Keys seeded but
+    * never touched by the stream emit nothing (the changelog
+    * contract); stream every key at least once or read the store. */
+  class WarmTopKProcessor(k: Int)
+      extends StatefulProcessorWithInitialState[
+        String, TopKEvent, TopKEmit, TopKState] {
+
+    @transient private var state: ValueState[TopKState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TopKState](
+        "topk", Encoders.product[TopKState], TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: String, initialState: TopKState,
+        timerValues: TimerValues): Unit =
+      state.update(initialState)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[TopKEvent],
+        timerValues: TimerValues): Iterator[TopKEmit] = {
+      val prev = Option(state.get())
+      val cur = prev.map(s => s.weights.zip(s.items).toSeq)
+        .getOrElse(Seq.empty)
+      val merged = mergeTopK(
+        cur, rows.map(e => (e.weight, e.item)).toSeq, k)
+      val seq = prev.map(_.seq).getOrElse(0L) + 1L
+      state.update(TopKState(seq,
+        merged.map(_._2).toArray, merged.map(_._1).toArray))
+      merged.iterator.zipWithIndex.map { case ((w, item), i) =>
+        TopKEmit(key, seq, i + 1, item, w)
+      }
+    }
+  }
+
+  /** [[finalLeaderboard]] with a warm-start standing: `initial` is
+    * one [[TopKState]] per group (build it with the batch
+    * `BoundedTopKAgg` — the two implement one total order). */
+  def finalLeaderboardWarm(
+      spark: SparkSession,
+      source: Dataset[TopKEvent],
+      initial: Dataset[(String, TopKState)],
+      k: Int,
+      queryName: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      source.groupByKey(_.grp)
+        .transformWithState(new WarmTopKProcessor(k),
+          TimeMode.None(), OutputMode.Update(),
+          initial.groupByKey(_._1).mapValues(_._2))
+        .writeStream.outputMode("update").format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    val log = spark.table(queryName)
+    val last = log.groupBy(col("grp").as("g"))
+      .agg(max(col("seq")).as("maxseq"))
+    log.join(last, col("grp") === col("g") && col("seq") === col("maxseq"))
+      .select(col("grp"), col("rnk").cast("long").as("rnk"),
+        col("item"), col("weight"))
+  }
 }

@@ -60,4 +60,39 @@ class StreamingTopKSpec extends SparkSpec {
     val two = mergeTopK(mergeTopK(cur, add.take(2), 3), add.drop(2), 3)
     assert(two === m)
   }
+
+  private def replayWarm(
+      warm: Seq[TopKEvent], streamed: Seq[TopKEvent], name: String)
+      : Seq[(String, Long, Long, Long)] = {
+    import spark.implicits._
+    val initial = warm.groupBy(_.grp).toSeq.map { case (g, evs) =>
+      val tk = mergeTopK(Seq.empty, evs.map(e => (e.weight, e.item)), 3)
+      (g, TopKState(1L, tk.map(_._2).toArray, tk.map(_._1).toArray))
+    }.toDS()
+    val work = tmpDir("tws-warm")
+    val ds = streamed.toDS()
+    ds.repartition(2).write.parquet(s"$work/stage")
+    val stream = spark.readStream.schema(ds.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+      .as[TopKEvent]
+    StreamingTopK.finalLeaderboardWarm(spark, stream, initial, 3, name)
+      .orderBy(col("grp"), col("rnk"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("warm-start: batch standing + streamed increment equals one " +
+    "batch over the union") {
+    val (warm, streamed) = events.partition(_.item % 2 == 0)
+    assert(replayWarm(warm, streamed, "tws_warm") === expect)
+  }
+
+  test("warm-start contract: a seeded key never touched by the stream " +
+    "emits nothing; an unseeded streamed key starts cold") {
+    val warm = Seq(TopKEvent("only_warm", 1L, 9L))
+    val streamed = Seq(TopKEvent("cold", 2L, 4L))
+    val got = replayWarm(warm, streamed, "tws_warm_edge")
+    assert(got === Seq(("cold", 1L, 2L, 4L)))
+  }
 }
