@@ -462,9 +462,44 @@ object CorpusQueries {
         LEFT JOIN kept USING (doc_id)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q262
+  /** Concat-and-chunk sequence packing
+    * ([[graft.operators.SequencePack]]): the corpus laid out in the
+    * engine's md5 shuffle order and cut every 2048 chars into
+    * training sequences, documents splitting across cuts — the
+    * zero-waste GPT-style packing, emitted as an OFFSET PLAN (text
+    * never moves). One PrefixSum range exchange + a map-only
+    * sequence/explode; the oracle replays the same md5 order, running
+    * total, and integer cut algebra. */
+  val q262SequencePack = Q(
+    "q262_sequence_pack",
+    (s, d) => {
+      graft.operators.SequencePack.pack(
+        Tables.documents(s, d), col("doc_id"), col("n_chars"),
+        seqLen = 2048L)
+        .orderBy(col("seq_id"), col("seg_offset"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars AS len,
+          md5(cast(doc_id AS varchar) || ':pack') AS ord
+        FROM documents WHERE n_chars > 0),
+      c AS (SELECT doc_id, len,
+          cast(sum(len) OVER (ORDER BY ord, doc_id) AS bigint) AS cum
+        FROM d),
+      st AS (SELECT doc_id, len, cum, cum - len AS strt FROM c),
+      g AS (SELECT doc_id, len, cum, strt,
+          unnest(generate_series(strt // 2048, (cum - 1) // 2048))
+            AS bin
+        FROM st)
+      SELECT doc_id, bin AS seq_id,
+        greatest(strt, bin * 2048) - bin * 2048 AS seg_offset,
+        greatest(0, bin * 2048 - strt) AS doc_offset,
+        least(cum, (bin + 1) * 2048) - greatest(strt, bin * 2048)
+          AS seg_len
+      FROM g ORDER BY seq_id, seg_offset"""))
+
   val all: Seq[Q] = Seq(
     q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
     q156ProfileEvents, q159TemperatureMix, q181ProfileApprox,
     q184SkewReport, q185CorpusDiff, q213Phrases, q214PhraseMerge,
-    q219RepeatedSpans)
+    q219RepeatedSpans, q262SequencePack)
 }
