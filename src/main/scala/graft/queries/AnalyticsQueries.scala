@@ -1209,6 +1209,46 @@ object AnalyticsQueries {
             / (67425E0 * vy_n) END AS r2
       FROM c ORDER BY key"""))
 
+  // ---------------------------------------------------------------- q263
+  /** Cohen's kappa ([[graft.operators.Agreement]]): chance-corrected
+    * agreement between two deterministic labelers of the event stream
+    * (a 75%-agree synthetic pair — labels derived from ids, identical
+    * in both engines). κ clears to a ratio of bigints; the shuffle
+    * carries the 3×3 confusion cells, never events. */
+  val q263Kappa = Q(
+    "q263_cohens_kappa",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      graft.operators.Agreement.cohensKappa(e,
+        col("user_id") % 3L,
+        when(col("event_id") % 4L === 0L, (col("user_id") + 1L) % 3L)
+          .otherwise(col("user_id") % 3L))
+    },
+    Some("""WITH p AS (SELECT user_id % 3 AS la,
+          CASE WHEN event_id % 4 = 0 THEN (user_id + 1) % 3
+            ELSE user_id % 3 END AS lb
+        FROM events),
+      cells AS (SELECT la, lb, cast(count(*) AS bigint) AS c
+        FROM p GROUP BY la, lb),
+      r AS (SELECT la AS k, cast(sum(c) AS bigint) AS row_k
+        FROM cells GROUP BY la),
+      cl AS (SELECT lb AS k, cast(sum(c) AS bigint) AS col_k
+        FROM cells GROUP BY lb),
+      ch AS (SELECT cast(coalesce(sum(row_k * col_k), 0) AS bigint)
+          AS chance_num
+        FROM r JOIN cl USING (k)),
+      t AS (SELECT cast(sum(c) AS bigint) AS n,
+          cast(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS bigint)
+            AS agree
+        FROM cells)
+      SELECT n, agree, chance_num,
+        n * agree - chance_num AS kappa_num,
+        n * n - chance_num AS kappa_den,
+        CASE WHEN n * n - chance_num = 0 THEN NULL
+          ELSE (n * agree - chance_num) / (n * n - chance_num)
+          END AS kappa
+      FROM t, ch"""))
+
   def all: Seq[Q] = Seq(q192CohortRetention, q193CumulativeDistinct,
     q194MarkovTransitions, q195CubeLattice, q199CooccurLift,
     q202BasketRules, q204SeasonalAnomalies, q205HoppingWindows,
@@ -1216,5 +1256,6 @@ object AnalyticsQueries {
     q235AucExact, q239CalibrationBins, q240CalibrationSummary,
     q244Concentration, q245ChiSquare, q246KsDrift, q247Bootstrap,
     q249Ndcg, q250HitsAtK, q251Welch, q253Pearson, q254Spearman,
-    q255TimeDecay, q256Ecdf, q257RobustMean, q260TrendOls)
+    q255TimeDecay, q256Ecdf, q257RobustMean, q260TrendOls,
+    q263Kappa)
 }
