@@ -68,4 +68,49 @@ object RobustMean {
             (col("trim_n") * col("lo_clamp") + col("sum_kept") +
               col("trim_n") * col("hi_clamp")) / col("n")))
   }
+
+  /** Exact median + MAD (median absolute deviation) — the robust
+    * center/spread pair for outlier thresholds (`|x − med| >
+    * c·1.4826·MAD`), kept INTEGRAL throughout by doubling: with
+    * value-at-rank `v@r` = the smallest value whose running count
+    * reaches r, `med2 = v@⌈n/2⌉ + v@(⌊n/2⌋+1)` (= 2·median for odd n,
+    * the sum of the two middle values for even — one formula covers
+    * both), the per-value deviations `|2v − med2|` are exact integers
+    * REGROUPED from the first pass's per-value counts (never a second
+    * corpus scan), and `mad4` is the same two-rank sum over the
+    * deviation distribution (= 4·MAD). One row out:
+    * `n med2 mad4` (bigints) + `median mad` (one IEEE division
+    * each; the 1.4826 normal-consistency factor is the caller's
+    * constant).
+    *
+    * Scale shape: the corpus contributes ONE `groupBy(value)`
+    * aggregate; both medians are rank lookups on distinct-value-sized
+    * cumulated frames ([[PrefixSum.runningTotal]] range exchanges),
+    * and the deviation regroup runs over distinct values only. */
+  def medianMad(df: DataFrame, value: Column): DataFrame = {
+    val perValue = df.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = PrefixSum.runningTotal(perValue, Seq(col("v")), col("cnt"),
+        out = "cum")
+      .transform(graft.core.Pin.apply) // total + rank lookup + regroup
+    val totals = cum.agg(sum(col("cnt")).as("n"))
+    def med2Of(cumulated: DataFrame): DataFrame = cumulated
+      .crossJoin(broadcast(totals))
+      .agg(
+        (min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))) +
+          min(when(col("cum") >= expr("n div 2 + 1"), col("v"))))
+          .as("m2"))
+    val med2 = med2Of(cum).transform(graft.core.Pin.apply)
+    val devs = cum.crossJoin(broadcast(med2))
+      .select(abs(lit(2L) * col("v") - col("m2")).as("v"), col("cnt"))
+      .groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
+    val devCum = PrefixSum.runningTotal(devs, Seq(col("v")), col("cnt"),
+      out = "cum")
+    med2Of(devCum).withColumnRenamed("m2", "mad4")
+      .crossJoin(broadcast(med2))
+      .crossJoin(broadcast(totals))
+      .select(col("n"), col("m2").as("med2"), col("mad4"),
+        (col("m2") / lit(2L)).as("median"),
+        (col("mad4") / lit(4L)).as("mad"))
+  }
 }

@@ -1209,6 +1209,46 @@ object AnalyticsQueries {
             / (67425E0 * vy_n) END AS r2
       FROM c ORDER BY key"""))
 
+  // ---------------------------------------------------------------- q264
+  /** Exact median + MAD ([[graft.operators.RobustMean.medianMad]]):
+    * the robust center/spread of the price distribution, integral
+    * throughout via the doubled two-rank sum (med2 = v@⌈n/2⌉ +
+    * v@(⌊n/2⌋+1), mad4 the same over |2v − med2| REGROUPED from the
+    * per-value counts — the corpus is scanned once, both medians are
+    * rank lookups on distinct-value frames). */
+  val q264MedianMad = Q(
+    "q264_median_mad",
+    (s, d) => {
+      graft.operators.RobustMean.medianMad(
+        Tables.lineitem(s, d),
+        expr("cast(round(l_extendedprice * 100) as bigint)"))
+    },
+    Some("""WITH g AS (SELECT
+          cast(round(l_extendedprice * 100) AS bigint) AS v,
+          count(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      c AS (SELECT v, cast(cnt AS bigint) AS cnt,
+          cast(sum(cnt) OVER (ORDER BY v) AS bigint) AS cum
+        FROM g),
+      t AS (SELECT cast(sum(cnt) AS bigint) AS n FROM c),
+      m AS (SELECT
+          (SELECT min(c.v) FROM c, t WHERE c.cum >= (t.n + 1) // 2) +
+          (SELECT min(c.v) FROM c, t WHERE c.cum >= t.n // 2 + 1)
+            AS med2),
+      d AS (SELECT abs(2 * c.v - m.med2) AS v, c.cnt FROM c, m),
+      dg AS (SELECT v, cast(sum(cnt) AS bigint) AS cnt
+        FROM d GROUP BY v),
+      dc AS (SELECT v, cnt,
+          cast(sum(cnt) OVER (ORDER BY v) AS bigint) AS cum
+        FROM dg),
+      m2 AS (SELECT
+          (SELECT min(dc.v) FROM dc, t WHERE dc.cum >= (t.n + 1) // 2) +
+          (SELECT min(dc.v) FROM dc, t WHERE dc.cum >= t.n // 2 + 1)
+            AS mad4)
+      SELECT t.n, m.med2, m2.mad4,
+        m.med2 / 2 AS median, m2.mad4 / 4 AS mad
+      FROM t, m, m2"""))
+
   // ---------------------------------------------------------------- q263
   /** Cohen's kappa ([[graft.operators.Agreement]]): chance-corrected
     * agreement between two deterministic labelers of the event stream
@@ -1257,5 +1297,5 @@ object AnalyticsQueries {
     q244Concentration, q245ChiSquare, q246KsDrift, q247Bootstrap,
     q249Ndcg, q250HitsAtK, q251Welch, q253Pearson, q254Spearman,
     q255TimeDecay, q256Ecdf, q257RobustMean, q260TrendOls,
-    q263Kappa)
+    q263Kappa, q264MedianMad)
 }

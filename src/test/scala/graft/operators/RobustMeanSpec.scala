@@ -71,4 +71,40 @@ class RobustMeanSpec extends SparkSpec {
       1, 8).collect()(0)
     assert(a.toSeq === b.toSeq)
   }
+
+  private def runMedMad(values: Seq[Long]) = {
+    import spark.implicits._
+    RobustMean.medianMad(values.toDF("x").repartition(4), col("x"))
+      .collect()(0)
+  }
+
+  /** Brute doubled median: sum of the two middle sorted values. */
+  private def bruteMed2(values: Seq[Long]): Long = {
+    val s = values.sorted
+    val n = s.size
+    s((n + 1) / 2 - 1) + s(n / 2 + 1 - 1)
+  }
+
+  test("median and MAD match brute force on odd/even/tied fixtures") {
+    val rnd = new scala.util.Random(173)
+    Seq(301, 400).foreach { n =>
+      val values = Seq.fill(n)(rnd.nextInt(40).toLong - 7L)
+      val r = runMedMad(values)
+      val med2 = bruteMed2(values)
+      val mad4 = bruteMed2(values.map(v => math.abs(2L * v - med2)))
+      assert(r.getAs[Long]("med2") === med2, s"n=$n")
+      assert(r.getAs[Long]("mad4") === mad4, s"n=$n")
+      assert(r.getAs[Double]("median") === med2 / 2.0)
+      assert(r.getAs[Double]("mad") === mad4 / 4.0)
+    }
+  }
+
+  test("median/MAD anchors: known small sets, outlier immunity") {
+    val r = runMedMad(Seq(1L, 2L, 3L, 4L, 1000000L))
+    assert(r.getAs[Double]("median") === 3.0)
+    assert(r.getAs[Double]("mad") === 1.0)
+    val even = runMedMad(Seq(1L, 3L, 5L, 7L))
+    assert(even.getAs[Double]("median") === 4.0) // (3+5)/2
+    assert(even.getAs[Double]("mad") === 2.0)
+  }
 }
