@@ -497,9 +497,47 @@ object CorpusQueries {
           AS seg_len
       FROM g ORDER BY seq_id, seg_offset"""))
 
+  // ---------------------------------------------------------------- q265
+  /** Deterministic PPS systematic sampling
+    * ([[graft.operators.PpsSample]]): a 1000-point weight-
+    * proportional sample of orders by price — m selection midpoints
+    * on the md5-ordered weight line, multiplicities summing to
+    * exactly m, pure integer algebra off one running total (Poisson
+    * samplers only hit m in expectation; this is the auditor's exact-
+    * size draw). */
+  val q265PpsSample = Q(
+    "q265_pps_sample",
+    (s, d) => {
+      graft.operators.PpsSample.sample(
+        Tables.orders(s, d), col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)"), m = 1000L)
+        .orderBy(col("id"))
+    },
+    Some("""WITH d AS (SELECT o_orderkey AS id,
+          cast(round(o_totalprice * 100) AS bigint) AS w,
+          md5(cast(o_orderkey AS varchar) || ':pps') AS ord
+        FROM orders WHERE cast(round(o_totalprice * 100) AS bigint) > 0),
+      c AS (SELECT id, w,
+          cast(sum(w) OVER (ORDER BY ord, id) AS bigint) AS cum
+        FROM d),
+      t AS (SELECT cast(max(cum) AS bigint) AS big_w FROM c),
+      x AS (SELECT c.id, c.w, c.cum, t.big_w,
+          2000 * cum - big_w AS num_hi,
+          2000 * (cum - w) - big_w AS num_lo,
+          2 * big_w AS den2
+        FROM c, t),
+      y AS (SELECT id, w, cum,
+          greatest(0, least(1000, CASE WHEN num_hi <= 0 THEN 0
+              ELSE (num_hi + den2 - 1) // den2 END))
+            - greatest(0, least(1000, CASE WHEN num_lo <= 0 THEN 0
+              ELSE (num_lo + den2 - 1) // den2 END)) AS multiplicity
+        FROM x)
+      SELECT id, w, cum, cast(multiplicity AS bigint) AS multiplicity
+      FROM y WHERE multiplicity >= 1 ORDER BY id"""))
+
   val all: Seq[Q] = Seq(
     q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
     q156ProfileEvents, q159TemperatureMix, q181ProfileApprox,
     q184SkewReport, q185CorpusDiff, q213Phrases, q214PhraseMerge,
-    q219RepeatedSpans, q262SequencePack)
+    q219RepeatedSpans, q262SequencePack, q265PpsSample)
 }
