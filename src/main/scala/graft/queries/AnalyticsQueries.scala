@@ -1209,6 +1209,83 @@ object AnalyticsQueries {
             / (67425E0 * vy_n) END AS r2
       FROM c ORDER BY key"""))
 
+  // ---------------------------------------------------------------- q266
+  /** RFM customer segmentation composed from [[graft.operators.Ecdf]]:
+    * recency/frequency/monetary quintile codes per customer, bucketed
+    * by the rank of each metric's first tie position
+    * (`1 + 5·(cum−cnt) div n` — tie-stable, no arbitrary ntile split)
+    * so equal metrics always share a code. Per-dimension rank maps
+    * are distinct-value-sized and AQE-broadcast back onto the
+    * customer frame; no unpartitioned window over the customer
+    * population ever plans. Bucket 5 = best (most recent / most
+    * frequent / highest spend). */
+  val q266Rfm = Q(
+    "q266_rfm_segments",
+    (s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(
+          datediff(to_date(lit("1998-08-02")), max(to_date(col("o_orderdate"))))
+            .cast("long").as("r_days"),
+          count(lit(1)).as("f_cnt"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .as("m_cents"))
+      // quintile of each metric's first tie position: distinct-value
+      // rank map (Ecdf) + one scalar anchor; ties share a bucket
+      def buckets(metric: String): org.apache.spark.sql.DataFrame = {
+        val e = graft.operators.Ecdf.ecdf(m, col(metric))
+        val tot = e.agg(max(col("cum_le")).as("n"))
+        e.crossJoin(broadcast(tot))
+          .select(col("v").as(metric),
+            expr("1 + (5 * (cum_le - cnt)) div n")
+              .cast("long").as(s"${metric}_b"))
+      }
+      val rb = buckets("r_days")
+      val fb = buckets("f_cnt")
+      val mb = buckets("m_cents")
+      m.join(rb, Seq("r_days")).join(fb, Seq("f_cnt"))
+        .join(mb, Seq("m_cents"))
+        .select(col("cust"),
+          col("r_days"), col("f_cnt"), col("m_cents"),
+          (lit(6L) - col("r_days_b")).as("r_score"),
+          col("f_cnt_b").as("f_score"),
+          col("m_cents_b").as("m_score"))
+        .withColumn("rfm_code",
+          col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+        .orderBy(col("cust"))
+    },
+    Some("""WITH m AS (SELECT o_custkey AS cust,
+          datediff('day', max(cast(o_orderdate AS date)),
+            DATE '1998-08-02') AS r_days,
+          cast(count(*) AS bigint) AS f_cnt,
+          cast(sum(cast(round(o_totalprice * 100) AS bigint))
+            AS bigint) AS m_cents
+        FROM orders GROUP BY o_custkey),
+      t AS (SELECT cast(count(*) AS bigint) AS n FROM m),
+      rb AS (SELECT v AS r_days, 1 + (5 * (cum - cnt)) // n AS rb
+        FROM (SELECT v, cast(cnt AS bigint) AS cnt,
+            cast(sum(cnt) OVER (ORDER BY v) AS bigint) AS cum
+          FROM (SELECT r_days AS v, count(*) AS cnt FROM m
+            GROUP BY r_days) a) b, t),
+      fb AS (SELECT v AS f_cnt, 1 + (5 * (cum - cnt)) // n AS fb
+        FROM (SELECT v, cast(cnt AS bigint) AS cnt,
+            cast(sum(cnt) OVER (ORDER BY v) AS bigint) AS cum
+          FROM (SELECT f_cnt AS v, count(*) AS cnt FROM m
+            GROUP BY f_cnt) a) b, t),
+      mb AS (SELECT v AS m_cents, 1 + (5 * (cum - cnt)) // n AS mb
+        FROM (SELECT v, cast(cnt AS bigint) AS cnt,
+            cast(sum(cnt) OVER (ORDER BY v) AS bigint) AS cum
+          FROM (SELECT m_cents AS v, count(*) AS cnt FROM m
+            GROUP BY m_cents) a) b, t)
+      SELECT cust, r_days, f_cnt, m_cents,
+        cast(6 - rb AS bigint) AS r_score,
+        cast(fb AS bigint) AS f_score,
+        cast(mb AS bigint) AS m_score,
+        cast((6 - rb) * 100 + fb * 10 + mb AS bigint) AS rfm_code
+      FROM m JOIN rb USING (r_days) JOIN fb USING (f_cnt)
+        JOIN mb USING (m_cents)
+      ORDER BY cust"""))
+
   // ---------------------------------------------------------------- q264
   /** Exact median + MAD ([[graft.operators.RobustMean.medianMad]]):
     * the robust center/spread of the price distribution, integral
@@ -1297,5 +1374,5 @@ object AnalyticsQueries {
     q244Concentration, q245ChiSquare, q246KsDrift, q247Bootstrap,
     q249Ndcg, q250HitsAtK, q251Welch, q253Pearson, q254Spearman,
     q255TimeDecay, q256Ecdf, q257RobustMean, q260TrendOls,
-    q263Kappa, q264MedianMad)
+    q263Kappa, q264MedianMad, q266Rfm)
 }
