@@ -87,9 +87,13 @@ object RobustMean {
     * aggregate; both medians are rank lookups on distinct-value-sized
     * cumulated frames ([[PrefixSum.runningTotal]] range exchanges),
     * and the deviation regroup runs over distinct values only. */
-  def medianMad(df: DataFrame, value: Column): DataFrame = {
-    val perValue = df.select(value.cast("long").as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+  def medianMad(df: DataFrame, value: Column): DataFrame =
+    medianMadFrom(df.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+
+  /** [[medianMad]] over an ALREADY-AGGREGATED `(v, cnt)` frame —
+    * shared by [[outlierReport]] so the corpus is scanned once. */
+  private def medianMadFrom(perValue: DataFrame): DataFrame = {
     val cum = PrefixSum.runningTotal(perValue, Seq(col("v")), col("cnt"),
         out = "cum")
       .transform(graft.core.Pin.apply) // total + rank lookup + regroup
@@ -112,5 +116,45 @@ object RobustMean {
       .select(col("n"), col("m2").as("med2"), col("mad4"),
         (col("m2") / lit(2L)).as("median"),
         (col("mad4") / lit(4L)).as("mad"))
+  }
+
+  /** Robust outlier report via the modified z-score: a row is an
+    * outlier when `|x − median| > (kNum/kDen)·1.4826·MAD` —
+    * evaluated ENTIRELY in integers as
+    * `2·kDen·10000·|2v − med2| > kNum·14826·mad4` (both sides exact
+    * bigints; 1.4826 enters as the exact rational 14826/10000, and
+    * the doubled/quadrupled med2/mad4 scalings cancel into the
+    * constants). One row out: `n med2 mad4 n_outliers out_min out_max
+    * sum_outliers` — the data-quality gate robust to the very
+    * outliers a mean/stddev gate is wrecked by.
+    *
+    * Scale shape: [[medianMad]]'s passes + one more aggregate over
+    * the SAME pinned per-value frame; the corpus is still scanned
+    * once. Integer envelope: `kNum·14826·mad4` — keep kNum small
+    * (the conventional threshold is 35/10). */
+  def outlierReport(
+      df: DataFrame, value: Column, kNum: Long = 35L,
+      kDen: Long = 10L): DataFrame = {
+    require(kNum > 0 && kDen > 0, "threshold must be positive")
+    val perValue = df.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .transform(graft.core.Pin.apply) // medianMad passes + outlier pass
+    val stats = medianMadFrom(perValue)
+      .select(col("n"), col("med2"), col("mad4"))
+      .transform(graft.core.Pin.apply)
+    perValue.crossJoin(broadcast(stats))
+      .withColumn("dev2", abs(lit(2L) * col("v") - col("med2")))
+      .withColumn("is_out",
+        lit(2L * kDen * 10000L) * col("dev2") >
+          lit(kNum) * lit(14826L) * col("mad4"))
+      .agg(
+        first(col("n")).as("n"), first(col("med2")).as("med2"),
+        first(col("mad4")).as("mad4"),
+        sum(when(col("is_out"), col("cnt")).otherwise(0L))
+          .as("n_outliers"),
+        min(when(col("is_out"), col("v"))).as("out_min"),
+        max(when(col("is_out"), col("v"))).as("out_max"),
+        coalesce(sum(when(col("is_out"), col("v") * col("cnt"))),
+          lit(0L)).as("sum_outliers"))
   }
 }

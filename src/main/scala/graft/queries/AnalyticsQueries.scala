@@ -1326,6 +1326,57 @@ object AnalyticsQueries {
         m.med2 / 2 AS median, m2.mad4 / 4 AS mad
       FROM t, m, m2"""))
 
+  // ---------------------------------------------------------------- q267
+  /** Robust outlier gate ([[graft.operators.RobustMean.outlierReport]]):
+    * the modified z-score data-quality check on prices —
+    * `|x − median| > 3.5·1.4826·MAD` evaluated entirely in integers
+    * (1.4826 as the exact rational 14826/10000, the doubled med2/mad4
+    * scalings cancelled into the constants 200000/518910). The gate a
+    * mean/stddev rule cannot provide: the planted extremes that wreck
+    * σ leave the median and MAD unmoved. */
+  val q267OutlierGate = Q(
+    "q267_outlier_gate",
+    (s, d) => {
+      graft.operators.RobustMean.outlierReport(
+        Tables.lineitem(s, d),
+        expr("cast(round(l_extendedprice * 100) as bigint)"),
+        kNum = 35L, kDen = 10L)
+    },
+    Some("""WITH g AS (SELECT
+          cast(round(l_extendedprice * 100) AS bigint) AS v,
+          count(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      c AS (SELECT v, cast(cnt AS bigint) AS cnt,
+          cast(sum(cnt) OVER (ORDER BY v) AS bigint) AS cum
+        FROM g),
+      t AS (SELECT cast(sum(cnt) AS bigint) AS n FROM c),
+      m AS (SELECT
+          (SELECT min(c.v) FROM c, t WHERE c.cum >= (t.n + 1) // 2) +
+          (SELECT min(c.v) FROM c, t WHERE c.cum >= t.n // 2 + 1)
+            AS med2),
+      d AS (SELECT abs(2 * c.v - m.med2) AS v, c.cnt FROM c, m),
+      dg AS (SELECT v, cast(sum(cnt) AS bigint) AS cnt
+        FROM d GROUP BY v),
+      dc AS (SELECT v, cnt,
+          cast(sum(cnt) OVER (ORDER BY v) AS bigint) AS cum
+        FROM dg),
+      m2 AS (SELECT
+          (SELECT min(dc.v) FROM dc, t WHERE dc.cum >= (t.n + 1) // 2) +
+          (SELECT min(dc.v) FROM dc, t WHERE dc.cum >= t.n // 2 + 1)
+            AS mad4),
+      o AS (SELECT g.v, cast(g.cnt AS bigint) AS cnt,
+          200000 * abs(2 * g.v - m.med2) > 518910 * m2.mad4 AS is_out
+        FROM g, m, m2)
+      SELECT t.n, m.med2, m2.mad4,
+        cast(sum(CASE WHEN is_out THEN cnt ELSE 0 END) AS bigint)
+          AS n_outliers,
+        cast(min(CASE WHEN is_out THEN v END) AS bigint) AS out_min,
+        cast(max(CASE WHEN is_out THEN v END) AS bigint) AS out_max,
+        cast(coalesce(sum(CASE WHEN is_out THEN v * cnt END), 0)
+          AS bigint) AS sum_outliers
+      FROM o, t, m, m2
+      GROUP BY t.n, m.med2, m2.mad4"""))
+
   // ---------------------------------------------------------------- q263
   /** Cohen's kappa ([[graft.operators.Agreement]]): chance-corrected
     * agreement between two deterministic labelers of the event stream
@@ -1374,5 +1425,5 @@ object AnalyticsQueries {
     q244Concentration, q245ChiSquare, q246KsDrift, q247Bootstrap,
     q249Ndcg, q250HitsAtK, q251Welch, q253Pearson, q254Spearman,
     q255TimeDecay, q256Ecdf, q257RobustMean, q260TrendOls,
-    q263Kappa, q264MedianMad, q266Rfm)
+    q263Kappa, q264MedianMad, q266Rfm, q267OutlierGate)
 }

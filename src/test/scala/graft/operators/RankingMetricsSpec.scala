@@ -109,6 +109,16 @@ class RankingMetricsSpec extends SparkSpec {
     assert(idcgOf(a) === idcgOf(b))
   }
 
+  test("plan shape: both rank windows and the aggregate ride ONE " +
+    "exchange on the query key") {
+    val plan = RankingMetrics.ndcgAtK(df, col("q_id"), col("gain"),
+      order, k).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected a single hash exchange, got $exchanges:\n$plan")
+  }
+
   test("results are partitioning-invariant") {
     import spark.implicits._
     val one = rows.toDF("q_id", "item", "score", "gain").coalesce(1)

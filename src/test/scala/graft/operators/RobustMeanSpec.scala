@@ -107,4 +107,41 @@ class RobustMeanSpec extends SparkSpec {
     assert(even.getAs[Double]("median") === 4.0) // (3+5)/2
     assert(even.getAs[Double]("mad") === 2.0)
   }
+
+  private def runOutliers(values: Seq[Long], kNum: Long, kDen: Long) = {
+    import spark.implicits._
+    RobustMean.outlierReport(values.toDF("x").repartition(4), col("x"),
+      kNum, kDen).collect()(0)
+  }
+
+  test("outlier report matches a brute-force modified z-score gate") {
+    val rnd = new scala.util.Random(197)
+    val values = Seq.fill(400)(rnd.nextInt(30).toLong + 50L) ++
+      Seq(5000L, -900L, 52L)
+    val r = runOutliers(values, 35L, 10L)
+    val med2 = bruteMed2(values)
+    val mad4 = bruteMed2(values.map(v => math.abs(2L * v - med2)))
+    val out = values.filter(v =>
+      2L * 10L * 10000L * math.abs(2L * v - med2) > 35L * 14826L * mad4)
+    assert(r.getAs[Long]("n_outliers") === out.size.toLong)
+    assert(r.getAs[Long]("out_min") === out.min)
+    assert(r.getAs[Long]("out_max") === out.max)
+    assert(r.getAs[Long]("sum_outliers") === out.sum)
+    assert(out.contains(5000L) && out.contains(-900L) &&
+      !out.contains(52L))
+  }
+
+  test("no outliers on a tight distribution: count 0, null bounds") {
+    val r = runOutliers((1L to 100L).map(_ % 5L + 10L), 35L, 10L)
+    assert(r.getAs[Long]("n_outliers") === 0L)
+    assert(r.isNullAt(r.fieldIndex("out_min")))
+    assert(r.getAs[Long]("sum_outliers") === 0L)
+  }
+
+  test("zero-MAD convention: when the majority shares one value, " +
+    "every differing value is an outlier") {
+    val r = runOutliers(Seq.fill(60)(7L) ++ Seq(8L, 6L, 7L), 35L, 10L)
+    assert(r.getAs[Long]("mad4") === 0L)
+    assert(r.getAs[Long]("n_outliers") === 2L)
+  }
 }

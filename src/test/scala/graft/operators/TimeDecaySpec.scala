@@ -60,6 +60,16 @@ class TimeDecaySpec extends SparkSpec {
     assert(math.abs(w(6) - 0.25) < 1e-15)
   }
 
+  test("plan shape: one hash exchange, no join, no window — events " +
+    "never re-shuffle per day") {
+    val plan = TimeDecay.decayedCounts(df, col("k"), col("ts"),
+      "2024-03-20", horizon, halfLife)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.toLowerCase.contains("window("), plan)
+  }
+
   test("partitioning-invariant") {
     import spark.implicits._
     val one = rows.map { case (k, day) =>
