@@ -62,14 +62,52 @@ object Bootstrap {
     */
   def poissonMeans(
       df: DataFrame, key: Column, valueCents: Column,
-      replicas: Int = 32, salt: String = "g"): DataFrame = {
+      replicas: Int = 32, salt: String = "g"): DataFrame =
+    meansWith(df, key, valueCents, replicas, salt, weight)
+
+  /** The same CDF thresholds as unsigned 32-bit longs — the FAST
+    * family compares integers, not hex strings. */
+  private[operators] val CdfLong: Seq[Long] =
+    CdfHex.map(java.lang.Long.parseLong(_, 16))
+
+  /** PRODUCTION-family weight: one codegen'd `xxhash64` per TWO
+    * replicas (the 64-bit hash is two independent 32-bit uniforms —
+    * replicas 2g/2g+1 take the high/low word of
+    * `xxhash64(key ":bs" g ":" salt)`), thresholds as integer
+    * constants — no digest, no hex detour, the [[CountMin]]
+    * fast-family precedent. NOT replayable in DuckDB; q268 pins its
+    * statistical envelope instead (the q218 recipe), and the spec
+    * pins the draw against an independent JVM xxhash64. */
+  private[operators] def weightFast(
+      key: Column, b: Int, salt: String): Column = {
+    val h = xxhash64(concat(key.cast("string"), lit(s":bs${b / 2}:$salt")))
+    val u =
+      if (b % 2 == 0) shiftrightunsigned(h, 32)
+      else h.bitwiseAND(lit(0xFFFFFFFFL))
+    CdfLong.zipWithIndex.foldRight(lit(7L): Column) {
+      case ((th, k), acc) => when(u < lit(th), k.toLong).otherwise(acc)
+    }
+  }
+
+  /** [[poissonMeans]] drawing with the [[weightFast]] xxhash64 family
+    * — same output shape, measured ~5× cheaper per row at 30×
+    * (SCALE.md). */
+  def poissonMeansFast(
+      df: DataFrame, key: Column, valueCents: Column,
+      replicas: Int = 32, salt: String = "g"): DataFrame =
+    meansWith(df, key, valueCents, replicas, salt, weightFast)
+
+  private def meansWith(
+      df: DataFrame, key: Column, valueCents: Column,
+      replicas: Int, salt: String,
+      w: (Column, Int, String) => Column): DataFrame = {
     require(replicas >= 1 && replicas <= 512,
       s"replicas must be in [1,512], got $replicas")
     val aggs = (0 until replicas).flatMap { b =>
-      val w = weight(key, b, salt)
+      val wb = w(key, b, salt)
       Seq(
-        sum(w * valueCents.cast("long")).as(s"s$b"),
-        sum(w).as(s"n$b"))
+        sum(wb * valueCents.cast("long")).as(s"s$b"),
+        sum(wb).as(s"n$b"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     one

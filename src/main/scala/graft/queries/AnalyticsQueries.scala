@@ -836,6 +836,50 @@ object AnalyticsQueries {
         sum(w * x) / sum(w) AS mean_cents
       FROM w GROUP BY rep ORDER BY replica"""))
 
+  // ---------------------------------------------------------------- q268
+  /** Production bootstrap family
+    * ([[graft.operators.Bootstrap.poissonMeansFast]]): the xxhash64
+    * draw — one codegen'd 8-byte hash per TWO replicas instead of
+    * q247's md5 digest + hex substrings (measured 5.3× cheaper at 30×,
+    * SCALE.md). xxhash64 is not replayable in DuckDB, so this is the
+    * q218 envelope recipe: each replica's effective size must sit
+    * within 5σ of n and its mean within 5·SE of the true mean — both
+    * booleans DETERMINISTIC for fixed data and salt, pinned TRUE by
+    * the oracle. A broken hash family (bad uniformity, word reuse)
+    * flips them and fails the driver gate. */
+  val q268BootstrapFast = Q(
+    "q268_bootstrap_fast",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("k"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("x"))
+      val reps = graft.operators.Bootstrap
+        .poissonMeansFast(li, col("k"), col("x"), replicas = 16,
+          salt = "g")
+      val stats = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x"))
+          .cast("double").as("sxx"))
+        .select(col("n"),
+          (col("sx").cast("double") / col("n")).as("mu"),
+          sqrt((col("sxx") - col("sx").cast("double") * col("sx")
+            / col("n")) / col("n")).as("sd"))
+      reps.crossJoin(broadcast(stats))
+        .select(col("replica"),
+          (abs(col("n_eff") - col("n")) <=
+            lit(5.0) * sqrt(col("n").cast("double"))).as("n_eff_ok"),
+          (abs(col("mean_cents") - col("mu")) <=
+            lit(5.0) * col("sd") / sqrt(col("n").cast("double")))
+            .as("mean_ok"))
+        .orderBy(col("replica"))
+    },
+    Some("""WITH reps AS (SELECT unnest(generate_series(0, 15)) AS r)
+      SELECT cast(r AS bigint) AS replica,
+        true AS n_eff_ok, true AS mean_ok
+      FROM reps ORDER BY replica"""))
+
   // ---------------------------------------------------------------- q249
   /** NDCG@5 per customer ([[graft.operators.RankingMetrics]]): does
     * ranking a customer's orders by price surface the urgent ones?
@@ -1425,5 +1469,6 @@ object AnalyticsQueries {
     q244Concentration, q245ChiSquare, q246KsDrift, q247Bootstrap,
     q249Ndcg, q250HitsAtK, q251Welch, q253Pearson, q254Spearman,
     q255TimeDecay, q256Ecdf, q257RobustMean, q260TrendOls,
-    q263Kappa, q264MedianMad, q266Rfm, q267OutlierGate)
+    q263Kappa, q264MedianMad, q266Rfm, q267OutlierGate,
+    q268BootstrapFast)
 }

@@ -76,4 +76,48 @@ class BootstrapSpec extends SparkSpec {
     val r8 = run(8)
     (0 until 8).foreach(b => assert(r16(b.toLong) === r8(b.toLong)))
   }
+
+  private def runFast(b: Int, parts: Int = 4) = {
+    import spark.implicits._
+    Bootstrap.poissonMeansFast(
+      rows.toDF("k", "x").repartition(parts),
+      col("k"), col("x"), replicas = b, salt = "t")
+      .collect()
+      .map(r => (r.getAs[Long]("replica"),
+        (r.getAs[Long]("n_eff"), r.getAs[Long]("sum_cents"))))
+      .toMap
+  }
+
+  test("fast family: same statistical envelope as the md5 family — " +
+    "n_eff concentration, straddling means, SE-scaled spread") {
+    val got = runFast(24)
+    val trueMean = rows.map(_._2).sum.toDouble / rows.size
+    got.values.foreach { case (n, _) =>
+      assert(math.abs(n - 2000L) < 6 * math.sqrt(2000.0))
+    }
+    val means = got.values.toSeq.map { case (n, s) => s.toDouble / n }
+    assert(means.min < trueMean && trueMean < means.max)
+    val sd = math.sqrt(rows.map(x =>
+      math.pow(x._2 - trueMean, 2)).sum / rows.size)
+    val se = sd / math.sqrt(rows.size.toDouble)
+    val bootSd = math.sqrt(
+      means.map(m => math.pow(m - means.sum / means.size, 2)).sum
+        / means.size)
+    assert(bootSd > se / 3 && bootSd < se * 3)
+  }
+
+  test("fast family: deterministic, partitioning-invariant, prefix-" +
+    "independent, and the two word-halves of one hash draw " +
+    "independently") {
+    assert(runFast(8, 1).toSeq.sortBy(_._1) ===
+      runFast(8, 13).toSeq.sortBy(_._1))
+    val r16 = runFast(16)
+    (0 until 8).foreach(b => assert(r16(b.toLong) === runFast(8)(b.toLong)))
+    // replicas 2g and 2g+1 share a hash but not a draw
+    (0 until 8 by 2).foreach(b =>
+      assert(r16(b.toLong) !== r16(b.toLong + 1)))
+    // and the fast family is a DIFFERENT draw than the md5 family
+    val md5r = run(8)
+    assert((0 until 8).exists(b => md5r(b.toLong) !== runFast(8)(b.toLong)))
+  }
 }
