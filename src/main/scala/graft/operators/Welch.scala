@@ -37,11 +37,23 @@ object Welch {
     * @param group boolean column — true = treatment, false = control
     * @param value integer-valued outcome column
     */
-  def tTest(df: DataFrame, group: Column, value: Column): DataFrame = {
+  def tTest(df: DataFrame, group: Column, value: Column): DataFrame =
+    tTestBy(df.withColumn("__seg", lit(0L)), col("__seg"), group, value)
+      .drop("segment")
+
+  /** [[tTest]] per segment — the metric-regression SWEEP (one t per
+    * market/cohort/experiment cell, thousands at once): the same six
+    * exact bigints per segment through ONE map-side-combinable
+    * aggregate keyed on the segment; the shuffle carries
+    * segments × 6 longs. A per-segment loop of scalar tests — the
+    * driver-side anti-pattern — never appears. */
+  def tTestBy(
+      df: DataFrame, segment: Column, group: Column,
+      value: Column): DataFrame = {
     val x = value.cast("long")
     def side(g: Boolean, c: Column): Column =
       sum(when(group === lit(g), c).otherwise(0L))
-    val base = df.agg(
+    val base = df.groupBy(segment.as("segment")).agg(
       side(true, lit(1L)).as("n1"), side(false, lit(1L)).as("n0"),
       side(true, x).as("sum1"), side(false, x).as("sum0"),
       side(true, x * x).as("ss1"), side(false, x * x).as("ss0"))

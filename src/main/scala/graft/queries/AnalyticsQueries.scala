@@ -1370,6 +1370,58 @@ object AnalyticsQueries {
         m.med2 / 2 AS median, m2.mad4 / 4 AS mad
       FROM t, m, m2"""))
 
+  // ---------------------------------------------------------------- q269
+  /** Per-segment Welch sweep ([[graft.operators.Welch.tTestBy]]): one
+    * t-test per supplier nation — does the returned-vs-kept quantity
+    * difference replicate across 25 markets at once? The sweep is ONE
+    * map-side-combinable aggregate keyed on the segment (segments ×
+    * 6 longs cross the wire — never a driver loop of scalar tests);
+    * the `significant` flag applies the |t| > 3.2905 (two-sided
+    * α=0.001) threshold the multiple-testing convention demands of a
+    * 25-cell sweep. */
+  val q269WelchSweep = Q(
+    "q269_welch_sweep",
+    (s, d) => {
+      val j = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      graft.operators.Welch.tTestBy(j, col("s_nationkey"),
+        col("l_returnflag") === "R", col("l_quantity"))
+        .withColumn("significant", abs(col("t")) > 3.2905)
+        .orderBy(col("segment"))
+    },
+    Some("""WITH j AS (SELECT s_nationkey AS seg,
+          l_returnflag = 'R' AS g, cast(l_quantity AS bigint) AS x
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      b AS (SELECT seg,
+          cast(sum(CASE WHEN g THEN 1 ELSE 0 END) AS bigint) AS n1,
+          cast(sum(CASE WHEN g THEN 0 ELSE 1 END) AS bigint) AS n0,
+          cast(sum(CASE WHEN g THEN x ELSE 0 END) AS bigint) AS sum1,
+          cast(sum(CASE WHEN g THEN 0 ELSE x END) AS bigint) AS sum0,
+          cast(sum(CASE WHEN g THEN x * x ELSE 0 END) AS bigint) AS ss1,
+          cast(sum(CASE WHEN g THEN 0 ELSE x * x END) AS bigint) AS ss0
+        FROM j GROUP BY seg),
+      m AS (SELECT *,
+          cast(sum1 AS double) / n1 AS mean1,
+          cast(sum0 AS double) / n0 AS mean0,
+          CASE WHEN n1 < 2 THEN NULL
+            ELSE (cast(ss1 AS double) - cast(sum1 AS double) * sum1
+              / n1) / (n1 - 1) END AS var1,
+          CASE WHEN n0 < 2 THEN NULL
+            ELSE (cast(ss0 AS double) - cast(sum0 AS double) * sum0
+              / n0) / (n0 - 1) END AS var0
+        FROM b),
+      v AS (SELECT *, var1 / n1 + var0 / n0 AS se2 FROM m),
+      f AS (SELECT seg AS segment, n1, n0, sum1, sum0, ss1, ss0,
+          mean1, mean0, var1, var0, se2,
+          CASE WHEN se2 IS NULL OR se2 = 0 THEN NULL
+            ELSE (mean1 - mean0) / sqrt(se2) END AS t,
+          CASE WHEN se2 IS NULL OR se2 = 0 THEN NULL
+            ELSE se2 * se2 / (var1 / n1 * (var1 / n1) / (n1 - 1)
+              + var0 / n0 * (var0 / n0) / (n0 - 1)) END AS df_welch
+        FROM v)
+      SELECT *, abs(t) > 3.2905 AS significant
+      FROM f ORDER BY segment"""))
+
   // ---------------------------------------------------------------- q267
   /** Robust outlier gate ([[graft.operators.RobustMean.outlierReport]]):
     * the modified z-score data-quality check on prices —
@@ -1470,5 +1522,5 @@ object AnalyticsQueries {
     q249Ndcg, q250HitsAtK, q251Welch, q253Pearson, q254Spearman,
     q255TimeDecay, q256Ecdf, q257RobustMean, q260TrendOls,
     q263Kappa, q264MedianMad, q266Rfm, q267OutlierGate,
-    q268BootstrapFast)
+    q268BootstrapFast, q269WelchSweep)
 }

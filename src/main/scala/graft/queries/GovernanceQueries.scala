@@ -157,5 +157,45 @@ object GovernanceQueries {
           SELECT DISTINCT c_custkey FROM customer) z)
       ) r ORDER BY "check""""))
 
-  def all: Seq[Q] = Seq(q200GoldenRecord, q201IntegrityAudit)
+  // ---------------------------------------------------------------- q270
+  /** k-anonymity + l-diversity audit ([[graft.operators.Anonymity]]):
+    * is the customer table releasable with (nation, market segment)
+    * as quasi-identifiers and the account-balance cents sensitive?
+    * One exact hash aggregate on the quasi-identifier key (a sketch
+    * would be wrong by construction here — it can claim diversity a
+    * class does not have); the risky share is one IEEE division of
+    * bigints. */
+  val q270AnonymityAudit = Q(
+    "q270_anonymity_audit",
+    (s, d) => {
+      graft.operators.Anonymity.audit(
+        Tables.customer(s, d),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        expr("cast(round(c_acctbal * 100) as bigint)"),
+        k = 10L, l = 5L)
+    },
+    Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+          cast(count(*) AS bigint) AS sz,
+          cast(count(DISTINCT cast(round(c_acctbal * 100) AS bigint))
+            AS bigint) AS div
+        FROM customer GROUP BY c_nationkey, c_mktsegment)
+      SELECT cast(sum(sz) AS bigint) AS n_rows,
+        cast(count(*) AS bigint) AS n_classes,
+        cast(min(sz) AS bigint) AS min_class_size,
+        cast(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS bigint)
+          AS n_classes_below_k,
+        cast(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS bigint)
+          AS rows_below_k,
+        cast(sum(CASE WHEN div < 5 THEN 1 ELSE 0 END) AS bigint)
+          AS n_classes_below_l,
+        cast(sum(CASE WHEN div < 5 THEN sz ELSE 0 END) AS bigint)
+          AS rows_below_l,
+        cast(sum(CASE WHEN sz < 10 OR div < 5 THEN sz ELSE 0 END)
+          AS bigint) AS rows_risky,
+        sum(CASE WHEN sz < 10 OR div < 5 THEN sz ELSE 0 END)
+          / sum(sz) AS risky_share
+      FROM cls"""))
+
+  def all: Seq[Q] = Seq(q200GoldenRecord, q201IntegrityAudit,
+    q270AnonymityAudit)
 }

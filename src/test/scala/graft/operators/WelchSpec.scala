@@ -70,6 +70,27 @@ class WelchSpec extends SparkSpec {
     assert(constant.isNullAt(constant.fieldIndex("t")))
   }
 
+  test("grouped sweep: every segment's row equals the scalar test on " +
+    "that segment's rows alone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val rows = Seq.fill(900)((rnd.nextInt(5).toLong, rnd.nextBoolean(),
+      (rnd.nextInt(80) + 5).toLong))
+    val swept = Welch.tTestBy(rows.toDF("seg", "g", "x").repartition(4),
+      col("seg"), col("g"), col("x"))
+      .collect().map(r => r.getAs[Long]("segment") -> r).toMap
+    (0L until 5L).foreach { s =>
+      val scalar = Welch.tTest(
+        rows.filter(_._1 == s).map(t => (t._2, t._3)).toDF("g", "x"),
+        col("g"), col("x")).collect()(0)
+      val sweptRow = swept(s)
+      scalar.schema.fieldNames.foreach { f =>
+        assert(sweptRow.getAs[Any](f) === scalar.getAs[Any](f),
+          s"segment $s field $f")
+      }
+    }
+  }
+
   test("partitioning-invariant: identical bigints and IEEE steps at " +
     "any layout") {
     import spark.implicits._
