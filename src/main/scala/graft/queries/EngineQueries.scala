@@ -543,6 +543,50 @@ object EngineQueries {
       SELECT prio, cast(rnk AS bigint) AS rnk, okey, cents FROM r
       WHERE rnk <= 7 ORDER BY prio, rnk"""))
 
+  // ---------------------------------------------------------------- q271
+  /** Incremental join maintenance
+    * ([[graft.operators.IncrementalJoin.deltaInner]]): the revenue
+    * view over lineitem ⋈ orders maintained under inserts on BOTH
+    * sides (lineitem split by ship date, orders by an id hash — the
+    * deltas partition each table) — old view + ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS,
+    * aggregated, must equal this full re-join oracle exactly: the
+    * bag-semantics delta rule, the generic-join member of the IVM
+    * family beside q230's self-join delta and the stats engine's
+    * aggregate partials. Daily cost O(Δ × fan-out), never a history
+    * re-join. */
+  val q271IncrementalJoin = Q(
+    "q271_incremental_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("okey"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 100) " +
+          "as bigint)").as("rev"),
+        col("l_shipdate"))
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("okey"), col("o_orderpriority").as("prio"))
+      val (liOld, liNew) = (li.filter(col("l_shipdate") < "1996-01-01"),
+        li.filter(col("l_shipdate") >= "1996-01-01"))
+      val (oOld, oNew) = (o.filter(col("okey") % 7L < 4L),
+        o.filter(col("okey") % 7L >= 4L))
+      def slim(df: org.apache.spark.sql.DataFrame) = df.drop("l_shipdate")
+      val oldView = slim(liOld).join(oOld, Seq("okey"))
+      val delta = graft.operators.IncrementalJoin.deltaInner(
+        slim(liOld), slim(liNew), oOld, oNew, Seq("okey"))
+      oldView.unionByName(delta)
+        .groupBy(col("rf"), col("ls"), col("prio"))
+        .agg(sum(col("rev")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("rf"), col("ls"), col("prio"))
+    },
+    Some("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+        o_orderpriority AS prio,
+        cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+          AS bigint)) AS bigint) AS revenue_cents,
+        cast(count(*) AS bigint) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   // ---------------------------------------------------------------- q261
   /** Warm-started streaming top-k
     * ([[graft.streaming.StreamingTopK.WarmTopKProcessor]]): the
@@ -956,5 +1000,5 @@ object EngineQueries {
     q129BucketedAgg, q135StreamingIngest, q158SketchDistinct,
     q173StreamingWindows, q189StreamIntervalJoin, q216MlhdPopularity,
     q228StreamingHeavyHitters, q234TwsTopK, q259SessionTimers,
-    q261WarmTopK)
+    q261WarmTopK, q271IncrementalJoin)
 }
