@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-respecting earliest-arrival search — [[Bfs]] for TEMPORAL
+  * graphs, where each edge carries a timestamp and a path may only
+  * use edges at or after its current arrival time (information,
+  * contagion, or money can flow forward in time only). Static
+  * reachability OVERSTATES temporal reachability — an edge that
+  * happened before you arrived is no path at all — which is exactly
+  * why fraud-flow, influence, and provenance questions need this
+  * operator and not q252's static hops.
+  *
+  * Semantics: `arrival(v)` = the minimum, over time-respecting paths
+  * of ≤ maxHops edges from any seed, of the LAST edge's timestamp
+  * (seeds start at their own `t0`). The iteration is label-correcting
+  * — an improved (earlier) arrival unlocks earlier outgoing edges, so
+  * improved nodes re-propagate — and monotone (arrivals only
+  * decrease), so the delta iteration below equals full per-round
+  * propagation and the whole run is exact integer algebra any engine
+  * replays (the oracle unrolls the same min-merge rounds).
+  *
+  * Scale shape (100 TB of timestamped edges): per round ONE shuffle
+  * join of the IMPROVED frontier against the edge list + a
+  * min-aggregate + a full-outer min-merge against the best-known
+  * frame — frontier-proportional, the [[Bfs]] discipline with a
+  * time-filtered join condition; early stop at the fixpoint.
+  */
+object TemporalBfs {
+
+  /** `(node, arrival)` for every node temporally reachable within
+    * `maxHops` edges; direction is ignored (undirected flow).
+    *
+    * @param ts    integer edge timestamp column (days/micros — any
+    *              consistent unit)
+    * @param seeds `(node, t0)` frame: each seed is live from its t0
+    */
+  def earliestArrival(
+      edges: DataFrame, srcCol: String, dstCol: String, ts: String,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64,
+      s"maxHops must be in [0,64], got $maxHops")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+      col(ts).cast("long").as("ets"))
+    val e = e0.unionByName(
+        e0.select(col("b").as("a"), col("a").as("b"), col("ets")))
+      .distinct()
+      .transform(graft.core.Pin.apply)
+    var best = seeds.toDF("node", "arrival")
+      .groupBy(col("node")).agg(min(col("arrival").cast("long"))
+        .as("arrival"))
+      .transform(graft.core.Pin.apply)
+    var frontier = best
+    var hop = 0
+    var done = frontier.isEmpty
+    while (hop < maxHops && !done) {
+      hop += 1
+      val cand = frontier.join(e,
+          col("node") === col("a") && col("ets") >= col("arrival"))
+        .groupBy(col("b").as("cnode"))
+        .agg(min(col("ets")).as("cand"))
+      val merged = best
+        .join(cand, col("node") === col("cnode"), "full_outer")
+        .select(
+          coalesce(col("node"), col("cnode")).as("node"),
+          least(col("arrival"), col("cand")).as("arrival"),
+          (col("arrival").isNull ||
+            (col("cand").isNotNull && col("cand") < col("arrival")))
+            .as("improved"))
+        .transform(graft.core.Pin.apply)
+      frontier = merged.filter(col("improved"))
+        .select(col("node"), col("arrival"))
+      best = merged.select(col("node"), col("arrival"))
+      done = frontier.isEmpty
+    }
+    best
+  }
+}

@@ -923,6 +923,59 @@ object MiscQueries {
       UNION ALL SELECT node, cast(3 AS bigint) FROM f3
       ORDER BY node"""))
 
+  // ---------------------------------------------------------------- q272
+  /** Time-respecting earliest arrival ([[graft.operators.TemporalBfs]])
+    * over the trading graph with edge time = order day: when can
+    * influence leaving the nation-0 customers at day 0 EARLIEST reach
+    * each participant, moving only forward in time? Static q252
+    * reachability overstates this — an order placed before you
+    * arrived transmits nothing. The oracle unrolls three full
+    * min-merge propagation rounds (≡ the operator's delta iteration,
+    * a monotone-lattice identity the spec pins), so every arrival
+    * time is hash-exact. */
+  val q272TemporalBfs = Q(
+    "q272_temporal_bfs",
+    (s, d) => {
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+            .cast("long").as("day"))
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_nationkey") === 0)
+        .select(col("c_custkey").as("node"), lit(0L).as("t0"))
+      graft.operators.TemporalBfs
+        .earliestArrival(e, "src", "dst", "day", seeds, maxHops = 3)
+        .orderBy(col("node"))
+    },
+    Some("""WITH ed AS (SELECT DISTINCT o_custkey AS a,
+          l_suppkey + 10000000 AS b,
+          cast(datediff('day', DATE '1992-01-01',
+            cast(o_orderdate AS date)) AS bigint) AS t
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e0 AS (SELECT a, b, t FROM ed UNION SELECT b, a, t FROM ed),
+      a0 AS (SELECT DISTINCT c_custkey AS node, cast(0 AS bigint) AS arr
+        FROM customer WHERE c_nationkey = 0),
+      c1 AS (SELECT e0.b AS node, cast(min(e0.t) AS bigint) AS arr
+        FROM e0 JOIN a0 ON e0.a = a0.node AND e0.t >= a0.arr
+        GROUP BY e0.b),
+      a1 AS (SELECT node, min(arr) AS arr FROM (
+        SELECT * FROM a0 UNION ALL SELECT * FROM c1) x GROUP BY node),
+      c2 AS (SELECT e0.b AS node, cast(min(e0.t) AS bigint) AS arr
+        FROM e0 JOIN a1 ON e0.a = a1.node AND e0.t >= a1.arr
+        GROUP BY e0.b),
+      a2 AS (SELECT node, min(arr) AS arr FROM (
+        SELECT * FROM a1 UNION ALL SELECT * FROM c2) x GROUP BY node),
+      c3 AS (SELECT e0.b AS node, cast(min(e0.t) AS bigint) AS arr
+        FROM e0 JOIN a2 ON e0.a = a2.node AND e0.t >= a2.arr
+        GROUP BY e0.b),
+      a3 AS (SELECT node, min(arr) AS arr FROM (
+        SELECT * FROM a2 UNION ALL SELECT * FROM c3) x GROUP BY node)
+      SELECT node, cast(arr AS bigint) AS arrival FROM a3
+      ORDER BY node"""))
+
   val all: Seq[Q] = Seq(
     q75RangeWeek, q76Popularity, q77PopularityPerGroup, q78CountryMap,
     q79SeededSample, q82ComparatorSort, q88PeriodicJams, q92DayOfWeek,
@@ -931,5 +984,5 @@ object MiscQueries {
     q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
     q157ZorderKey, q160Funnel, q162MassRank, q163EventWindows,
     q191Triangles, q217DoulionTriangles, q220KCore, q229LabelProp,
-    q252Bfs)
+    q252Bfs, q272TemporalBfs)
 }
