@@ -1253,6 +1253,48 @@ object AnalyticsQueries {
             / (67425E0 * vy_n) END AS r2
       FROM c ORDER BY key"""))
 
+  // ---------------------------------------------------------------- q273
+  /** Rolling 7-day active users — the engagement metric q193's
+    * cumulative curve does not give (WAU needs EXACT de-duplication
+    * inside every sliding window; the running-sum-of-first-seen trick
+    * only works for the expanding window). Shape: each (user, active
+    * day) pair is first DEDUPLICATED (≤ days rows per user), then
+    * EXPLODED into the ≤ 7 windows it serves (`sequence` + explode —
+    * a bounded map-side fan-out), and one count(DISTINCT user) per
+    * window day closes it. Shuffle = 7 × daily-active pairs — never
+    * days × users, never a distinct-over-sliding-frame window. Days
+    * with no activity in range report 0 via the day spine. */
+  val q273RollingActives = Q(
+    "q273_rolling_actives",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Tables.events(s, d)
+        .select(col("user_id").as("u"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .distinct()
+      val windows = pairs
+        .withColumn("wday",
+          explode(sequence(col("day"), col("day") + lit(6L))))
+        .filter(col("wday") <= 29L)
+      val spine = s.range(0, 30).select(col("id").as("wday"))
+      spine.join(windows, Seq("wday"), "left")
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("u")).as("wau"))
+        .select(col("wday").as("day"), col("wau"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH p AS (SELECT DISTINCT user_id AS u,
+          datediff('day', DATE '2024-01-01', cast(ts AS date)) AS day
+        FROM events),
+      w AS (SELECT u, unnest(generate_series(day, day + 6)) AS wday
+        FROM p),
+      spine AS (SELECT unnest(generate_series(0, 29)) AS wday)
+      SELECT cast(spine.wday AS bigint) AS day,
+        cast(count(DISTINCT w.u) AS bigint) AS wau
+      FROM spine LEFT JOIN w ON w.wday = spine.wday
+      GROUP BY spine.wday ORDER BY day"""))
+
   // ---------------------------------------------------------------- q266
   /** RFM customer segmentation composed from [[graft.operators.Ecdf]]:
     * recency/frequency/monetary quintile codes per customer, bucketed
@@ -1522,5 +1564,5 @@ object AnalyticsQueries {
     q249Ndcg, q250HitsAtK, q251Welch, q253Pearson, q254Spearman,
     q255TimeDecay, q256Ecdf, q257RobustMean, q260TrendOls,
     q263Kappa, q264MedianMad, q266Rfm, q267OutlierGate,
-    q268BootstrapFast, q269WelchSweep)
+    q268BootstrapFast, q269WelchSweep, q273RollingActives)
 }

@@ -923,6 +923,33 @@ object MiscQueries {
       UNION ALL SELECT node, cast(3 AS bigint) FROM f3
       ORDER BY node"""))
 
+  // ---------------------------------------------------------------- q274
+  /** Balanced shard plan ([[graft.operators.ShardPlan]]): route the
+    * parts catalog onto 16 shards by retail-price weight — descending
+    * ranks snake across the bins, an order-derived layout that
+    * replays exactly where true greedy/LPT is inherently sequential.
+    * Rank assignment is the PrefixSum range exchange over per-size
+    * counts + a size-partitioned window; no global window plans. */
+  val q274ShardPlan = Q(
+    "q274_shard_plan",
+    (s, d) => {
+      graft.operators.ShardPlan.assign(
+        Tables.part(s, d), col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)"), bins = 16)
+        .orderBy(col("rank"))
+    },
+    Some("""WITH d AS (SELECT p_partkey AS id,
+          cast(round(p_retailprice * 100) AS bigint) AS size,
+          md5(cast(p_partkey AS varchar) || ':shard') AS ord
+        FROM part),
+      r AS (SELECT id, size, cast(row_number() OVER (
+          ORDER BY size DESC, ord, id) AS bigint) AS rank
+        FROM d)
+      SELECT id, size, rank,
+        cast(CASE WHEN (rank - 1) % 32 < 16 THEN (rank - 1) % 32
+          ELSE 31 - (rank - 1) % 32 END AS bigint) AS bin
+      FROM r ORDER BY rank"""))
+
   // ---------------------------------------------------------------- q272
   /** Time-respecting earliest arrival ([[graft.operators.TemporalBfs]])
     * over the trading graph with edge time = order day: when can
@@ -984,5 +1011,5 @@ object MiscQueries {
     q130AsofJoin, q131RangeJoin, q134PopularityApprox, q154SaltedJoin,
     q157ZorderKey, q160Funnel, q162MassRank, q163EventWindows,
     q191Triangles, q217DoulionTriangles, q220KCore, q229LabelProp,
-    q252Bfs, q272TemporalBfs)
+    q252Bfs, q272TemporalBfs, q274ShardPlan)
 }
