@@ -1253,6 +1253,55 @@ object AnalyticsQueries {
             / (67425E0 * vy_n) END AS r2
       FROM c ORDER BY key"""))
 
+  // ---------------------------------------------------------------- q275
+  /** Ranker agreement — top-k overlap per query between two system
+    * rankings (price-ranked vs priority-then-price-ranked orders per
+    * customer): `overlap@5 = |topA ∩ topB| / 5`, the ranker-regression
+    * detector that flags where a new model actually CHANGES what
+    * users see (metrics like q249's NDCG can match while lists
+    * diverge). Two row_number windows share one exchange on the
+    * query key; the intersection is an exact conditional count, the
+    * share one IEEE division. */
+  val q275RankerAgreement = Q(
+    "q275_ranker_agreement",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+      val ranked = o
+        .withColumn("ra", row_number().over(
+          byQ.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .withColumn("rb", row_number().over(
+          byQ.orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+            col("o_orderkey"))))
+      ranked
+        .groupBy(col("o_custkey").as("query"))
+        .agg(
+          sum(when(col("ra") <= 5 && col("rb") <= 5, 1L).otherwise(0L))
+            .as("overlap"),
+          sum(when(col("ra") <= 5, 1L).otherwise(0L)).as("k_eff"))
+        .select(col("query"), col("overlap"),
+          (col("overlap") / lit(5L)).as("overlap_at_5"),
+          (col("overlap") === col("k_eff")).as("identical_sets"))
+        .orderBy(col("query"))
+    },
+    Some("""WITH r AS (SELECT o_custkey AS q,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS ra,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey)
+            AS rb
+        FROM orders)
+      SELECT q AS query,
+        cast(sum(CASE WHEN ra <= 5 AND rb <= 5 THEN 1 ELSE 0 END)
+          AS bigint) AS overlap,
+        sum(CASE WHEN ra <= 5 AND rb <= 5 THEN 1 ELSE 0 END) / 5
+          AS overlap_at_5,
+        sum(CASE WHEN ra <= 5 AND rb <= 5 THEN 1 ELSE 0 END)
+          = sum(CASE WHEN ra <= 5 THEN 1 ELSE 0 END)
+          AS identical_sets
+      FROM r GROUP BY q ORDER BY query"""))
+
   // ---------------------------------------------------------------- q273
   /** Rolling 7-day active users — the engagement metric q193's
     * cumulative curve does not give (WAU needs EXACT de-duplication
@@ -1564,5 +1613,6 @@ object AnalyticsQueries {
     q249Ndcg, q250HitsAtK, q251Welch, q253Pearson, q254Spearman,
     q255TimeDecay, q256Ecdf, q257RobustMean, q260TrendOls,
     q263Kappa, q264MedianMad, q266Rfm, q267OutlierGate,
-    q268BootstrapFast, q269WelchSweep, q273RollingActives)
+    q268BootstrapFast, q269WelchSweep, q273RollingActives,
+    q275RankerAgreement)
 }
