@@ -39,15 +39,20 @@ object Bench {
     }
 
     def runOne(name: String): Double = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val ts = Seq.fill(repeat)(runOnce(name))
-      // OUTSIDE the timed section: drop the query's pinned blocks
-      // (core.Pin localCheckpoints are per-query artifacts — nothing is
-      // intentionally shared across queries). Without this, one JVM
-      // accumulates 200+ queries' storage blocks and the later heavy
-      // queries time GC debt, not their plans — the r7→r8 "uniform
-      // 1.33× drift" the isolated ProbeOne pairs disproved (SCALE.md).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // OUTSIDE the timed section: drop the blocks THIS query pinned
+      // (snapshot diff — core.Pin localCheckpoints have truncated
+      // lineage, so a pin shared across queries must never be yanked
+      // from under a later reader; today nothing is shared, but the
+      // diff makes that an invariant, not an assumption). Without the
+      // unpersist, one JVM accumulates 200+ queries' storage blocks and
+      // the later heavy queries time GC debt, not their plans — the
+      // r7→r8 "uniform 1.33× drift" the isolated ProbeOne pairs
+      // disproved (SCALE.md).
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
       if (ts.exists(_ < 0)) -1.0
       else ts.sorted.apply(ts.size / 2) // median (upper for even sizes)
     }
@@ -62,7 +67,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO a file artifact: the round record must not depend on how much
+    // of the log tail the driver captures (BENCH_r08.json lost the
+    // per-query map of the first ~200 queries to tail truncation).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-latest.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
   }
 }

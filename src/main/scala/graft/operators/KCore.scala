@@ -46,10 +46,33 @@ object KCore {
     * stopping early when a round drops no edge; throws
     * IllegalStateException when `rounds` is exhausted while the edge set
     * is still shrinking AND the final frame is not yet the fixpoint —
-    * a partial peel is a supergraph of the k-core, never returned. */
+    * a partial peel is a supergraph of the k-core, never returned.
+    *
+    * BEHAVIOR CHANGE (round 8): before, an exhausted `rounds` returned
+    * the partial peel silently. Callers that deliberately want the
+    * bounded-peel semantics — "strip the obviously-low-degree fringe in
+    * at most N passes", a legitimate preprocessing step — should call
+    * [[boundedPeel]], which names that contract instead of overloading
+    * this one with a flag. */
   def core(
       edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int = 4): DataFrame = {
+      k: Int, rounds: Int = 4): DataFrame =
+    peel(edges, srcCol, dstCol, k, rounds, strict = true)
+
+  /** The bounded-peel variant: up to `rounds` degree-threshold passes,
+    * returning whatever survives — by construction a SUPERGRAPH of the
+    * k-core (possibly the k-core itself if the peel converged). The
+    * legitimate use is fringe-stripping before a heavier graph stage;
+    * anything that needs the actual k-core must call [[core]], which
+    * certifies the fixpoint and throws rather than under-deliver. */
+  def boundedPeel(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 4): DataFrame =
+    peel(edges, srcCol, dstCol, k, rounds, strict = false)
+
+  private def peel(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, strict: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 64,
       s"rounds must be in [1,64], got $rounds")
@@ -78,7 +101,7 @@ object KCore {
       prev = c
       r += 1
     }
-    if (!converged) {
+    if (!converged && strict) {
       // the last permitted round still shrank the edge set; it may have
       // landed exactly on the fixpoint — certify with one min-degree
       // check (the fixpoint condition itself) before deciding

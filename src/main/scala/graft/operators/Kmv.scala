@@ -39,7 +39,14 @@ object Kmv {
   /** Distinct-count estimate from a `graft_bottom_k(item,
     * xxhash64(item), k)` sketch column: exact below k, (k−1)/u_k at
     * capacity. The sketch array is best-first = hash-ascending, so
-    * `element_at(sk, k)` IS the k-th minimum. */
+    * `element_at(sk, k)` IS the k-th minimum.
+    *
+    * Boundary note: a sketch holding exactly k entries COULD come from a
+    * group with exactly k distinct items, where k would be the exact
+    * answer — but "did the sketch saturate or merely fill" is not
+    * recoverable from the sketch (u_k coverage can't distinguish them),
+    * so size == k is estimator territory BY DESIGN; the documented
+    * contract is "exact below k". */
   def distinctEstimate(sk: Column, k: Int): Column = {
     val n = size(sk)
     when(n < k, n.cast("double"))

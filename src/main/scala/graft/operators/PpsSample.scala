@@ -32,16 +32,42 @@ object PpsSample {
   /** `(id, w, cum, multiplicity)` for the hit items only
     * (multiplicity ≥ 1). Zero/negative weights never sample.
     *
+    * Oracle family: the weight line is ordered by a 32-char md5 hex
+    * string so DuckDB can replay the draw verbatim (q265). Production
+    * jobs should prefer [[sampleFast]] — same integer selection algebra
+    * over an 8-byte xxhash64 order key (~4× narrower range-sort rows;
+    * the md5 string sort was the dominant constant of the 30× probe).
+    *
     * @param m sample size (with multiplicity), >= 1
     */
   def sample(
       df: DataFrame, id: Column, weight: Column, m: Long,
-      salt: String = "pps"): DataFrame = {
-    require(m >= 1L, s"m must be >= 1, got $m")
-    val d = df.select(id.as("id"), weight.cast("long").as("w"))
+      salt: String = "pps"): DataFrame =
+    selectByOrder(
+      prepared(df, id, weight).withColumn("ord",
+        md5(concat(col("id").cast("string"), lit(s":$salt")))), m)
+
+  /** Production ordering family (the q218/q268 two-family precedent):
+    * identical selection algebra to [[sample]], but the weight line is
+    * ordered by `xxhash64(id || ':' || salt)` — one codegen'd 8-byte
+    * hash instead of an md5 digest rendered to a 32-char string, so the
+    * range exchange ships longs, not strings. xxhash64 is not
+    * replayable in DuckDB, so the driver gate is the q278 envelope
+    * (exact-m, multiplicity, id-domain and Horvitz–Thompson booleans);
+    * PpsSampleSpec pins draw-level equivalence properties. */
+  def sampleFast(
+      df: DataFrame, id: Column, weight: Column, m: Long,
+      salt: String = "pps"): DataFrame =
+    selectByOrder(
+      prepared(df, id, weight).withColumn("ord",
+        xxhash64(concat(col("id").cast("string"), lit(s":$salt")))), m)
+
+  private def prepared(df: DataFrame, id: Column, weight: Column): DataFrame =
+    df.select(id.as("id"), weight.cast("long").as("w"))
       .filter(col("w") > 0L)
-      .withColumn("ord",
-        md5(concat(col("id").cast("string"), lit(s":$salt"))))
+
+  private def selectByOrder(d: DataFrame, m: Long): DataFrame = {
+    require(m >= 1L, s"m must be >= 1, got $m")
     val cum = PrefixSum.runningTotal(d,
       Seq(col("ord"), col("id")), col("w"), out = "cum")
       .transform(graft.core.Pin.apply) // total + output pass

@@ -535,9 +535,60 @@ object CorpusQueries {
       SELECT id, w, cum, cast(multiplicity AS bigint) AS multiplicity
       FROM y WHERE multiplicity >= 1 ORDER BY id"""))
 
+  // ---------------------------------------------------------------- q278
+  /** Production PPS family ([[graft.operators.PpsSample.sampleFast]]):
+    * the same integer selection algebra as q265 over an 8-byte
+    * `xxhash64` order key instead of the md5 hex string — the q218/q268
+    * two-family precedent (md5 = oracle replay, xxhash64 = production
+    * constant). Not DuckDB-replayable, so the gate is the envelope:
+    * multiplicities sum to EXACTLY m (the operator's defining
+    * guarantee), every hit is a real positive-weight population item,
+    * the draw is weight-biased (mean sampled weight above the
+    * population mean), and the Horvitz–Thompson population-count
+    * estimate `Σ mult·W/(m·w)` lands within a pinned band of the true
+    * count (measured ratio 1.025 at sf0.01 / 0.942 at sf0.1, ProbePps
+    * 2026-08-15; band ±25%). Every boolean is deterministic for fixed
+    * data and salt. */
+  val q278PpsFast = Q(
+    "q278_pps_fast",
+    (s, d) => {
+      val m = 1000L
+      val wExpr = "cast(round(o_totalprice * 100) as bigint)"
+      val pop = Tables.orders(s, d)
+        .select(col("o_orderkey").as("id"), expr(wExpr).as("w_pop"))
+        .filter(col("w_pop") > 0L)
+      val hits = graft.operators.PpsSample.sampleFast(
+        Tables.orders(s, d), col("o_orderkey"), expr(wExpr), m = m)
+      val popStats = pop.agg(count(lit(1)).as("n_pop"),
+        sum(col("w_pop")).as("big_w"),
+        avg(col("w_pop")).as("avg_w"))
+      hits.join(pop, Seq("id"), "left")
+        .crossJoin(broadcast(popStats))
+        .agg(
+          (sum(col("multiplicity")) === m).as("sum_mult_ok"),
+          bool_and(col("multiplicity") >= 1L).as("mult_pos_ok"),
+          bool_and(col("w_pop").isNotNull &&
+            col("w_pop") === col("w")).as("ids_ok"),
+          (count(lit(1)) >= 1L && count(lit(1)) <= m).as("n_hits_ok"),
+          (sum(col("multiplicity") * col("w")).cast("double") / m >=
+            first(col("avg_w"))).as("pps_bias_ok"),
+          (abs(sum(col("multiplicity").cast("double") *
+              col("big_w").cast("double") /
+              (lit(m.toDouble) * col("w"))) /
+            first(col("n_pop")).cast("double") - 1.0) < 0.25)
+            .as("ht_count_ok"))
+        .select(lit(m).as("m"), col("sum_mult_ok"), col("mult_pos_ok"),
+          col("ids_ok"), col("n_hits_ok"), col("pps_bias_ok"),
+          col("ht_count_ok"))
+    },
+    Some("""SELECT cast(1000 AS bigint) AS m, true AS sum_mult_ok,
+        true AS mult_pos_ok, true AS ids_ok, true AS n_hits_ok,
+        true AS pps_bias_ok, true AS ht_count_ok
+      FROM (SELECT count(*) FROM orders) t"""))
+
   val all: Seq[Q] = Seq(
     q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
     q156ProfileEvents, q159TemperatureMix, q181ProfileApprox,
     q184SkewReport, q185CorpusDiff, q213Phrases, q214PhraseMerge,
-    q219RepeatedSpans, q262SequencePack, q265PpsSample)
+    q219RepeatedSpans, q262SequencePack, q265PpsSample, q278PpsFast)
 }

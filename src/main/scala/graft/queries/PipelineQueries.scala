@@ -14,8 +14,10 @@ import graft.similarity.UserCosine
   * q47/q48). For q47/q48 the pigeonhole blocking has recall exactly 1, so
   * the match is a guarantee; for q46 it is an empirical gate on this
   * corpus (see the q46 note on LSH boundary recall).
-  * ALS training and media decoding stay rows-only (no portable oracle);
-  * their semantics are unit-tested with planted fixtures in the ScalaTest
+  * ALS training and media decoding — whose raw float outputs have no
+  * portable oracle — are driver-gated through envelope oracles (q80/q276
+  * fit + model-selection contracts, q277 pinned-fixture decode) with the
+  * float internals unit-tested against planted fixtures in the ScalaTest
   * specs. q81 (exact user cosine) is fully oracle-verified.
   */
 object PipelineQueries {
@@ -178,7 +180,15 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- q60
   /** Multimodal plumbing: binary payload column + typed metadata through a
-    * partition-local (stub-)decode into a columnar feature frame. */
+    * partition-local (stub-)decode into a columnar feature frame. Fully
+    * driver-oracled: the payloads are the documents' UTF-8 bytes, so the
+    * per-type row counts and byte totals are exact SQL
+    * (`octet_length(encode(text))`), and the 64-bit polynomial
+    * payload-hash distinct count equals `count(DISTINCT text)` — a
+    * deterministic-given-data equality (collision-free on this corpus,
+    * and any hash/plumbing bug that conflates or splits payloads flips
+    * it). The decode MATH is gated separately by the q277 fixture
+    * envelope + MediaSpec. */
   val q60MediaFeatures = Q(
     "q60_media_features",
     (s, d) => {
@@ -191,7 +201,13 @@ object PipelineQueries {
           countDistinct(col("payload_hash")).as("n_distinct_payloads"))
         .orderBy(col("media_type"))
     },
-    oracle = None)
+    Some("""SELECT
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          ELSE 'video' END AS media_type,
+        cast(count(*) AS bigint) AS n,
+        cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,
+        cast(count(DISTINCT text) AS bigint) AS n_distinct_payloads
+      FROM documents GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- q128
   /** Video frame-sampling fan-out (Media.sampleFrames over the documents-
@@ -221,8 +237,13 @@ object PipelineQueries {
   // ---------------------------------------------------------------- q80
   /** ALS end-to-end on (customer × part) purchase counts from lineitem ⋈
     * orders: dense-id assignment, confidence transform, implicit-prefs
-    * training, top-5 recommendations per user. Seeded but
-    * ML-training-dependent → rows-only check. */
+    * training, top-5 recommendations for the first 500 users — reduced to
+    * the [[Als.fitEnvelope]] contract frame (q268 envelope recipe): the
+    * id-domain counts are exact SQL over the raw purchase pairs, the
+    * factor-matrix shape and the recommendForUserSubset batch contract
+    * (reference recommend.py:293-305) are deterministic-given-data
+    * booleans the oracle pins TRUE. Raw factor/score floats stay
+    * spec-gated (PipelineSpec seeded-RMSE + round-trip). */
   val q80AlsRecommend = Q(
     "q80_als_recommend",
     (s, d) => {
@@ -230,11 +251,135 @@ object PipelineQueries {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey"), col("l_partkey"))
       val pc = Als.buildPlaycounts(purchases, "o_custkey", "l_partkey")
-      val model = Als.train(pc, rank = 8, maxIter = 5)
-      Als.recommend(model, pc.filter(col("als_user_id") < 500), k = 5)
-        .orderBy(col("als_user_id"), col("rank"))
+      Als.fitEnvelope(pc, rank = 8, maxIter = 5, subsetMax = 500, k = 5)
     },
-    oracle = None)
+    Some("""WITH p AS (SELECT o_custkey AS u, l_partkey AS i
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      c AS (SELECT count(DISTINCT u) AS nu, count(DISTINCT i) AS ni FROM p)
+      SELECT cast(nu AS bigint) AS n_users, cast(ni AS bigint) AS n_items,
+        true AS user_factors_ok, true AS item_factors_ok,
+        true AS factor_dim_ok,
+        cast(least(500, nu) AS bigint) AS rec_users,
+        cast(least(500, nu) * least(5, ni) AS bigint) AS rec_rows,
+        true AS rec_ranks_ok, true AS rec_scores_ok, true AS rec_items_ok
+      FROM c"""))
+
+  // --------------------------------------------------------------- q276
+  /** ALS model-selection envelope (reference train_models.py:78 seeded
+    * 5:1 randomSplit, RMSE metric): split bookkeeping exact, realized
+    * fraction inside a wide binomial band, validation RMSE under a pinned
+    * bound. Measured (ProbeAls, 2026-08-15): 0.889 at sf0.001, 0.957 at
+    * sf0.01, 0.995 at sf0.1 — labels are capped playcounts ≈1 on this
+    * near-one-purchase-per-pair corpus, so the trivial zero predictor
+    * scores ≈1.0 and a DIVERGED fit (exploding factors) or a broken
+    * confidence transform (labels ≠ ≈1) lands far above. Bound 1.05 gates
+    * divergence at every scale while sitting 10% above the sf0.01 driver
+    * measurement. */
+  val q276AlsValidation = Q(
+    "q276_als_validation",
+    (s, d) => {
+      val purchases = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      val pc = Als.buildPlaycounts(purchases, "o_custkey", "l_partkey")
+      Als.validationEnvelope(pc, rmseBound = 1.05)
+    },
+    Some("""WITH p AS (SELECT DISTINCT o_custkey, l_partkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT cast(count(*) AS bigint) AS n_playcounts,
+        true AS split_total_ok, true AS split_frac_ok, true AS rmse_ok
+      FROM p"""))
+
+  // --------------------------------------------------------------- q277
+  /** Media-decode envelope: the [[graft.multimodal.MediaFixtures]]
+    * payloads (valid PNG with deflate+CRC, PCM16 WAV, JPEG SOF, GIF
+    * descriptor, a text blob, and a PNG resized through the full
+    * decode→nearest-neighbor→re-encode loop) run through the REAL
+    * distributed [[Media.extractFeatures]] path; the decoded dimensions /
+    * sample rates / durations are exact integers the oracle pins, and the
+    * float outputs (mean luma, RMS) collapse to tolerance booleans
+    * against the analytically-known values (MediaSpec's pixel-exact
+    * assertions, now driver-gated). */
+  val q277MediaDecode = Q(
+    "q277_media_decode",
+    (s, d) => {
+      import graft.multimodal.{Media, MediaFixtures => F}
+      import s.implicits._
+      val quad = F.buildPng(2, 2, (x, y) =>
+        if (x == 0 && y == 0) (255, 0, 0)
+        else if (x == 1 && y == 0) (0, 255, 0)
+        else if (x == 0 && y == 1) (0, 0, 255) else (255, 255, 255))
+      val resized = Media.resizeImages(
+        s.createDataset(Seq(Media.MediaRow(0L, "image", quad, 0, 0L))),
+        4, 4).head().payload
+      val gradLuma = (for { y <- 0 until 16; x <- 0 until 16 } yield
+        0.299 * (x * 16) + 0.587 * (y * 16) + 0.114 * ((x + y) * 8))
+        .sum / 256.0 / 255.0
+      val quadLuma = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255),
+        (255, 255, 255))
+        .map { case (r, g, b) => 0.299 * r + 0.587 * g + 0.114 * b }
+        .sum / 4.0 / 255.0
+      val rows = Seq(
+        Media.MediaRow(1L, "image",
+          F.buildPng(4, 2, (x, _) =>
+            if (x < 2) (255, 255, 255) else (0, 0, 0)), 0, 0L),
+        Media.MediaRow(2L, "image",
+          F.buildPng(16, 16, (x, y) => (x * 16, y * 16, (x + y) * 8)),
+          0, 0L),
+        Media.MediaRow(3L, "audio", F.buildWav(8000, 4000, 16384), 0, 0L),
+        Media.MediaRow(4L, "image", F.buildJpegHeader(640, 480), 0, 0L),
+        Media.MediaRow(5L, "image", F.buildGif(320, 240), 0, 0L),
+        Media.MediaRow(6L, "text",
+          "just some text".getBytes("UTF-8"), 0, 0L),
+        Media.MediaRow(7L, "image", resized, 0, 0L))
+      val expectedLuma = Map(1L -> 0.5, 2L -> gradLuma, 7L -> quadLuma)
+      val expectedRms = Map(3L -> 0.5)
+      Media.extractFeatures(s.createDataset(rows)).toDF()
+        .select(
+          element_at(
+            typedLit(Map(1L -> "png_half", 2L -> "png_gradient",
+              3L -> "wav_pcm16", 4L -> "jpeg_header", 5L -> "gif_header",
+              6L -> "text_stub", 7L -> "png_resized")), col("id"))
+            .as("fixture"),
+          col("decoder"),
+          // the stub's synthetic dims are a stand-in, not decode math —
+          // masked here, pinned NULL by the oracle
+          when(col("decoder") === "stub", lit(null))
+            .otherwise(col("width")).cast("long").as("width"),
+          when(col("decoder") === "stub", lit(null))
+            .otherwise(col("height")).cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("audio_duration_ms").as("audio_ms"),
+          coalesce(element_at(typedLit(expectedLuma), col("id")), lit(-1.0))
+            .as("want_luma"),
+          col("mean_luma"),
+          coalesce(element_at(typedLit(expectedRms), col("id")), lit(0.0))
+            .as("want_rms"),
+          col("rms"))
+        .select(col("fixture"), col("decoder"), col("width"), col("height"),
+          col("channels"), col("sample_rate"), col("audio_ms"),
+          (col("want_luma") === -1.0 ||
+            abs(col("mean_luma") - col("want_luma")) < 1e-9).as("luma_ok"),
+          (abs(col("rms") - col("want_rms")) < 1e-9).as("rms_ok"))
+        .orderBy(col("fixture"))
+    },
+    Some("""SELECT fixture, decoder,
+        cast(width AS bigint) AS width, cast(height AS bigint) AS height,
+        cast(channels AS bigint) AS channels,
+        cast(sample_rate AS bigint) AS sample_rate,
+        cast(audio_ms AS bigint) AS audio_ms, luma_ok, rms_ok
+      FROM (VALUES
+        ('gif_header',  'gif-header',  320, 240, 3, 0, 0, true, true),
+        ('jpeg_header', 'jpeg-header', 640, 480, 3, 0, 0, true, true),
+        ('png_gradient','png',          16,  16, 3, 0, 0, true, true),
+        ('png_half',    'png',           4,   2, 3, 0, 0, true, true),
+        ('png_resized', 'png',           4,   4, 3, 0, 0, true, true),
+        ('text_stub',   'stub',        NULL, NULL, 3, 0, 0, true, true),
+        ('wav_pcm16',   'wav',           0,   0, 1, 8000, 500, true, true)
+      ) AS t(fixture, decoder, width, height, channels, sample_rate,
+             audio_ms, luma_ok, rms_ok)
+      ORDER BY fixture"""))
 
   // ---------------------------------------------------------------- q81
   /** Exact user–user cosine over event-type play vectors: integer dot
@@ -507,20 +652,28 @@ object PipelineQueries {
     * product. The 31-bit two-round mixer replays exactly in DuckDB
     * (no overflow wrap anywhere), so the driver hash-matches the full
     * sampled training frame — the reproducible-negatives requirement
-    * of implicit-feedback training (companion to q80's ALS fit). */
+    * of implicit-feedback training (companion to q80's ALS fit).
+    * The operator draws from the DENSE domain [0, nParts); p_partkey is
+    * 1-based, so positives enter as `l_partkey − 1` and sampled items
+    * leave as `item + 1` — the natural↔dense mapping the
+    * NegativeSampling scaladoc prescribes (partkeys are already dense,
+    * so the map is the ±1 shift; without it item 0 was a phantom part
+    * and partkey nParts could never be drawn). */
   val q237NegativeSampling = Q(
     "q237_negative_sampling",
     (s, d) => {
       val users = Tables.customer(s, d).select(col("c_custkey"))
       val positives = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey"), col("l_partkey")).distinct()
+        .select(col("o_custkey"), (col("l_partkey") - 1).as("l_part0"))
+        .distinct()
       val nParts = Tables.part(s, d).count()
       graft.operators.NegativeSampling
         .negatives(users, col("c_custkey"),
-          positives, col("o_custkey"), col("l_partkey"),
+          positives, col("o_custkey"), col("l_part0"),
           itemCount = nParts, k = 5, m = 12)
-        .select(col("user").as("user_id"), col("item").as("neg_part"),
+        .select(col("user").as("user_id"),
+          (col("item") + 1L).as("neg_part"),
           col("draw").cast("long").as("draw"),
           col("rnk").cast("long").as("rnk"))
         .orderBy(col("user_id"), col("rnk"))
@@ -540,7 +693,7 @@ object PipelineQueries {
       cand AS (
         SELECT u, draw, xor(h1, h1 >> 13) % np.n AS item
         FROM cand1, np),
-      pos AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+      pos AS (SELECT DISTINCT o_custkey AS u, l_partkey - 1 AS item
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
       surv AS (
         SELECT c.u, c.item, min(c.draw) AS draw
@@ -549,8 +702,8 @@ object PipelineQueries {
         GROUP BY c.u, c.item),
       r AS (SELECT u, item, draw, row_number() OVER (
           PARTITION BY u ORDER BY draw) AS rnk FROM surv)
-      SELECT u AS user_id, item AS neg_part, cast(draw AS bigint) AS draw,
-        cast(rnk AS bigint) AS rnk
+      SELECT u AS user_id, item + 1 AS neg_part,
+        cast(draw AS bigint) AS draw, cast(rnk AS bigint) AS rnk
       FROM r WHERE rnk <= 5 ORDER BY user_id, rnk"""))
 
   // ---------------------------------------------------------------- q238
@@ -663,5 +816,5 @@ object PipelineQueries {
     q128FrameSample, q132SimhashCapped, q139IncrementalNeardup,
     q145DupClusters, q148CurationPipeline, q182ClustersStar,
     q237NegativeSampling, q238TrainingWindows, q241SkipgramPairs,
-    q242FrequencySubsample)
+    q242FrequencySubsample, q276AlsValidation, q277MediaDecode)
 }

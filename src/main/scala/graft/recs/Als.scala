@@ -144,6 +144,94 @@ object Als {
       .select(col("als_user_id"), (col("pos") + 1).as("rank"),
         col("rec.als_item_id").as("als_item_id"),
         col("rec.rating").as("score"))
+
+  /** Deterministic-given-data fit envelope (the q268 recipe applied to the
+    * ML row): trains the seeded model once and reduces the fit + the
+    * recommendation batch to counts and contract booleans the driver
+    * oracle can pin exactly —
+    *
+    *   - `n_users`/`n_items`: distinct dense ids, DuckDB-recomputable from
+    *     the raw purchase pairs;
+    *   - factor-matrix shape: one factor row per training user/item, every
+    *     factor vector of length `rank` (train_models.py trains, then the
+    *     saved model's factor frames ARE the model);
+    *   - the `recommendForUserSubset` contract (recommend.py:293-305):
+    *     exactly min(k, n_items) recommendations per requested user, ranks
+    *     a 1..k permutation, scores non-increasing in rank, item ids
+    *     inside the dense-id domain.
+    *
+    * Every column is deterministic for fixed data regardless of ALS float
+    * jitter — a broken id assignment, dropped user, or unsorted
+    * recommendation batch flips a boolean and fails the driver gate. The
+    * raw factor/score VALUES stay spec-gated (seeded-RMSE spec), as floats
+    * from iterative training must be. */
+  def fitEnvelope(pc: DataFrame, rank: Int = 8, maxIter: Int = 5,
+      subsetMax: Int = 500, k: Int = 5): DataFrame = {
+    val spark = pc.sparkSession
+    import spark.implicits._
+    val model = train(pc, rank = rank, maxIter = maxIter)
+    val nUsers = pc.select(col("als_user_id")).distinct().count()
+    val nItems = pc.select(col("als_item_id")).distinct().count()
+    def shape(factors: DataFrame): (Long, Int, Int) = {
+      val r = factors.agg(count(lit(1)), min(size(col("features"))),
+        max(size(col("features")))).head()
+      (r.getLong(0), r.getInt(1), r.getInt(2))
+    }
+    val (ufN, ufMin, ufMax) = shape(model.userFactors)
+    val (ifN, ifMin, ifMax) = shape(model.itemFactors)
+    val kEff = math.min(k.toLong, nItems)
+    val recs = recommend(model, pc.filter(col("als_user_id") < subsetMax), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("als_user_id")).orderBy(col("rank"))
+    val perUser = recs
+      .withColumn("prev_score", lag(col("score"), 1).over(w))
+      .groupBy(col("als_user_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("rank")).as("rmin"), max(col("rank")).as("rmax"),
+        countDistinct(col("rank")).as("rdist"),
+        bool_and(col("prev_score").isNull ||
+          col("score") <= col("prev_score")).as("mono"),
+        bool_and(col("als_item_id") >= 0 &&
+          col("als_item_id") < nItems).as("items"))
+    val rec = perUser.agg(
+      count(lit(1)).as("rec_users"), sum(col("n")).as("rec_rows"),
+      bool_and(col("n") === kEff && col("rmin") === 1 &&
+        col("rmax") === kEff && col("rdist") === kEff).as("ranks_ok"),
+      bool_and(col("mono")).as("scores_ok"),
+      bool_and(col("items")).as("items_ok")).head()
+    Seq((nUsers, nItems,
+      ufN == nUsers, ifN == nItems,
+      ufMin == rank && ufMax == rank && ifMin == rank && ifMax == rank,
+      rec.getLong(0), rec.getLong(1),
+      rec.getBoolean(2), rec.getBoolean(3), rec.getBoolean(4)))
+      .toDF("n_users", "n_items", "user_factors_ok", "item_factors_ok",
+        "factor_dim_ok", "rec_users", "rec_rows", "rec_ranks_ok",
+        "rec_scores_ok", "rec_items_ok")
+  }
+
+  /** Model-selection envelope (train_models.py:78 seeded 5:1 split + RMSE
+    * metric): the split bookkeeping is exact (sizes sum to the population;
+    * the realized fraction sits far inside a 5σ binomial band), and the
+    * validation RMSE — a float from iterative training — collapses to a
+    * pinned upper bound the way q268 pins its 5σ statistics. A diverged
+    * fit, a broken confidence transform, or a split that leaks rows flips
+    * a boolean. */
+  def validationEnvelope(pc: DataFrame, rmseBound: Double): DataFrame = {
+    val spark = pc.sparkSession
+    import spark.implicits._
+    val n = pc.count()
+    val Array(trainDf, valDf) = pc.randomSplit(Array(5.0, 1.0), 45L)
+    val nTrain = trainDf.count()
+    val nVal = valDf.count()
+    val model = train(trainDf)
+    val rmse = new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol("confidence").setPredictionCol("prediction")
+      .evaluate(model.transform(valDf))
+    Seq((n, nTrain + nVal == n,
+      math.abs(nTrain.toDouble / n - 5.0 / 6.0) < 0.05,
+      rmse > 0.0 && rmse <= rmseBound))
+      .toDF("n_playcounts", "split_total_ok", "split_frac_ok", "rmse_ok")
+  }
 }
 
 /** Model-metadata ledger: every saved model appends one row recording what

@@ -240,4 +240,28 @@ class IngestSpec extends SparkSpec {
       .map(r => Option(r.getString(0))).toSet ==
       Set(Some("user_1"), Some("-3"), None))
   }
+
+  test("chunked MLHD aggregation over non-hex ids: a user_1-style id " +
+    "runs in exactly one chunk job and the chunked stats equal direct") {
+    import spark.implicits._
+    val ls = Seq(
+      ("a1b2", "X"), ("a1b2", "X"), ("0fab", "Y"),
+      ("user_1", "X"), ("user_1", "Z"), ("-3", "Y"), ("Fcaps", "X"))
+      .toDF("user_id", "artist_name")
+    val preds = MlhdImport.chunkPredicates(
+      MlhdImport.chunkOf(col("user_id")))
+    // each row matches exactly ONE predicate → exactly one chunk job
+    assert(preds.map(p => ls.filter(p).count()).sum == 7L)
+    assert(ls.filter(preds.last).select("user_id").distinct()
+      .collect().map(_.getString(0)).toSet == Set("user_1", "-3"))
+    // and the 17-job chunked aggregate is the direct answer — the
+    // silent-undercount regression the catch-all predicate closed
+    val provider = graft.engine.TopEntityStats(
+      "user_id", Seq("artist_name"), top = 3)
+    val chunked = graft.engine.ChunkedRunner.run(
+      spark, ls, provider, preds, workDir = tmpDir("mlhd-chunked"))
+    val direct = provider.stats(provider.aggregate(ls))
+    assert(chunked.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq)
+  }
 }

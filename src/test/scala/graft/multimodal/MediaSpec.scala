@@ -1,82 +1,15 @@
 package graft.multimodal
 
-import java.io.ByteArrayOutputStream
-import java.util.zip.{CRC32, Deflater}
 import graft.SparkSpec
 
-/** Real-decoder tests over hand-constructed payloads: a valid PNG built
-  * byte-by-byte (chunks, CRCs, deflate), a PCM16 WAV, a JPEG SOF header
-  * and a GIF descriptor — the decode math is checked against known pixel
-  * and sample values, not against another codec. */
+/** Real-decoder tests over hand-constructed payloads ([[MediaFixtures]]:
+  * a valid PNG built byte-by-byte with chunks, CRCs, deflate; a PCM16
+  * WAV; a JPEG SOF header; a GIF descriptor) — the decode math is checked
+  * against known pixel and sample values, not against another codec. The
+  * same builders feed the driver-gated decode envelope (q277). */
 class MediaSpec extends SparkSpec {
 
-  // ---- payload builders -------------------------------------------------
-
-  private def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    def be32(v: Int) = Array[Byte](
-      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
-    out.write(be32(data.length))
-    val body = ctype.getBytes("US-ASCII") ++ data
-    out.write(body)
-    val crc = new CRC32(); crc.update(body)
-    out.write(be32(crc.getValue.toInt))
-    out.toByteArray
-  }
-
-  /** Minimal valid non-interlaced 8-bit RGB PNG from raw pixels. */
-  private def buildPng(width: Int, height: Int,
-      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
-    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
-    val ihdr = {
-      val b = java.nio.ByteBuffer.allocate(13)
-      b.putInt(width).putInt(height)
-      b.put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
-      b.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no-interlace
-      b.array()
-    }
-    val raw = new ByteArrayOutputStream()
-    (0 until height).foreach { y =>
-      raw.write(0) // filter: None
-      (0 until width).foreach { x =>
-        val (r, g, bl) = px(x, y)
-        raw.write(r); raw.write(g); raw.write(bl)
-      }
-    }
-    val deflater = new Deflater()
-    deflater.setInput(raw.toByteArray); deflater.finish()
-    val comp = new Array[Byte](raw.size() + 64)
-    val n = deflater.deflate(comp)
-    deflater.end()
-    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", comp.take(n)) ++
-      chunk("IEND", Array.empty)
-  }
-
-  /** Minimal PCM16 mono WAV with every sample = `amp`. */
-  private def buildWav(sampleRate: Int, nSamples: Int, amp: Short): Array[Byte] = {
-    val dataLen = nSamples * 2
-    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put("RIFF".getBytes); b.putInt(36 + dataLen); b.put("WAVE".getBytes)
-    b.put("fmt ".getBytes); b.putInt(16)
-    b.putShort(1) // PCM
-    b.putShort(1) // mono
-    b.putInt(sampleRate)
-    b.putInt(sampleRate * 2) // byte rate
-    b.putShort(2); b.putShort(16) // block align, bits
-    b.put("data".getBytes); b.putInt(dataLen)
-    (0 until nSamples).foreach(_ => b.putShort(amp))
-    b.array()
-  }
-
-  private def buildJpegHeader(width: Int, height: Int): Array[Byte] = {
-    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++
-      new Array[Byte](14) // JFIF segment, length 16
-    val sof = Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, 8,
-      (height >>> 8).toByte, height.toByte,
-      (width >>> 8).toByte, width.toByte, 3) ++ new Array[Byte](9)
-    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof
-  }
+  import MediaFixtures.{buildPng, buildWav, buildJpegHeader}
 
   // ---- tests ------------------------------------------------------------
 
@@ -108,9 +41,7 @@ class MediaSpec extends SparkSpec {
   test("JPEG/GIF: header decode yields dimensions") {
     val j = Decoders.jpeg(buildJpegHeader(640, 480)).get
     assert(j.width == 640 && j.height == 480 && j.channels == 3)
-    val gif = "GIF89a".getBytes ++ Array[Byte](
-      0x40, 0x01, 0xf0.toByte, 0x00) ++ new Array[Byte](4)
-    val g = Decoders.gif(gif).get
+    val g = Decoders.gif(MediaFixtures.buildGif(320, 240)).get
     assert(g.width == 320 && g.height == 240)
   }
 

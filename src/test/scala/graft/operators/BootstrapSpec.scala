@@ -120,4 +120,30 @@ class BootstrapSpec extends SparkSpec {
     val md5r = run(8)
     assert((0 until 8).exists(b => md5r(b.toLong) !== runFast(8)(b.toLong)))
   }
+
+  test("fast family draws replay EXACTLY against the clean-room " +
+    "xxhash64 reference — every key, every replica") {
+    // independent reimplementation of weightFast: clean-room XXH64
+    // (TestXxHash64, written from the public spec, not Spark source),
+    // high/low word split, integer CDF thresholds
+    def expectedW(k: Long, b: Int): Long = {
+      val h = graft.TestXxHash64.hashString(s"$k:bs${b / 2}:t")
+      val u = if (b % 2 == 0) h >>> 32 else h & 0xFFFFFFFFL
+      Bootstrap.CdfLong.indexWhere(u < _) match {
+        case -1 => 7L
+        case i  => i.toLong
+      }
+    }
+    def bruteFastReplica(b: Int): (Long, Long) = {
+      var (n, s) = (0L, 0L)
+      rows.foreach { case (k, x) =>
+        val w = expectedW(k, b); n += w; s += w * x
+      }
+      (n, s)
+    }
+    val got = runFast(8)
+    (0 until 8).foreach { b =>
+      assert(got(b.toLong) === bruteFastReplica(b), s"replica $b")
+    }
+  }
 }

@@ -77,4 +77,47 @@ class PpsSampleSpec extends SparkSpec {
       .orderBy(col("id")).collect().toSeq
     assert(at(1) === at(6))
   }
+
+  // ---- production xxhash64 ordering family ------------------------------
+
+  private def runFast(rows: Seq[(Long, Long)], m: Long, parts: Int = 4) = {
+    import spark.implicits._
+    PpsSample.sampleFast(rows.toDF("id", "w").repartition(parts),
+      col("id"), col("w"), m)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("multiplicity"))
+      .toMap
+  }
+
+  /** Driver replay of the FAST draw with the clean-room XXH64 reference
+    * (TestXxHash64): same weight line, ordered by the signed 64-bit hash
+    * the way Spark sorts LongType. */
+  private def bruteFast(rows: Seq[(Long, Long)], m: Long): Map[Long, Long] = {
+    val ordered = rows.filter(_._2 > 0L)
+      .sortBy { case (id, _) =>
+        (graft.TestXxHash64.hashString(s"$id:pps"), id) }
+    val bigW = ordered.map(_._2).sum
+    val points = (0L until m).map(k => bigW * (2 * k + 1) / (2 * m))
+    var cum = 0L
+    ordered.flatMap { case (id, w) =>
+      val lo = cum
+      cum += w
+      val hits = points.count(p => p >= lo && p < cum).toLong
+      if (hits > 0) Some(id -> hits) else None
+    }.toMap
+  }
+
+  test("fast family replays an independent clean-room-xxhash64 driver " +
+    "pass exactly, sums to m, and is partitioning-invariant") {
+    val rnd = new scala.util.Random(307)
+    val rows = (0L until 200L).map(i => (i, rnd.nextInt(50).toLong))
+    Seq(1L, 7L, 40L, 163L).foreach { m =>
+      val got = runFast(rows, m)
+      assert(got === bruteFast(rows, m), s"m=$m")
+      assert(got.values.sum === m, s"m=$m")
+    }
+    assert(runFast(rows, 17L, parts = 1) === runFast(rows, 17L, parts = 6))
+    // and it is a DIFFERENT draw order than the md5 family
+    assert(runFast(rows, 17L) !== run(rows, 17L))
+  }
 }

@@ -26,6 +26,22 @@ class KCoreSpec extends SparkSpec {
     assert(KCore.core(path, "s", "t", k = 2, rounds = 4).count() === 0)
   }
 
+  test("boundedPeel names the partial-peel contract: each round strips " +
+    "one fringe layer, never throws, and at convergence equals core") {
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("s", "t")
+    // after r rounds the surviving path has 9 − 2r nodes (endpoints peel
+    // pairwise); a supergraph of the (empty) 2-core at every r
+    for (r <- 1 to 3) {
+      val got = KCore.boundedPeel(path, "s", "t", k = 2, rounds = r)
+      assert(got.count() === 9 - 2 * r, s"rounds=$r")
+    }
+    assert(KCore.boundedPeel(path, "s", "t", k = 2, rounds = 4).count() === 0)
+    // converged bounded peel ≡ strict core
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "t")
+    assert(nodes(KCore.boundedPeel(e, "s", "t", k = 2, rounds = 4)) ===
+      nodes(KCore.core(e, "s", "t", k = 2, rounds = 4)))
+  }
+
   test("a bound landing exactly on the fixpoint passes the guard — the " +
     "final-round min-degree certification, not just edge-count equality") {
     // triangle 1-2-3 with pendant 4: rounds=1 drops the pendant and the

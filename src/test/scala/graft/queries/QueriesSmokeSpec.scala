@@ -19,12 +19,13 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(qs.map(_.name).distinct.size == qs.size)
     // every oracle mentions at least one known table — except the
     // constant-frame envelope oracles (q218 recipe: the engine-side
-    // result is compared against pinned TRUE booleans over a
-    // generate_series frame; q268 is one)
+    // result is compared against pinned booleans/constants over a
+    // generate_series or VALUES frame; q268 and q277 are examples)
     val tables = graft.core.Tables.names.toSet
     qs.flatMap(q => q.oracle.map(q.name -> _)).foreach { case (n, sql) =>
       assert(tables.exists(t => sql.toLowerCase.contains(t)) ||
-        sql.toLowerCase.contains("generate_series"),
+        sql.toLowerCase.contains("generate_series") ||
+        sql.toLowerCase.contains("(values"),
         s"$n oracle references no known table")
     }
   }
