@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 G1 retries a failed allocation only TWICE while a JNI
+  // critical section (snappy/zstd in the parquet codec) holds the
+  // GCLocker — under heavy Tungsten page churn that throws a SPURIOUS
+  // OutOfMemoryError with plenty of heap free (hit by the round-9 100×
+  // probes; JDK 21 removed the failure mode). Production clusters set
+  // the same pair via spark.executor.extraJavaOptions.
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -23,7 +23,7 @@ done
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 for q in $QUERIES; do
   t0=$(date +%s)
-  out=$(timeout 2400 java -Xmx$HEAP $ADD_OPENS \
+  out=$(timeout 2400 java -Xmx$HEAP -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 $ADD_OPENS \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.ProbeOne "$q" "$DIR" 2>&1)
   rc=$?

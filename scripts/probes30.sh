@@ -13,7 +13,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 for q in "$@"; do
-  out=$(timeout 2400 java -Xmx$HEAP $ADD_OPENS \
+  out=$(timeout 2400 java -Xmx$HEAP -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 $ADD_OPENS \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.ProbeOne "$q" "$DIR" 2>&1)
   line=$(echo "$out" | grep -oE "$q [^ ]+: [0-9.]+ s" | tail -1)

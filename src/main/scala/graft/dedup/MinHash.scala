@@ -196,8 +196,25 @@ object MinHash {
         idCol, textCol, shingleLen)
       .unionByName(newSh.join(touched, Seq(idCol), "left_semi"))
       .transform(graft.core.Pin.apply)
-    verify(cands.hint("merge"), candSh.hint("merge"), idCol)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Scope the verify width from the MEASURED pair volume (all three
+    // counts are cached scans over the pins): the inter join streams
+    // ≈ candidates × per-doc shingle rows, and a fixed session width
+    // puts that whole stream's sort frames on a handful of tasks — the
+    // 100× probe OOM'd an 8 GiB heap exactly there. Same discipline as
+    // LabelPropagation/TemporalBfs: width = measured rows / rowsPerTask,
+    // AQE coalesces the small post-aggregate sides back down.
+    val spark = newDocs.sparkSession
+    val nCands = cands.count()
+    val nTouched = math.max(1L, touched.count())
+    val avgSh = math.max(1L, candSh.count() / nTouched)
+    val width = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, nCands * avgSh / 2000000L).toInt)
+    graft.core.ScopedConf.withShufflePartitions(spark, width) {
+      verify(cands.hint("merge"), candSh.hint("merge"), idCol)
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .transform(graft.core.Pin.apply)
+    }
   }
 }

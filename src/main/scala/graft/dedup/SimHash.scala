@@ -91,45 +91,119 @@ object SimHash {
         hashDistinct),
       idCol, maxHamming, totalBits, maxBlockSize)
 
-  /** The pigeonhole block join over an existing `(idCol, simhash)`
+  /** The pigeonhole pair search over an existing `(idCol, simhash)`
     * frame — the pair-search half of [[nearDuplicates]], reusable over
-    * any fingerprint set (in particular [[componentEdges]]'s DISTINCT
-    * fingerprints). */
+    * any fingerprint set.
+    *
+    * UNCAPPED (exact) path: single-block agreement saturates — with
+    * `maxHamming + 1` blocks over 62/64 bits each block value is only
+    * 12-16 bits wide, so past ~100k documents EVERY block value holds
+    * hundreds of docs and the self-join's Σ·g² candidate term goes
+    * quadratic regardless of content (the 100× probe OOM'd exactly
+    * there). The exact path therefore (1) collapses to DISTINCT
+    * fingerprints first — identical docs never enter the block join,
+    * the q47-at-30× lesson [[componentEdges]] already encoded — and
+    * (2) blocks on PAIRS of agreeing blocks: with `maxHamming + 2`
+    * blocks a pair within the bound touches ≤ maxHamming of them, so
+    * it agrees exactly on ≥ 2 — recall stays total while the composite
+    * key is twice as wide (~20-24 bits), collapsing the collision
+    * quadratic. Doc pairs are re-expanded from fingerprint pairs
+    * OUTPUT-SIZED (fp-pair ⋈ members ⋈ members, plus the intra-group
+    * hamming-0 self-join) — no distinct ever holds doc-pair state.
+    *
+    * CAPPED path (`maxBlockSize`): unchanged single-block semantics —
+    * the cap's drop rule is part of q132's oracled CONTRACT ("a pair
+    * is lost only if every block it agrees on is oversized"), and the
+    * cap already bounds the candidate quadratic by construction. */
   def pairsOfFingerprints(
       fps: DataFrame, idCol: String, maxHamming: Int,
       totalBits: Int = 64,
-      maxBlockSize: Option[Int] = None): DataFrame = {
-    val blocks = maxHamming + 1
+      maxBlockSize: Option[Int] = None): DataFrame = maxBlockSize match {
+    case Some(cap) =>
+      val blocks = maxHamming + 1
+      val bits = totalBits / blocks
+      val chunks = (0 until blocks).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("simhash"), b * bits)
+            .bitwiseAND((1L << bits) - 1).as("bv"))
+      }
+      val keyedAll = fps.select(col(idCol), col("simhash"),
+          explode(array(chunks: _*)).as("c"))
+        .select(col(idCol), col("simhash"),
+          col("c.blk").as("blk"), col("c.bv").as("bv"))
+      val sizes = keyedAll.groupBy(col("blk"), col("bv"))
+        .agg(count(lit(1)).as("block_n"))
+      val keyed = keyedAll
+        .join(sizes.filter(col("block_n") <= cap), Seq("blk", "bv"))
+        .drop("block_n")
+      val a = keyed.select(col(idCol).as("id_a"),
+        col("simhash").as("sh_a"), col("blk"), col("bv"))
+      val b = keyed.select(col(idCol).as("id_b"),
+        col("simhash").as("sh_b"), col("blk"), col("bv"))
+      // hamming BEFORE distinct: the popcount is a per-row map over the
+      // streaming join output, so the distinct's hash state holds only
+      // genuine near-dup pairs — not every block-collision pair
+      a.join(b, Seq("blk", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          popcount(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+    case None =>
+      val pinned = fps.select(col(idCol), col("simhash"))
+        .transform(graft.core.Pin.apply)
+      val fpPairs = fingerprintPairs(
+        pinned.select(col("simhash")).distinct(), maxHamming, totalBits)
+      val cross = fpPairs
+        .join(pinned.select(col(idCol).as("__ia"),
+          col("simhash").as("sh_a")), Seq("sh_a"))
+        .join(pinned.select(col(idCol).as("__ib"),
+          col("simhash").as("sh_b")), Seq("sh_b"))
+        .select(least(col("__ia"), col("__ib")).as("id_a"),
+          greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+      val intra = pinned.select(col(idCol).as("id_a"), col("simhash"))
+        .join(pinned.select(col(idCol).as("id_b"), col("simhash")),
+          Seq("simhash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          lit(0).cast("int").as("hamming"))
+      cross.unionByName(intra)
+  }
+
+  /** Exact near-pair search over DISTINCT fingerprints via two-block
+    * agreement: `maxHamming + 2` blocks, candidates from equi-joins on
+    * ordered block PAIRS (bi < bj, both values equal) — any fingerprint
+    * pair within the Hamming bound flips bits in at most `maxHamming`
+    * blocks and so agrees on at least two, making recall total; a pair
+    * agreeing on g blocks is matched C(g,2) times and deduped at the
+    * FINGERPRINT level (state = genuine fp pairs, never doc pairs).
+    * The last block absorbs the remainder bits; values are extracted
+    * with an UNSIGNED shift so a set sign bit (xxhash64 fingerprints)
+    * cannot smear across keys. */
+  private[dedup] def fingerprintPairs(
+      distinctFps: DataFrame, maxHamming: Int,
+      totalBits: Int): DataFrame = {
+    val blocks = maxHamming + 2
     val bits = totalBits / blocks
-    val chunks = (0 until blocks).map { b =>
-      struct(lit(b).as("blk"),
-        shiftright(col("simhash"), b * bits)
-          .bitwiseAND((1L << bits) - 1).as("bv"))
-    }
-    val keyedAll = fps.select(col(idCol), col("simhash"),
-        explode(array(chunks: _*)).as("c"))
-      .select(col(idCol), col("simhash"),
-        col("c.blk").as("blk"), col("c.bv").as("bv"))
-    val keyed = maxBlockSize match {
-      case Some(cap) =>
-        val sizes = keyedAll.groupBy(col("blk"), col("bv"))
-          .agg(count(lit(1)).as("block_n"))
-        keyedAll.join(sizes.filter(col("block_n") <= cap), Seq("blk", "bv"))
-          .drop("block_n")
-      case None => keyedAll
-    }
-    val a = keyed.select(col(idCol).as("id_a"),
-      col("simhash").as("sh_a"), col("blk"), col("bv"))
-    val b = keyed.select(col(idCol).as("id_b"),
-      col("simhash").as("sh_b"), col("blk"), col("bv"))
-    // hamming BEFORE distinct: the popcount is a per-row map over the
-    // streaming join output, so filtering first means the distinct's
-    // hash state holds only genuine near-dup pairs — not every
-    // block-collision pair (the 4 GiB probe's q145 working set); the
-    // result is identical because hamming is a pure function of the pair
-    a.join(b, Seq("blk", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    def bv(b: Int): Column =
+      if (b == blocks - 1) shiftrightunsigned(col("simhash"), b * bits)
+      else shiftrightunsigned(col("simhash"), b * bits)
+        .bitwiseAND((1L << bits) - 1)
+    val combos = for {
+      i <- 0 until blocks; j <- i + 1 until blocks
+    } yield struct(lit(i).as("bi"), lit(j).as("bj"),
+      bv(i).as("vi"), bv(j).as("vj"))
+    val keyed = distinctFps
+      .select(col("simhash"), explode(array(combos: _*)).as("c"))
+      .select(col("simhash"), col("c.bi").as("bi"), col("c.bj").as("bj"),
+        col("c.vi").as("vi"), col("c.vj").as("vj"))
+    val a = keyed.select(col("simhash").as("sh_a"), col("bi"), col("bj"),
+      col("vi"), col("vj"))
+    val b = keyed.select(col("simhash").as("sh_b"), col("bi"), col("bj"),
+      col("vi"), col("vj"))
+    a.join(b, Seq("bi", "bj", "vi", "vj"))
+      .filter(col("sh_a") < col("sh_b"))
+      .select(col("sh_a"), col("sh_b"),
         popcount(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

@@ -32,21 +32,44 @@ object TemporalBfs {
   /** `(node, arrival)` for every node temporally reachable within
     * `maxHops` edges; direction is ignored (undirected flow).
     *
+    * Per-round shuffle width is sized from the measured input edge
+    * count (the [[LabelPropagation]] discipline): the 100× probe
+    * showed the session width is the per-task memory cliff here — at
+    * width 32 each task of the frontier⋈edges round held a multi-
+    * million-row slice of the 100M-row directed adjacency (plus the
+    * pinned block it re-reads) and OOM'd an 8 GiB heap. The adjacency
+    * is hash-partitioned on the join key and sorted ONCE before the
+    * pin, so every round's join reads it exchange-free and sort-free;
+    * only the node-count-sized frontier/best frames shuffle per round.
+    *
     * @param ts    integer edge timestamp column (days/micros — any
     *              consistent unit)
     * @param seeds `(node, t0)` frame: each seed is live from its t0
     */
   def earliestArrival(
       edges: DataFrame, srcCol: String, dstCol: String, ts: String,
-      seeds: DataFrame, maxHops: Int): DataFrame = {
+      seeds: DataFrame, maxHops: Int,
+      rowsPerTask: Long = 500000L): DataFrame = {
     require(maxHops >= 0 && maxHops <= 64,
       s"maxHops must be in [0,64], got $maxHops")
+    require(rowsPerTask >= 1, s"rowsPerTask must be >= 1, got $rowsPerTask")
+    val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
       col(ts).cast("long").as("ets"))
-    val e = e0.unionByName(
-        e0.select(col("b").as("a"), col("a").as("b"), col("ets")))
-      .distinct()
-      .transform(graft.core.Pin.apply)
+    // upper bound on the directed-edge count (2 × input rows; the
+    // distinct can only shrink it) — one upstream pass, and an
+    // over-estimate only widens the exchange, which AQE coalesces
+    val width = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      ((2L * e0.count() + rowsPerTask - 1) / rowsPerTask).toInt)
+    val e = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+      e0.unionByName(
+          e0.select(col("b").as("a"), col("a").as("b"), col("ets")))
+        .distinct()
+        .repartition(width, col("a"))
+        .sortWithinPartitions(col("a"))
+        .transform(graft.core.Pin.apply)
+    }
     var best = seeds.toDF("node", "arrival")
       .groupBy(col("node")).agg(min(col("arrival").cast("long"))
         .as("arrival"))
@@ -56,19 +79,21 @@ object TemporalBfs {
     var done = frontier.isEmpty
     while (hop < maxHops && !done) {
       hop += 1
-      val cand = frontier.join(e,
-          col("node") === col("a") && col("ets") >= col("arrival"))
-        .groupBy(col("b").as("cnode"))
-        .agg(min(col("ets")).as("cand"))
-      val merged = best
-        .join(cand, col("node") === col("cnode"), "full_outer")
-        .select(
-          coalesce(col("node"), col("cnode")).as("node"),
-          least(col("arrival"), col("cand")).as("arrival"),
-          (col("arrival").isNull ||
-            (col("cand").isNotNull && col("cand") < col("arrival")))
-            .as("improved"))
-        .transform(graft.core.Pin.apply)
+      val merged = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+        val cand = frontier.join(e,
+            col("node") === col("a") && col("ets") >= col("arrival"))
+          .groupBy(col("b").as("cnode"))
+          .agg(min(col("ets")).as("cand"))
+        best
+          .join(cand, col("node") === col("cnode"), "full_outer")
+          .select(
+            coalesce(col("node"), col("cnode")).as("node"),
+            least(col("arrival"), col("cand")).as("arrival"),
+            (col("arrival").isNull ||
+              (col("cand").isNotNull && col("cand") < col("arrival")))
+              .as("improved"))
+          .transform(graft.core.Pin.apply)
+      }
       frontier = merged.filter(col("improved"))
         .select(col("node"), col("arrival"))
       best = merged.select(col("node"), col("arrival"))

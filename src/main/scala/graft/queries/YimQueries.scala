@@ -845,8 +845,19 @@ object MusicQueries {
         .select(col("u1").as("item_a"), col("u2").as("item_b"),
           col("dot").as("users_both"))
       val work = graft.core.TempWork.dir("graft-q230")
-      basePres.write.parquet(s"$work/presence")
-      basePairs.write.parquet(s"$work/pairs")
+      // Persisted STATE frames get bounded parquet row groups: the
+      // vectorized reader buffers a whole row group's column chunks per
+      // task, so default 128 MB groups × 32 concurrent scan tasks is
+      // ~4 GiB of reader buffers before a single pair aggregates — the
+      // 100× probe's genuine heap exhaustion (stage 153). 16 MB groups
+      // cap that at ~512 MB total with no scan-parallelism loss (the
+      // file splits finer, not coarser).
+      basePres.write
+        .option("parquet.block.size", 16L * 1024 * 1024)
+        .parquet(s"$work/presence")
+      basePairs.write
+        .option("parquet.block.size", 16L * 1024 * 1024)
+        .parquet(s"$work/pairs")
       val (pairs, presence) = graft.similarity.Cooccurrence.updateCounts(
         s.read.parquet(s"$work/pairs"), s.read.parquet(s"$work/presence"),
         batch, "user_id", "recording_mbid")

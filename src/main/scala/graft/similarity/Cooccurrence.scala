@@ -126,7 +126,32 @@ object Cooccurrence {
     val delta = d1.unionByName(d2)
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).cast("long").as("users_both"))
+    // The merged re-aggregate carries the FULL prior pair state plus
+    // the delta through one exchange — at 100× that is ~5·10⁸ rows, and
+    // a fixed session width put 10⁷+ of them in every task's hash map
+    // (the 100× probe's genuine heap exhaustion). Width is MEASURED:
+    // prior pair rows (one count over the state parquet) + the exact
+    // delta term volume Σ_u nd·od + nd·(nd−1)/2 (two degree
+    // aggregates over already-pinned frames). The explicit repartition
+    // on the group keys carries its width in the PLAN — the aggregate's
+    // required distribution is already satisfied, so no second
+    // exchange, and the width binds no matter when the caller acts.
+    val nPairs = pairs.count()
+    val deltaTerms: Long = {
+      val nd = newPres.groupBy(col("user")).agg(count(lit(1)).as("nd"))
+      val od = presence.groupBy(col("user")).agg(count(lit(1)).as("od"))
+      val r = nd.join(od, Seq("user"), "left")
+        .agg(sum(col("nd") * coalesce(col("od"), lit(0L)) +
+          col("nd") * (col("nd") - lit(1)) / lit(2)).cast("long"))
+        .head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val spark = batch.sparkSession
+    val width = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, (nPairs + deltaTerms) / 2000000L).toInt)
     val merged = pairs.unionByName(delta)
+      .repartition(width, col("item_a"), col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(sum(col("users_both")).as("users_both"))
     (merged, presence.unionByName(newPres))

@@ -179,16 +179,34 @@ class DedupSpec extends SparkSpec {
       MinHash.signatures(
         MinHash.shingles(corpus, "doc_id", "text", 3), "doc_id", 32),
       "doc_id", 32, 8)
-    val inc = MinHash.incrementalNearDuplicates(
-      batch, corpus, idx, "doc_id", "text",
-      shingleLen = 3, numPerms = 32, bands = 8, threshold = 0.5)
+    // the end-to-end result is PINNED (the measured-width ScopedConf
+    // needs the body to end in an action), so its plan is an RDD scan —
+    // the plan-shape contract is checked on the same verify composition
+    // incrementalNearDuplicates builds, merge hints and all
+    val newBk = MinHash.buckets(
+      MinHash.signatures(
+        MinHash.shingles(batch, "doc_id", "text", 3), "doc_id", 32),
+      "doc_id", 32, 8)
+    // pin both frames first, as incrementalNearDuplicates does — the pin
+    // is what removes the planner's small static estimate (a raw local
+    // fixture would legitimately broadcast); the hint must hold WITH the
+    // production frame shape
+    val cands = MinHash.incrementalCandidates(newBk, idx, "doc_id")
+      .transform(graft.core.Pin.apply)
+    val sh = MinHash.shingles(
+        corpus.unionByName(batch), "doc_id", "text", 3)
+      .transform(graft.core.Pin.apply)
+    val v = MinHash.verify(cands.hint("merge"), sh.hint("merge"), "doc_id")
     // the pre-AQE physical plan: every join at or above the verify stage
     // must be sort-merge — zero BroadcastHashJoin nodes
-    val plan = inc.queryExecution.sparkPlan.toString
+    val plan = v.queryExecution.sparkPlan.toString
     assert(!plan.contains("BroadcastHashJoin"),
       s"static plan still broadcasts a pair-driven side:\n$plan")
     assert(plan.contains("SortMergeJoin"))
-    // and the result is still correct
+    // and the end-to-end incremental result is still correct
+    val inc = MinHash.incrementalNearDuplicates(
+      batch, corpus, idx, "doc_id", "text",
+      shingleLen = 3, numPerms = 32, bands = 8, threshold = 0.5)
     assert(inc.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet.contains((0L, 200L)))
   }
