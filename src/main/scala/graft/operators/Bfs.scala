@@ -35,6 +35,12 @@ object Bfs {
 
   /** `(node, dist)` for every node within `maxHops` of `seeds`.
     *
+    * Per-hop shuffle width is sized from the measured input edge count
+    * and the adjacency is hash-partitioned + sorted once before the
+    * pin (the [[LabelPropagation]]/[[TemporalBfs]] discipline — the
+    * 100× probe OOM'd the fixed session width on the frontier⋈edges
+    * hop exactly as q272 did).
+    *
     * @param edges   edge list; direction is ignored (undirected walk),
     *                self-loops are harmless
     * @param seeds   one-column frame of seed nodes (deduplicated here)
@@ -42,13 +48,25 @@ object Bfs {
     */
   def distances(
       edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, maxHops: Int): DataFrame = {
+      seeds: DataFrame, maxHops: Int,
+      rowsPerTask: Long = 500000L): DataFrame = {
     require(maxHops >= 0 && maxHops <= 64,
       s"maxHops must be in [0,64], got $maxHops")
+    require(rowsPerTask >= 1, s"rowsPerTask must be >= 1, got $rowsPerTask")
+    val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-    val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .transform(graft.core.Pin.apply)
+    // upper bound on the directed-edge count — over-estimating only
+    // widens the exchange, which AQE coalesces
+    val width = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      ((2L * e0.count() + rowsPerTask - 1) / rowsPerTask).toInt)
+    val e = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .repartition(width, col("a"))
+        .sortWithinPartitions(col("a"))
+        .transform(graft.core.Pin.apply)
+    }
     var visited = seeds.toDF("node").distinct()
       .withColumn("dist", lit(0L))
       .transform(graft.core.Pin.apply) // consumed by join + union each hop
@@ -57,10 +75,12 @@ object Bfs {
     var done = frontier.isEmpty
     while (hop < maxHops && !done) {
       hop += 1L
-      val next = frontier.join(e, col("node") === col("a"))
-        .select(col("b").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .transform(graft.core.Pin.apply)
+      val next = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+        frontier.join(e, col("node") === col("a"))
+          .select(col("b").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .transform(graft.core.Pin.apply)
+      }
       visited = visited
         .unionByName(next.withColumn("dist", lit(hop)))
         .transform(graft.core.Pin.apply)
