@@ -20,8 +20,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
+    // SPARK_GRAFT_MASTER: see ProbeOne — the local-cluster tier
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -34,7 +36,13 @@ object Bench {
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => return -1.0 }
+      } catch { case e: Throwable =>
+        // stderr, not the JSON line: the failure REASON matters when the
+        // run is a truth probe (e.g. the local-cluster serialization tier)
+        System.err.println(s"[bench] $name failed: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -58,10 +66,15 @@ object Bench {
     }
 
     // optional trailing args restrict the set (local scale probes; the
-    // driver always runs everything)
+    // driver always runs everything). Declared verification forms
+    // (Q.verifyOnly — deliberately quadratic oracle formulations like
+    // q125's threshold-0 DIMSUM) are excluded from the headline set but
+    // still run when named explicitly.
     val only = args.toSet
+    val verifyOnly =
+      graft.queries.Registry.all.filter(_.verifyOnly).map(_.name).toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.isEmpty || only(n))
+      .filter(n => if (only.isEmpty) !verifyOnly(n) else only(n))
     runOne(names.head) // warmup: JVM + codegen + parquet footer caches
     val results = names.map(n => n -> runOne(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -74,7 +87,11 @@ object Bench {
     // of the log tail the driver captures (BENCH_r08.json lost the
     // per-query map of the first ~200 queries to tail truncation).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-latest.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { // the stdout record above must survive a read-only CWD
+      case e: Exception =>
+        System.err.println(s"warn: could not write $out: $e")
+    }
     spark.stop()
   }
 }

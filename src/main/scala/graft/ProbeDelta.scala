@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental steady-state prober: runMain graft.ProbeDelta <sfDir>
+  * [cooccur|join]... — measures the DELTA PATH ALONE for the
+  * incremental-view operators, the number a production consumer cares
+  * about (cost per increment), which the registered queries q230/q271
+  * deliberately do NOT time in isolation (their bench rows carry the
+  * full-recompute equivalence oracle + state build).
+  *
+  * Protocol: state is pre-built and PERSISTED untimed (parquet, 16 MB
+  * row groups — the state-table discipline), exactly as a nightly job
+  * would find it; then ONE steady-state batch (~1% of the corpus)
+  * is applied and only that application is timed, through a noop
+  * materialization. The MinHash family's equivalent is
+  * [[ProbeIncrementalDedup]] (fixed 100-doc batch vs growing corpus).
+  */
+object ProbeDelta {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val which = if (args.length > 1) args.drop(1).toSet
+      else Set("cooccur", "join")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timedNoop(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val plays = graft.core.Tables.lineitem(spark, dir)
+      .join(graft.core.Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"),
+        col("l_partkey").as("recording_mbid"))
+
+    if (which("cooccur")) {
+      // state: co-presence + pair counts over the first 99% of the
+      // item space; batch: the top 1% of items (users straddle — the
+      // hard replay case, as in q230)
+      val cut = (plays.agg(max(col("recording_mbid"))).head().getLong(0)
+        + 1L) * 99L / 100L
+      val base = plays.filter(col("recording_mbid") < cut)
+      val batch = plays.filter(col("recording_mbid") >= cut)
+      val work = graft.core.TempWork.dir("graft-probedelta")
+      val basePres = base
+        .select(col("recording_mbid").as("item"), col("user_id").as("user"))
+        .distinct().transform(graft.core.Pin.apply)
+      val basePairs = graft.similarity.ChunkedPairs.dots(
+          basePres.select(col("item"), col("user"), lit(1L).as("c")),
+          "item", "user", "c")
+        .select(col("u1").as("item_a"), col("u2").as("item_b"),
+          col("dot").as("users_both"))
+      basePres.write.option("parquet.block.size", 16L * 1024 * 1024)
+        .parquet(s"$work/presence")
+      basePairs.write.option("parquet.block.size", 16L * 1024 * 1024)
+        .parquet(s"$work/pairs")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val nState = spark.read.parquet(s"$work/pairs").count()
+      val nBatch = batch.count()
+      val t = timedNoop {
+        val (pairs, presence) = graft.similarity.Cooccurrence.updateCounts(
+          spark.read.parquet(s"$work/pairs"),
+          spark.read.parquet(s"$work/presence"),
+          batch, "user_id", "recording_mbid")
+        pairs.unionByName(
+          presence.select(col("item").as("item_a"),
+            col("user").as("item_b"), lit(0L).as("users_both")))
+      }
+      println(f"cooccur-delta $dir: statePairs=$nState batchRows=$nBatch " +
+        f"delta=$t%.2f s")
+    }
+
+    if (which("join")) {
+      // q271's view shape; delta = last ~1% of ship dates on R, 1% of
+      // order keys on S — history NEVER re-joins history
+      val li = graft.core.Tables.lineitem(spark, dir).select(
+        col("l_orderkey").as("okey"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 100) " +
+          "as bigint)").as("rev"),
+        col("l_shipdate"))
+      val o = graft.core.Tables.orders(spark, dir).select(
+        col("o_orderkey").as("okey"), col("o_orderpriority").as("prio"))
+      val (liOld, liNew) = (li.filter(col("l_shipdate") < "1998-11-01"),
+        li.filter(col("l_shipdate") >= "1998-11-01"))
+      val (oOld, oNew) = (o.filter(col("okey") % 100L =!= 0L),
+        o.filter(col("okey") % 100L === 0L))
+      def slim(df: DataFrame) = df.drop("l_shipdate")
+      val nR = liNew.count(); val nS = oNew.count()
+      val t = timedNoop {
+        graft.operators.IncrementalJoin.deltaInner(
+            slim(liOld), slim(liNew), oOld, oNew, Seq("okey"))
+          .groupBy(col("rf"), col("ls"), col("prio"))
+          .agg(sum(col("rev")).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      }
+      println(f"join-delta $dir: dR=$nR dS=$nS delta=$t%.2f s")
+    }
+    spark.stop()
+  }
+}

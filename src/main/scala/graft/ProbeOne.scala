@@ -14,7 +14,12 @@ object ProbeOne {
     // threads in a 4g heap is ~70 MB of execution memory per task, a
     // config no production layout pairs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the local[n] master — the
+    // local-cluster[workers,cores,mem] tier runs REAL executor JVMs
+    // (closure serialization, torrent broadcast, off-heap exchange);
+    // pair it with spark.executor.extraClassPath=target/scala-2.13/classes
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

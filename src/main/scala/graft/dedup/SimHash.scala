@@ -114,7 +114,15 @@ object SimHash {
     * CAPPED path (`maxBlockSize`): unchanged single-block semantics —
     * the cap's drop rule is part of q132's oracled CONTRACT ("a pair
     * is lost only if every block it agrees on is oversized"), and the
-    * cap already bounds the candidate quadratic by construction. */
+    * cap already bounds the candidate quadratic by construction.
+    *
+    * PRECONDITION: `fps` must be id-unique — one row per `idCol` value.
+    * The uncapped path re-expands fingerprint pairs through member
+    * joins with no trailing doc-pair distinct (holding doc-pair state
+    * is exactly what the rewrite removed), so duplicate (id, simhash)
+    * input rows would emit duplicate pair rows. Both in-repo producers
+    * ([[fingerprints]] output, [[componentEdges]] grouped members) are
+    * id-unique by construction. */
   def pairsOfFingerprints(
       fps: DataFrame, idCol: String, maxHamming: Int,
       totalBits: Int = 64,

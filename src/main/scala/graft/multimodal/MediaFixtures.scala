@@ -46,10 +46,15 @@ object MediaFixtures {
     }
     val deflater = new Deflater()
     deflater.setInput(raw.toByteArray); deflater.finish()
-    val comp = new Array[Byte](raw.size() + 64)
-    val n = deflater.deflate(comp)
+    // loop until finished(): a single deflate() call can fill the buffer
+    // without draining the stream (worst case ~5 bytes per 16 KiB block
+    // over the raw size), silently truncating the IDAT
+    val comp = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      comp.write(buf, 0, deflater.deflate(buf))
     deflater.end()
-    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", comp.take(n)) ++
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
       chunk("IEND", Array.empty)
   }
 

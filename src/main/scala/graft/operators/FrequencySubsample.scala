@@ -42,6 +42,41 @@ object FrequencySubsample {
   def subsample(
       df: DataFrame, itemCol: Column, occKey: Column,
       t: Double = 1e-4, salt: String = "ss"): DataFrame = {
+    val dim = thresholds(df, itemCol, t)
+    val uHex = substring(
+      md5(concat(occKey.cast("string"), lit(":" + salt)).cast("binary")),
+      1, 8)
+    df.join(dim, itemCol === col("__item"))
+      .filter(col("keep_thr") === lit(Scale) ||
+        uHex < lpad(format_string("%x", col("keep_thr")), 8, "0"))
+      .drop("__item")
+  }
+
+  /** Production draw family (the q218/q268/q278 two-family precedent):
+    * identical `keep_thr` algebra to [[subsample]], but the uniform is
+    * the UNSIGNED TOP 32 BITS of `xxhash64(occKey || ':' || salt)` —
+    * one codegen'd 8-byte hash and a long compare, instead of an md5
+    * digest rendered to hex and a per-row `format_string`/`lpad`
+    * threshold string build. xxhash64 is not DuckDB-replayable, so the
+    * driver gate is the q279 envelope (exact per-item counts and
+    * thresholds, floor items kept exactly, subsampled items inside a
+    * 5σ binomial band); FrequencySubsampleSpec replays every draw
+    * against the clean-room TestXxHash64. */
+  def subsampleFast(
+      df: DataFrame, itemCol: Column, occKey: Column,
+      t: Double = 1e-4, salt: String = "ss"): DataFrame = {
+    val dim = thresholds(df, itemCol, t)
+    val u = shiftrightunsigned(
+      xxhash64(concat(occKey.cast("string"), lit(":" + salt))), 32)
+    df.join(dim, itemCol === col("__item"))
+      .filter(col("keep_thr") === lit(Scale) || u < col("keep_thr"))
+      .drop("__item")
+  }
+
+  /** `(__item, item_count, keep_thr)` vocabulary dimension shared by
+    * both draw families — keep_thr = min(floor(P_keep · 2³²), 2³²). */
+  private def thresholds(
+      df: DataFrame, itemCol: Column, t: Double): DataFrame = {
     require(t > 0 && t < 1, s"t must be in (0,1), got $t")
     val counts = df.groupBy(itemCol.as("__item"))
       .agg(count(lit(1)).as("item_count"))
@@ -52,14 +87,7 @@ object FrequencySubsample {
     val tn = lit(t) * lit(total)
     val keepP = sqrt(tn / col("item_count").cast("double")) +
       tn / col("item_count").cast("double")
-    val dim = counts.withColumn("keep_thr",
+    counts.withColumn("keep_thr",
       least(floor(keepP * lit(Scale.toDouble)).cast("long"), lit(Scale)))
-    val uHex = substring(
-      md5(concat(occKey.cast("string"), lit(":" + salt)).cast("binary")),
-      1, 8)
-    df.join(dim, itemCol === col("__item"))
-      .filter(col("keep_thr") === lit(Scale) ||
-        uHex < lpad(format_string("%x", col("keep_thr")), 8, "0"))
-      .drop("__item")
   }
 }

@@ -267,14 +267,15 @@ object PipelineQueries {
   // --------------------------------------------------------------- q276
   /** ALS model-selection envelope (reference train_models.py:78 seeded
     * 5:1 randomSplit, RMSE metric): split bookkeeping exact, realized
-    * fraction inside a wide binomial band, validation RMSE under a pinned
-    * bound. Measured (ProbeAls, 2026-08-15): 0.889 at sf0.001, 0.957 at
-    * sf0.01, 0.995 at sf0.1 — labels are capped playcounts ≈1 on this
-    * near-one-purchase-per-pair corpus, so the trivial zero predictor
-    * scores ≈1.0 and a DIVERGED fit (exploding factors) or a broken
-    * confidence transform (labels ≠ ≈1) lands far above. Bound 1.05 gates
-    * divergence at every scale while sitting 10% above the sf0.01 driver
-    * measurement. */
+    * fraction inside a wide binomial band, validation RMSE under a
+    * DATA-DERIVED bound: the zero predictor's RMSE on the same validation
+    * rows, times 1.05. Measured (ProbeAls, 2026-08-15): 0.889 at sf0.001,
+    * 0.957 at sf0.01, 0.995 at sf0.1 — labels are capped playcounts ≈1 on
+    * this near-one-purchase-per-pair corpus, so the zero predictor scores
+    * ≈1.0, the measured trend rises TOWARD it but not past it, and a
+    * DIVERGED fit (exploding factors) or a broken confidence transform
+    * (labels ≠ ≈1) lands at a large multiple. Ratio gate is scale-free
+    * (round-9 ADVICE: a fixed absolute 1.05 pinches as sf grows). */
   val q276AlsValidation = Q(
     "q276_als_validation",
     (s, d) => {
@@ -282,7 +283,7 @@ object PipelineQueries {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey"), col("l_partkey"))
       val pc = Als.buildPlaycounts(purchases, "o_custkey", "l_partkey")
-      Als.validationEnvelope(pc, rmseBound = 1.05)
+      Als.validationEnvelope(pc, ratioBound = 1.05)
     },
     Some("""WITH p AS (SELECT DISTINCT o_custkey, l_partkey
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
@@ -444,7 +445,62 @@ object PipelineQueries {
       SELECT a.u AS u1, b.u AS u2,
         cast(sum(a.c * b.c) AS bigint) AS dot
       FROM counts a JOIN counts b ON a.it = b.it AND a.u < b.u
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    verifyOnly = true)
+
+  // ---------------------------------------------------------------- q280
+  /** PRODUCTION-thresholded DIMSUM (reference similarity/user.py:104
+    * runs `columnSimilarities(threshold)` in production — q125's
+    * threshold-0 form is the declared quadratic verification oracle,
+    * marked verifyOnly): `UserCosine.dimsum(τ = 0.1)` over the full
+    * user×recording play matrix, gated by a bounded-error envelope
+    * against the EXACT cosine on a deterministic audit sub-population
+    * (users ≡ 0 mod 7 — ~2% of the pair space, so the exact side stays
+    * output-sized while the DIMSUM side is the full production run).
+    * Zadeh & Carlson's published bound concentrates entries with true
+    * cosine ≥ τ; measured (ProbeDimsum 2026-08-15): recall 1.0 and max
+    * relative error ≤ 4.9e-6 at sf0.001/0.01/0.1 — at this τ the
+    * oversampling γ makes every inclusion probability 1, so the answer
+    * is deterministically near-exact and the pinned bands (recall ≥
+    * 0.95, max rel ≤ 0.05, mean rel ≤ 0.01) gate a broken estimator or
+    * magnitude pipeline with four orders of magnitude of margin. */
+  val q280DimsumThreshold = Q(
+    "q280_dimsum_threshold",
+    (s, d) => {
+      val plays = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_partkey").as("recording_mbid"))
+      val est = UserCosine
+        .dimsum(plays, "user_id", "recording_mbid", threshold = 0.1)
+        .select(col("u1"), col("u2"), col("cosine").as("est"))
+      val audit = UserCosine.exact(
+        plays.filter(col("user_id") % 7 === 0),
+        "user_id", "recording_mbid", minCosine = 0.1)
+        .select(col("u1").cast("long").as("u1"),
+          col("u2").cast("long").as("u2"),
+          col("cosine_r").as("true_cos"))
+      val rel = abs(col("est") - col("true_cos")) / col("true_cos")
+      audit.join(est, Seq("u1", "u2"), "left")
+        .agg(
+          count(lit(1)).as("n_audit"),
+          (coalesce(sum(when(col("est").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).cast("double") >=
+            count(lit(1)).cast("double") * 0.95).as("recall_ok"),
+          (coalesce(max(rel), lit(0.0)) <= 0.05).as("maxrel_ok"),
+          (coalesce(avg(rel), lit(0.0)) <= 0.01).as("meanrel_ok"))
+    },
+    Some("""WITH sub AS (
+        SELECT o_custkey AS u, l_partkey AS it, count(*) AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey % 7 = 0 GROUP BY 1, 2),
+      norms AS (SELECT u, sum(c * c) AS norm2 FROM sub GROUP BY 1),
+      dots AS (SELECT a.u AS u1, b.u AS u2, sum(a.c * b.c) AS dot
+        FROM sub a JOIN sub b ON a.it = b.it AND a.u < b.u GROUP BY 1, 2)
+      SELECT cast(count(*) AS bigint) AS n_audit, true AS recall_ok,
+        true AS maxrel_ok, true AS meanrel_ok
+      FROM dots JOIN norms n1 ON u1 = n1.u JOIN norms n2 ON u2 = n2.u
+      WHERE dot / sqrt(cast(n1.norm2 * n2.norm2 AS double)) >= 0.1"""))
 
   // ---------------------------------------------------------------- q139
   /** INCREMENTAL MinHash near-dup (MinHash.incrementalNearDuplicates):
@@ -810,11 +866,61 @@ object PipelineQueries {
            < lpad(printf('%x', d.keep_thr), 8, '0')
       ORDER BY e.event_id"""))
 
+  // ---------------------------------------------------------------- q279
+  /** Production frequency-subsampling family
+    * ([[graft.operators.FrequencySubsample.subsampleFast]]): the same
+    * `keep_thr` algebra as q242 but the per-occurrence uniform is the
+    * unsigned top 32 bits of one codegen'd `xxhash64` — no md5 digest
+    * rendered to hex, no per-row threshold string build. Not
+    * DuckDB-replayable, so the gate is the envelope: per-item counts and
+    * thresholds EXACT (independent recount joined against the
+    * operator-attached dimension — a vanished item surfaces as a NULL
+    * keep_thr, not a silent pass), floor items (`keep_thr` = 2³²) kept
+    * exactly, subsampled items inside a 5σ binomial band (+1 slack for
+    * the integer edge). Deterministic for fixed data and salt; the
+    * draw-level replay against the clean-room [[graft.TestXxHash64]]
+    * lives in FrequencySubsampleSpec. */
+  val q279FrequencySubsampleFast = Q(
+    "q279_frequency_subsample_fast",
+    (s, d) => {
+      val two32 = 4294967296L
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"))
+      val kept = graft.operators.FrequencySubsample
+        .subsampleFast(ev, col("event_type"), col("event_id"), t = 1e-4)
+      val keptCnt = kept.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("kept"), first(col("keep_thr")).as("thr"))
+      val items = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("item_count"))
+      val p = col("thr").cast("double") / lit(two32.toDouble)
+      val mean = col("item_count").cast("double") * p
+      val sd = sqrt(mean * (lit(1.0) - p))
+      items.join(keptCnt, Seq("event_type"), "left")
+        .select(col("event_type"), col("item_count"),
+          col("thr").as("keep_thr"),
+          when(col("thr") === two32,
+            coalesce(col("kept"), lit(0L)) === col("item_count"))
+            .otherwise(abs(coalesce(col("kept"), lit(0L)).cast("double")
+              - mean) <= lit(5.0) * sd + lit(1.0))
+            .as("kept_ok"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH c AS (
+        SELECT event_type, count(*) AS item_count FROM events GROUP BY 1),
+      n AS (SELECT cast(count(*) AS double) AS nn FROM events)
+      SELECT event_type, item_count,
+        least(cast(floor(
+          (sqrt((1e-4 * nn) / item_count) + (1e-4 * nn) / item_count)
+            * 4294967296) AS bigint), 4294967296) AS keep_thr,
+        true AS kept_ok
+      FROM c, n ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     q46MinhashNeardup, q47SimhashNeardup, q48Fingerprints,
     q60MediaFeatures, q80AlsRecommend, q81UserCosine, q125DimsumExact,
     q128FrameSample, q132SimhashCapped, q139IncrementalNeardup,
     q145DupClusters, q148CurationPipeline, q182ClustersStar,
     q237NegativeSampling, q238TrainingWindows, q241SkipgramPairs,
-    q242FrequencySubsample, q276AlsValidation, q277MediaDecode)
+    q242FrequencySubsample, q276AlsValidation, q277MediaDecode,
+    q279FrequencySubsampleFast, q280DimsumThreshold)
 }

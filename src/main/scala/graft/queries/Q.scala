@@ -10,12 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               ops not expressible in portable SQL (driver then records a
   *               weaker rows-only check)
   * @param bench  include in the headline Bench set
+  * @param verifyOnly this query is a declared VERIFICATION form — a
+  *               deliberately unbounded/quadratic formulation that exists
+  *               to differentially gate a production operator (e.g. q125's
+  *               threshold-0 DIMSUM = exact pair closure). It stays in the
+  *               driver's correctness surface (Verify dumps it, the oracle
+  *               gates it) but Bench's headline set skips it: its cost is
+  *               the oracle's, not the engine's, and it times out at the
+  *               100× tier BY CONSTRUCTION. Bench still runs it when named
+  *               explicitly (probe use).
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    verifyOnly: Boolean = false)
 
 object Q {
   /** Cross-engine-deterministic money arithmetic.

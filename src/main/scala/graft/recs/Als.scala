@@ -213,23 +213,32 @@ object Als {
     * metric): the split bookkeeping is exact (sizes sum to the population;
     * the realized fraction sits far inside a 5σ binomial band), and the
     * validation RMSE — a float from iterative training — collapses to a
-    * pinned upper bound the way q268 pins its 5σ statistics. A diverged
-    * fit, a broken confidence transform, or a split that leaks rows flips
-    * a boolean. */
-  def validationEnvelope(pc: DataFrame, rmseBound: Double): DataFrame = {
+    * boolean the way q268 pins its 5σ statistics. The bound is DERIVED
+    * from the data, not pinned: the zero predictor's RMSE on the same
+    * validation rows (`sqrt(mean(label²))`) is the score a fit that
+    * learned nothing would approach from below, so a healthy fit sits at
+    * or under it at every scale (measured ratio 0.889→0.995 as sf grows,
+    * rising toward — never past — 1.0), while a DIVERGED fit (exploding
+    * factors) or a broken confidence transform lands at a large multiple.
+    * The gate is `rmse <= zeroRmse * ratioBound`, scale-free by
+    * construction — a fixed absolute bound would eventually pinch as the
+    * measured trend approaches the baseline (round-9 ADVICE). */
+  def validationEnvelope(pc: DataFrame, ratioBound: Double): DataFrame = {
     val spark = pc.sparkSession
     import spark.implicits._
     val n = pc.count()
     val Array(trainDf, valDf) = pc.randomSplit(Array(5.0, 1.0), 45L)
     val nTrain = trainDf.count()
     val nVal = valDf.count()
+    val zeroRmse = math.sqrt(
+      valDf.agg(avg(col("confidence") * col("confidence"))).head().getDouble(0))
     val model = train(trainDf)
     val rmse = new RegressionEvaluator().setMetricName("rmse")
       .setLabelCol("confidence").setPredictionCol("prediction")
       .evaluate(model.transform(valDf))
     Seq((n, nTrain + nVal == n,
       math.abs(nTrain.toDouble / n - 5.0 / 6.0) < 0.05,
-      rmse > 0.0 && rmse <= rmseBound))
+      rmse > 0.0 && zeroRmse > 0.0 && rmse <= zeroRmse * ratioBound))
       .toDF("n_playcounts", "split_total_ok", "split_frac_ok", "rmse_ok")
   }
 }

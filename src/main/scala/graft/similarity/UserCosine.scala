@@ -174,7 +174,8 @@ object UserCosine {
     val spark = listens.sparkSession
     import spark.implicits._
     val counts = listens
-      .groupBy(col(userCol).cast("long").as("u"), col(itemCol).as("it"))
+      .groupBy(col(userCol).cast("long").as("u"),
+        col(itemCol).cast("string").as("it"))
       .agg(count(lit(1)).cast("double").as("c"))
     val itemIds = counts.select(col("it")).distinct()
       .rdd.zipWithIndex().map { case (r, i) => (r.getString(0), i) }

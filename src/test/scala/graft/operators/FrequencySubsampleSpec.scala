@@ -66,4 +66,51 @@ class FrequencySubsampleSpec extends SparkSpec {
     assert(run(0.02, 1).sortBy(_._1).toSeq ===
       run(0.02, 17).sortBy(_._1).toSeq)
   }
+
+  // ----------------------------------------------------- fast family
+
+  private def runFast(t: Double, parts: Int = 5) = {
+    import spark.implicits._
+    FrequencySubsample.subsampleFast(
+      occ.toDF("id", "item").repartition(parts),
+      col("item"), col("id"), t = t)
+      .select("id", "item", "item_count", "keep_thr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+  }
+
+  /** Independent replay of the fast draw: clean-room XXH64 of the same
+    * salted key, unsigned top 32 bits compared as a long. */
+  private def bruteKeepFast(t: Double): Set[Long] = {
+    val counts = occ.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val n = occ.size.toDouble
+    val thr = counts.map { case (k, c) =>
+      val p = math.sqrt(t * n / c) + t * n / c
+      k -> math.min(math.floor(p * 4294967296.0).toLong, 4294967296L)
+    }
+    occ.filter { case (id, item) =>
+      thr(item) == 4294967296L ||
+        (graft.TestXxHash64.hashString(s"$id:ss") >>> 32) < thr(item)
+    }.map(_._1).toSet
+  }
+
+  test("fast-family keep decisions replay exactly against the " +
+    "clean-room TestXxHash64") {
+    val t = 0.01
+    assert(runFast(t).map(_._1).toSet === bruteKeepFast(t))
+  }
+
+  test("fast family shares the exact keep_thr dimension with the md5 " +
+    "family and keeps floor items unconditionally") {
+    val t = 0.01
+    val md5Thr = run(t).map(r => r._2 -> r._4).toMap
+    val fast = runFast(t)
+    assert(fast.map(r => r._2 -> r._4).toMap === md5Thr)
+    assert(fast.count(_._2 == "rare") === occ.count(_._2 == "rare"))
+  }
+
+  test("fast-family result is partitioning-invariant") {
+    assert(runFast(0.02, 1).sortBy(_._1).toSeq ===
+      runFast(0.02, 17).sortBy(_._1).toSeq)
+  }
 }
