@@ -185,15 +185,25 @@ object IngestQueries {
     * hash match proves no row or column was lost or re-typed through
     * JDBC → parquet → join. The driver-side INSERT loop is fixture setup
     * (a deployment's database content is a given), bounded by the 25-row
-    * dimension; the measured operator is the import + downstream join. */
+    * dimension; the measured operator is the import + downstream join.
+    *
+    * Fixture shape (round-10 local-cluster finding): Spark's JDBC source
+    * opens its connection ON THE EXECUTORS, so a driver-JVM-private
+    * `memory:` Derby vanishes the moment executors are real processes —
+    * the original fixture passed only because local[n] executors share
+    * the driver JVM. The database is therefore built on disk, shut down,
+    * and packed into a Derby read-only JAR archive
+    * (`jdbc:derby:jar:(file)db` — bootable by any number of JVMs, the
+    * embedded-engine analogue of every executor dialing the same server),
+    * which is exactly how a real deployment's JDBC endpoint behaves. */
   val q133JdbcImport = Q(
     "q133_jdbc_import",
     (s, d) => {
       Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-      val db = "memory:graftq133_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val url = s"jdbc:derby:$db;create=true"
-      val conn = java.sql.DriverManager.getConnection(url)
+      val work = tempDir("graft-q133")
+      val dbDir = s"$work/db"
+      val conn = java.sql.DriverManager
+        .getConnection(s"jdbc:derby:$dbDir;create=true")
       try {
         conn.createStatement().execute("CREATE TABLE nation_src (" +
           "n_nationkey INT, n_name VARCHAR(64), n_regionkey INT)")
@@ -207,16 +217,32 @@ object IngestQueries {
         }
         ps.executeBatch()
       } finally conn.close()
+      // clean shutdown (flushes the log), then pack into a read-only
+      // archive every executor JVM can boot independently
+      try java.sql.DriverManager
+        .getConnection(s"jdbc:derby:$dbDir;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // success == exception
+      val jar = s"$work/nation-db.jar"
+      val zos = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(jar))
+      val root = java.nio.file.Paths.get(dbDir)
+      java.nio.file.Files.walk(root).filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            !p.getFileName.toString.endsWith(".lck"))
+        .forEach { p =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(
+            "db/" + root.relativize(p).toString.replace('\\', '/')))
+          java.nio.file.Files.copy(p, zos)
+          zos.closeEntry()
+        }
+      zos.close()
+      val url = s"jdbc:derby:jar:($jar)db"
 
-      val cachePath = tempDir("graft-q133") + "/nation-cache"
+      val cachePath = s"$work/nation-cache"
       JdbcCache.importCache(s, JdbcCache.JdbcConfig(url, "", ""),
         // pushdown: projection + filter run in the database
         "SELECT n_nationkey, n_name FROM nation_src WHERE n_regionkey <> 0",
         cachePath)
-      // importCache is eager (the cache parquet is on disk) — drop the
-      // in-memory database; Derby signals a successful drop by exception
-      try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true")
-      catch { case _: java.sql.SQLException => () }
 
       val raw = JdbcCache.readCache(s, cachePath)
       val cached = raw.toDF(raw.columns.map(_.toLowerCase).toIndexedSeq: _*)
