@@ -53,7 +53,13 @@ object ProbeIncrementalDedup {
         "doc_id", "text", shingleLen = 3, numPerms = 32, bands = 8,
         threshold = 0.3).count()
     }
-    val (tFull, nFull) = timed {
+    // SPARK_GRAFT_SKIP_FULL=1 skips the full-recompute comparison leg:
+    // at the 100× tier that leg shuffles tens of GB (it is exactly the
+    // job the incremental path exists to avoid) and one probe run of it
+    // filled the sandbox disk — the steady-state numbers users care
+    // about are index_sec (amortized) and incremental_sec (per batch).
+    val skipFull = sys.env.get("SPARK_GRAFT_SKIP_FULL").contains("1")
+    val (tFull, nFull) = if (skipFull) (-1.0, -1L) else timed {
       graft.dedup.MinHash.nearDuplicates(
         corpus.unionByName(batch), "doc_id", "text",
         shingleLen = 3, numPerms = 32, bands = 8, threshold = 0.3).count()

@@ -24,4 +24,62 @@ import org.apache.spark.storage.StorageLevel
 object Pin {
   def apply(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** [[apply]] with BOUNDED block sizes: pin, count (a cached scan),
+    * and when the average pinned partition exceeds ~2× `rowsPerTask`
+    * re-pin at the measured width — an exchange over the
+    * already-materialized blocks, never a recompute — releasing the
+    * original. Why giant pinned blocks are a hazard even though
+    * MEMORY_AND_DISK_SER spills cleanly: on RE-READ of a disk-spilled
+    * block, BlockManager re-caches the whole partition as ONE
+    * ByteBuffer allocation (maybeCacheDiskBytesInMemory) — the q191
+    * 100× failure was 32 session-width blocks of 100+ MB re-cached
+    * concurrently under memory pressure, a heap OOM no spill can save.
+    * `keys` sets the layout of the re-pin (empty = round-robin). */
+  def atWidth(
+      df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+      rowsPerTask: Long = 500000L): DataFrame = {
+    // The FIRST pin must already be block-bounded — the count that
+    // would size it comes only after materialization, and a
+    // session-width first pin of a 100M-row frame is itself the giant-
+    // block hazard (the eager checkpoint's own re-read OOMs before any
+    // re-pin can happen: 32 concurrent 100+ MB ByteBuffer re-caches are
+    // humongous G1 allocations). A generous fixed over-width is safe in
+    // both directions: small frames get small extra tasks (sub-second),
+    // big frames get sane blocks, and the measured re-pin below still
+    // handles frames big enough to beat the safety factor.
+    val spark = df.sparkSession
+    val first = math.max(
+      spark.sessionState.conf.numShufflePartitions * 16, 256)
+    val p0 = apply(
+      if (keys.isEmpty) df.repartition(first)
+      else df.repartition(first, keys: _*))
+    val n = p0.count()
+    val parts = math.max(1, p0.rdd.getNumPartitions)
+    if (n / parts <= 2L * rowsPerTask) p0
+    else {
+      val width = math.min(4096L, (n + rowsPerTask - 1) / rowsPerTask).toInt
+      val p1 = apply(
+        if (keys.isEmpty) p0.repartition(width)
+        else p0.repartition(width, keys: _*))
+      unpin(p0)
+      p1
+    }
+  }
+
+  /** Drop a pinned frame's checkpoint blocks. ONLY for frames every
+    * consumer is finished with — an iterative operator's round-R state
+    * once round R+1 has MATERIALIZED (the new pin's lineage is
+    * truncated, so it no longer references the old blocks). Without
+    * this, a peeling/propagation loop accumulates one superseded edge
+    * copy per round in the PROTECTED storage region and execution
+    * memory starves long before a genuine OOM
+    * (UNABLE_TO_ACQUIRE_MEMORY "got 0" — the q220 100× failure, the
+    * same mechanism as round 9's ProbeOne warmup-pin finding). No-op
+    * for frames that did not come from [[apply]]. */
+  def unpin(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
 }

@@ -145,12 +145,33 @@ object MinHash {
       docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerms: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    // The batch path gets the SAME treatment the incremental path earned
+    // at 30×/100× (see incrementalNearDuplicates): the round-10 100×
+    // probe killed this path with "Not enough memory to build and
+    // broadcast" — the static planner guessed the pair-driven verify
+    // sides small and hard-coded broadcast builds. Pin the two frames
+    // with multiple consumers (shingles feed signatures + all three
+    // verify positions; candidates feed the width measurement + verify),
+    // hint both verify sides to a spillable sort-merge join, and scope
+    // the verify width from the MEASURED candidate × avg-shingle volume.
+    val spark = docs.sparkSession
     val sh = shingles(docs, idCol, textCol, shingleLen)
+      .transform(graft.core.Pin.apply)
     val sigs = signatures(sh, idCol, numPerms)
     val cands = candidates(sigs, idCol, numPerms, bands)
-    verify(cands, sh, idCol)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .transform(graft.core.Pin.apply)
+    val nCands = cands.count()
+    val nDocs = math.max(1L, docs.count())
+    val avgSh = math.max(1L, sh.count() / nDocs)
+    val width = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, nCands * avgSh / 2000000L).toInt)
+    graft.core.ScopedConf.withShufflePartitions(spark, width) {
+      verify(cands.hint("merge"), sh.hint("merge"), idCol)
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .transform(graft.core.Pin.apply)
+    }
   }
 
   /** Incremental end-to-end: near-dup pairs TOUCHING `newDocs`, against a

@@ -80,9 +80,9 @@ object KCore {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-    var e = und.unionByName(
-        und.select(col("b").as("a"), col("a").as("b")))
-      .transform(graft.core.Pin.apply)
+    var e = graft.core.Pin.atWidth(
+      und.unionByName(und.select(col("b").as("a"), col("a").as("b"))),
+      Seq(col("a"))) // re-read-sized blocks, laid out on the peel key
     // counts are over already-pinned frames — each check is a cached
     // scan, not a recompute; edge count unchanged ⟺ the round's keep
     // filter dropped nobody ⟺ fixpoint (0 edges is trivially one too)
@@ -93,10 +93,25 @@ object KCore {
       val keep = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("a"))
         .transform(graft.core.Pin.apply) // consumed by both endpoint semi-joins
-      e = e.join(keep, Seq("a"), "left_semi")
+      // the surviving edge set is bounded by prev (already counted) —
+      // repartition to that measured width before the pin so round-R+1
+      // blocks stay re-read-sized (the Pin.atWidth hazard, known size
+      // here so no extra count; keep is node-bounded and stays small)
+      val nextWidth = math.max(
+        e.sparkSession.sessionState.conf.numShufflePartitions,
+        math.min(4096L, (prev + 499999L) / 500000L).toInt)
+      val next = e.join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .repartition(nextWidth, col("a"))
         .transform(graft.core.Pin.apply)
-      val c = e.count()
+      val c = next.count()
+      // next is materialized with truncated lineage — the superseded
+      // round state can release its checkpoint blocks NOW instead of
+      // accumulating one edge copy per round (Pin.unpin scaladoc: the
+      // q220 100× execution-starvation failure)
+      graft.core.Pin.unpin(e)
+      graft.core.Pin.unpin(keep)
+      e = next
       converged = c == prev || c == 0L
       prev = c
       r += 1

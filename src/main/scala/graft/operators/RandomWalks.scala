@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   * the `length` steps is ONE equi-join of the frontier (#walks rows)
   * against the indexed adjacency — walk count stays constant across
   * steps, so cost is length × (frontier ⋈ adjacency), never exponential.
-  * Walks localCheckpoint between steps would pin lineage for very long
-  * walks; at report lengths (≤ tens) plan growth is fine. Skip-gram
-  * extraction self-joins the walk table on (walk, |Δstep| ≤ window) —
-  * walk-keyed, window-bounded fan-out.
+  * The adjacency is hash-partitioned on node AND sorted once at a width
+  * MEASURED from the edge count before it pins, and every step join +
+  * the per-step frontier pin run at that width (the [[Bfs]]/
+  * [[LabelPropagation]]/[[TemporalBfs]] discipline — the round-10 100×
+  * probe OOM'd the fixed session width on the step join exactly as
+  * q272/q252 did, task-level Java-heap exhaustion in the first hop).
+  * Skip-gram extraction self-joins the walk table on
+  * (walk, |Δstep| ≤ window) — walk-keyed, window-bounded fan-out.
   */
 object RandomWalks {
 
@@ -60,10 +64,23 @@ object RandomWalks {
     * 0 is the start node. walk_id = node·walksPerNode + copy. */
   def walks(
       edges: DataFrame, srcCol: String, dstCol: String,
-      walksPerNode: Int, length: Int): DataFrame = {
+      walksPerNode: Int, length: Int,
+      rowsPerTask: Long = 500000L): DataFrame = {
     require(walksPerNode >= 1, s"walksPerNode must be >= 1")
     require(length >= 1, s"length must be >= 1")
-    val adj = neighborIndex(edges, srcCol, dstCol).transform(graft.core.Pin.apply)
+    require(rowsPerTask >= 1, s"rowsPerTask must be >= 1, got $rowsPerTask")
+    val spark = edges.sparkSession
+    // upper bound on the adjacency row count (pre-distinct) — an
+    // over-estimate only widens the exchange, which AQE coalesces
+    val width = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      ((edges.count() + rowsPerTask - 1) / rowsPerTask).toInt)
+    val adj = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+      neighborIndex(edges, srcCol, dstCol)
+        .repartition(width, col("node"))
+        .sortWithinPartitions(col("node"))
+        .transform(graft.core.Pin.apply)
+    }
     val starts = adj.select(col("node")).distinct()
       .withColumn("copy", explode(
         lit((0L until walksPerNode.toLong).toArray)))
@@ -73,12 +90,18 @@ object RandomWalks {
       col("node"))
     var acc = frontier
     for (t <- 1 to length) {
-      frontier = frontier
-        .join(adj, Seq("node"))
-        .filter(col("idx") === mix(col("node"), col("walk_id"), t) %
-          col("deg"))
-        .select(col("walk_id"), lit(t).as("step"),
-          col("nbr").as("node"))
+      // pin per step: the walk table is the union of the frontiers, so
+      // an unpinned step would re-execute every prior hop join once per
+      // consumer AND leave the step join at the session width
+      frontier = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+        frontier
+          .join(adj, Seq("node"))
+          .filter(col("idx") === mix(col("node"), col("walk_id"), t) %
+            col("deg"))
+          .select(col("walk_id"), lit(t).as("step"),
+            col("nbr").as("node"))
+          .transform(graft.core.Pin.apply)
+      }
       acc = acc.unionByName(frontier)
     }
     acc.select(col("walk_id"), col("step").cast("long").as("step"),

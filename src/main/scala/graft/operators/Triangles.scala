@@ -108,9 +108,11 @@ object Triangles {
       maxBloomEdges: Long = 4000000L): DataFrame =
     // the edge set feeds FIVE plan positions (degrees twice, both wedge
     // sides, the close); materialize canonical + oriented once instead
-    // of re-deriving the upstream pair join per consumer
+    // of re-deriving the upstream pair join per consumer. Pin.atWidth:
+    // the pinned blocks must stay re-read-sized (q191 100× — scaladoc)
     trianglesOfCanonical(
-      canonical(edges, src, dst).transform(graft.core.Pin.apply),
+      graft.core.Pin.atWidth(
+        canonical(edges, src, dst), Seq(col("a"), col("b"))),
       maxBloomEdges)
 
   /** [[triangles]] over an ALREADY-canonical, already-pinned `(a, b)`
@@ -121,16 +123,101 @@ object Triangles {
     * which at 30× is the difference between fitting the default probe
     * heap and not. */
   def trianglesOfCanonical(
-      c: DataFrame, maxBloomEdges: Long = 4000000L): DataFrame = {
-    val o = orient(c).transform(graft.core.Pin.apply)
+      c: DataFrame, maxBloomEdges: Long = 4000000L,
+      rowsPerTask: Long = 500000L): DataFrame = {
+    val spark = c.sparkSession
+    // measured widths (the Bfs/LabelPropagation discipline, applied here
+    // after the round-10 100× probe OOM'd the fixed session width on the
+    // wedge join): edge-scale exchanges size from the counted edge set;
+    // the wedge join + close size from the measured wedge volume
+    // Σ d_out·(d_out−1)/2 over the ORIENTED degrees — the same number
+    // ChunkedPairs budgets by, computed from one cheap aggregate
+    val m = c.count()
+    val edgeWidth = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, (m + rowsPerTask - 1) / rowsPerTask).toInt)
+    // o stays LAZY — no pin: its only consumers are the wedge-terms
+    // aggregate and the wedge self-join, whose two aliases share ONE
+    // materialization through the reused repartition exchange inside
+    // trianglesWedgeClose. Pinning a second edge-sized copy (beside the
+    // caller's pinned canonical set) is what starved execution memory
+    // at 100× — tasks spilled every ~100 KB and the spill-merge blew
+    // the process file-descriptor budget before any OOM. Orient is two
+    // joins against the PINNED c; recomputing it once per job is the
+    // cheap side of that trade (measured at 100×: m = 119.6M edges,
+    // Σ wedge terms = 4.1B, max d_out = 97 — per-task close volume is
+    // ~1M rows at the measured width; memory pressure, not volume, was
+    // the failure).
+    val o = orient(c)
+    val wedgeTerms = {
+      val r = o.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .agg(sum((col("d") * (col("d") - lit(1)) / lit(2)).cast("long")))
+        .head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val wedgeWidth = math.max(edgeWidth,
+      math.min(4096L, (wedgeTerms + rowsPerTask - 1) / rowsPerTask).toInt)
+    // Out-of-core regime (round-10 100×, measured 4.1B wedges over
+    // 119.6M edges): ONE exchange carrying the whole wedge volume is
+    // tens of GB of shuffle write plus an equal sort on the read side —
+    // at a probe-sized disk/heap that run died three different ways
+    // (fixed-width spill storm → FD exhaustion at the 20k sandbox cap;
+    // giant pinned-block re-cache OOM; disk full). The survivable shape
+    // is the ChunkedPairs discipline: split the wedge volume into
+    // center-keyed chunks (pmod(u, K) — even under hubs, max measured
+    // d_out 97), run one bounded close job per chunk against the pinned
+    // canonical set, land each partial as parquet, and return the scan
+    // of the partials. Peak state = one chunk's exchange, disk = one
+    // chunk's shuffle + the partials. The oriented set is materialized
+    // ONCE as a ck-partitioned scratch table (16 MB row groups, the
+    // state-table discipline) so chunk i reads only its partition.
+    val ChunkTermsBudget = 500000000L
+    val nChunks =
+      math.min(64L, (wedgeTerms + ChunkTermsBudget - 1) /
+        math.max(1L, ChunkTermsBudget)).toInt
+    if (nChunks <= 1)
+      trianglesWedgeClose(c, o, m, maxBloomEdges, wedgeWidth)
+    else {
+      val dir = graft.core.TempWork.dir("graft-triangles")
+      o.withColumn("ck", pmod(col("u"), lit(nChunks)))
+        .write.option("parquet.block.size", 16L * 1024 * 1024)
+        .partitionBy("ck").mode("overwrite").parquet(s"$dir/oriented")
+      val oAll = spark.read.parquet(s"$dir/oriented")
+      val chunkWidth = math.max(
+        spark.sessionState.conf.numShufflePartitions,
+        math.min(4096L,
+          (wedgeTerms / nChunks + rowsPerTask - 1) / rowsPerTask).toInt)
+      (0 until nChunks).foreach { i =>
+        trianglesWedgeClose(
+            c, oAll.filter(col("ck") === i).drop("ck"),
+            m, maxBloomEdges, chunkWidth)
+          .write.mode("overwrite").parquet(s"$dir/t$i")
+      }
+      spark.read.parquet((0 until nChunks).map(i => s"$dir/t$i"): _*)
+    }
+  }
+
+  private def trianglesWedgeClose(
+      c: DataFrame, o: DataFrame, m: Long,
+      maxBloomEdges: Long, wedgeWidth: Int): DataFrame = {
+    // the wedge self-join ALSO runs at the measured width (explicit
+    // repartition on the join key — AQE reuses the one exchange for
+    // both aliases): at the session width each task would sort
+    // edge-rows/width input but STREAM wedgeTerms/width output into the
+    // next shuffle's writer, and with storage pins squeezing execution
+    // memory that degenerates into hundreds of tiny sorted spills per
+    // task — the 100× probe died on file descriptors (ExternalSorter's
+    // merge opens every spill at once; the sandbox cap is 20k) before
+    // it could OOM. Bounding per-task volume bounds the spill count.
+    val oW = o.repartition(wedgeWidth, col("u"))
     // wedges centered at u: out-neighbor pairs stated once as
     // (v1 < v2 by id); in the acyclic degree orientation each triangle
     // has exactly ONE node with two out-edges, so each triangle is one
     // wedge — closed against the CANONICAL (a < b) edge set, keeping
     // the close a pure two-key equi-join (no OR condition, which would
     // plan as a nested loop)
-    val w = o.select(col("u"), col("v").as("v1"))
-      .join(o.select(col("u"), col("v").as("v2")), Seq("u"))
+    val w = oW.select(col("u"), col("v").as("v1"))
+      .join(oW.select(col("u"), col("v").as("v2")), Seq("u"))
       .filter(col("v1") < col("v2"))
     // Bloom-prune wedges BEFORE the close exchange when the edge set is
     // small enough for the filter to stay cache-resident: wedge volume
@@ -144,8 +231,12 @@ object Triangles {
     // (289 s vs 146 s at 30× sf0.1), while at 1.2M edges (~1.4 MB,
     // cache-resident) it cuts 20%. False positives are removed by the
     // exact join below either way — the filter is never a correctness
-    // gate, so skipping it is always sound.
-    val m = c.count()
+    // gate, so skipping it is always sound. (A bloom SURVIVAL regime
+    // for huge graphs was tried and rejected in round 10:
+    // `stat.bloomFilter` sizes every task's PARTIAL for the full
+    // expected count — at 119.6M keys that is a 143 MB allocation per
+    // aggregate task, a worse bomb than the exchange it would prune.
+    // The out-of-core answer is the chunked close above.)
     val wp = if (m <= maxBloomEdges) {
       val bytes = BloomPrune.bloomBytesLong(
         c.select(xxhash64(col("a"), col("b")).as("__graft_ek")),
@@ -154,7 +245,12 @@ object Triangles {
       w.filter(graft.functions.GraftFunctions.bloomContains(
         xxhash64(col("v1"), col("v2")), lit(bytes)))
     } else w
-    wp.join(c, col("v1") === col("a") && col("v2") === col("b"))
+    // the close exchange carries the WEDGE volume (Σ d_out² ≫ m on
+    // dense graphs) — repartition on the join keys at the measured
+    // width; the join's left distribution is then already satisfied,
+    // so this is the exchange, not an extra one
+    wp.repartition(wedgeWidth, col("v1"), col("v2"))
+      .join(c, col("v1") === col("a") && col("v2") === col("b"))
       .select(least(col("u"), col("v1"), col("v2")).as("x"),
         when(col("u") =!= least(col("u"), col("v1"), col("v2")) &&
           col("u") =!= greatest(col("u"), col("v1"), col("v2")), col("u"))

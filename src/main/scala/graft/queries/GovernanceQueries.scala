@@ -30,8 +30,9 @@ object GovernanceQueries {
       // sequential-id name chains from transitively merging everything
       val seg = sample.select(col("c_custkey").as("sid"),
         col("c_mktsegment").as("sseg"))
-      val pairs = FuzzyJoin.selfJoin(sample, "c_custkey", "c_name",
-          k = 1, q = 3)
+      // AutoQ (q196's round-10 100× lesson: pinned q=3 goes degenerate
+      // on the grown templated corpus; the measured path self-tunes)
+      val pairs = FuzzyJoin.selfJoin(sample, "c_custkey", "c_name", k = 1)
         .join(seg.select(col("sid").as("a_id"), col("sseg").as("seg_a")),
           Seq("a_id"))
         .join(seg.select(col("sid").as("b_id"), col("sseg").as("seg_b")),

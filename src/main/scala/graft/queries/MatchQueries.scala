@@ -18,12 +18,18 @@ object MatchQueries {
     * [[graft.operators.FuzzyJoin]]'s q-gram prefix-filter blocking plus
     * early-exit levenshtein verify. The oracle is the brute-force
     * quadratic join, so the driver gate proves the blocked pair set is
-    * EXACTLY the all-pairs answer. */
+    * EXACTLY the all-pairs answer — for ANY gram size, which is why the
+    * query runs the production AutoQ path (selectQ measures every
+    * candidate gram size in one corpus pass and picks the smallest
+    * viable one) instead of pinning q: the round-10 100× probe showed a
+    * pinned q=3 crossing the degenerate fail-fast on the grown
+    * templated corpus (avg block load ~580 > 512) while the measured
+    * path simply selects a wider gram and proceeds. */
   val q196FuzzyJoin = Q(
     "q196_fuzzy_join",
     (s, d) => FuzzyJoin.selfJoin(
       Tables.customer(s, d).filter(col("c_custkey") % 10 === 0),
-      idCol = "c_custkey", strCol = "c_name", k = 1, q = 3)
+      idCol = "c_custkey", strCol = "c_name", k = 1)
       .orderBy(col("a_id"), col("b_id")),
     Some("""WITH c AS (
         SELECT c_custkey AS id, c_name AS s FROM customer
@@ -230,8 +236,10 @@ object MatchQueries {
         .filter(col("c_custkey") % 10 === 0)
       val corpus = sample.filter(expr("(c_custkey div 10) % 5 != 0"))
       val batch = sample.filter(expr("(c_custkey div 10) % 5 = 0"))
-      val idx = FuzzyJoin.buildIndex(corpus, "c_custkey", "c_name",
-        k = 1, q = 3)
+      // AutoQ, like q196: at 100× the pinned q=3 sat one threshold-hair
+      // under the degenerate fail-fast (load ~480 of 512) — measure q
+      // per corpus instead of riding the margin
+      val idx = FuzzyJoin.buildIndex(corpus, "c_custkey", "c_name", k = 1)
       FuzzyJoin.probe(idx, batch, "c_custkey", "c_name")
         .orderBy(col("a_id"), col("b_id"))
     },

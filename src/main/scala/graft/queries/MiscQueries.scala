@@ -758,9 +758,11 @@ object MiscQueries {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       // pin the DISTINCT canonical edge set (orders of magnitude smaller
       // than the raw pair multiset) — it feeds both the exact count and
-      // the sampled estimate; canonical() is idempotent downstream
-      val e = graft.operators.Triangles.canonical(raw, "src", "dst")
-        .transform(graft.core.Pin.apply)
+      // the sampled estimate; canonical() is idempotent downstream.
+      // atWidth: re-read-sized blocks (q191 100×, Pin scaladoc)
+      val e = graft.core.Pin.atWidth(
+        graft.operators.Triangles.canonical(raw, "src", "dst"),
+        Seq(col("a"), col("b")))
       // e is already canonical and pinned: both passes share the ONE
       // materialized edge copy instead of re-pinning per consumer
       val exact = graft.operators.Triangles.trianglesOfCanonical(e)

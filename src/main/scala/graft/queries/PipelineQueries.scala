@@ -607,22 +607,34 @@ object PipelineQueries {
   /** q145's cluster assignment computed by the OTHER algorithm
     * ([[graft.dedup.Clusters.connectedComponentsStar]], Kiveris et al.
     * large-star/small-star — O(log² n) rounds on any topology where
-    * min-label propagation needs O(diameter)): identical pairs,
+    * min-label propagation needs O(diameter)): identical edge input,
     * identical recursive-CTE oracle, so a green row proves the star
     * fixpoint equals both the propagation fixpoint AND the
     * from-first-principles transitive closure — three algorithms, one
     * answer. This is the fallback to dispatch when a pair graph's
-    * diameter is unknown or adversarial (SCALE.md). */
+    * diameter is unknown or adversarial (SCALE.md).
+    *
+    * Round-10 100× fix: this row originally fed the star loop the FULL
+    * near-dup pair listing — on the dup-heavy corpus that is the
+    * quadratic q47 exact-listing shape (dup families of size g emit
+    * ~g²/2 pairs), and ~30 rounds of edge-set shuffles over it blew the
+    * 100× probe's budget while q145 (same components through
+    * [[graft.dedup.SimHash.componentEdges]]'s star-collapsed linear
+    * edge set) finished in 38 s. Component-equivalent edge reduction is
+    * input discipline, not an algorithm property — the star
+    * algorithm gets the same reduced edges, keeps its
+    * diameter-adversarial robustness claim, and the oracle still pins
+    * the full from-first-principles closure. */
   val q182ClustersStar = Q(
     "q182_clusters_star",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
-      val pairs = SimHash.nearDuplicates(
+      val edges = SimHash.componentEdges(
         docs, "doc_id", "text", maxHamming = 4,
         tokenHash = graft.functions.GraftFunctions.polyHash62,
         totalBits = 62, hashDistinct = true)
-      Clusters.assign(docs, "doc_id", pairs, useStar = true)
+      Clusters.assign(docs, "doc_id", edges, useStar = true)
         .orderBy(col("doc_id"))
     },
     q145DupClusters.oracle)
