@@ -49,19 +49,26 @@ object Pin {
     // big frames get sane blocks, and the measured re-pin below still
     // handles frames big enough to beat the safety factor.
     val spark = df.sparkSession
-    val first = math.max(
-      spark.sessionState.conf.numShufflePartitions * 16, 256)
+    val default = spark.sessionState.conf.numShufflePartitions
+    val first = math.max(default * 16, 256)
     val p0 = apply(
       if (keys.isEmpty) df.repartition(first)
       else df.repartition(first, keys: _*))
     val n = p0.count()
     val parts = math.max(1, p0.rdd.getNumPartitions)
-    if (n / parts <= 2L * rowsPerTask) p0
+    // measured target; re-pin TOWARD it in either direction — fat
+    // blocks are the re-read hazard, but a small frame left at the
+    // safety width is just as bad the other way (a pinned scan's
+    // partitioning is not AQE-coalescible, so 512 tiny blocks turn
+    // every downstream stage into 512 tiny tasks × every pass —
+    // measured 6× on q191 at 1× before this clause)
+    val target = math.max(default.toLong,
+      math.min(4096L, (n + rowsPerTask - 1) / rowsPerTask)).toInt
+    if (parts <= 2 * target && n / parts <= 2L * rowsPerTask) p0
     else {
-      val width = math.min(4096L, (n + rowsPerTask - 1) / rowsPerTask).toInt
       val p1 = apply(
-        if (keys.isEmpty) p0.repartition(width)
-        else p0.repartition(width, keys: _*))
+        if (keys.isEmpty) p0.repartition(target)
+        else p0.repartition(target, keys: _*))
       unpin(p0)
       p1
     }
