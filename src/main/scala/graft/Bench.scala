@@ -86,7 +86,23 @@ object Bench {
     // ALSO a file artifact: the round record must not depend on how much
     // of the log tail the driver captures (BENCH_r08.json lost the
     // per-query map of the first ~200 queries to tail truncation).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-latest.json")
+    // NO-CLOBBER BY DEFAULT (rounds 9 AND 10 each lost the committed
+    // isolated record to an under-load driver/probe run overwriting
+    // bench-latest.json): an unconfigured run writes a TIMESTAMPED
+    // artifact that can never overwrite anything; bench-latest.json is
+    // written only by the deliberate record-keeping step
+    // (SPARK_GRAFT_BENCH_RECORD=1) or an explicit SPARK_GRAFT_BENCH_OUT.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("1"))
+        "bench-latest.json"
+      else {
+        val stamp = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd-HHmmss")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now())
+        s"bench-run-$stamp.json"
+      }
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { // the stdout record above must survive a read-only CWD
       case e: Exception =>

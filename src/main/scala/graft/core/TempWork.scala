@@ -29,6 +29,17 @@ object TempWork {
     Files.createDirectory(
       root.resolve(s"$prefix-${counter.getAndIncrement()}")).toString
 
+  /** Eagerly delete a scratch tree under the managed root — for
+    * operators whose intermediate state is superseded long before JVM
+    * shutdown (e.g. the chunked triangle close's oriented scratch table
+    * once every partial has landed: deleting it halves the operator's
+    * peak disk footprint). No-op for paths outside the root, so a
+    * caller can never aim this at real data. */
+  def delete(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path).normalize()
+    if (p.startsWith(root)) deleteTree(p)
+  }
+
   private def deleteTree(p: Path): Unit = {
     val stack = mutable.Stack(p)
     val toDelete = mutable.ListBuffer.empty[Path]

@@ -166,12 +166,19 @@ object MinHash {
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
       math.min(4096L, nCands * avgSh / 2000000L).toInt)
-    graft.core.ScopedConf.withShufflePartitions(spark, width) {
+    val out = graft.core.ScopedConf.withShufflePartitions(spark, width) {
       verify(cands.hint("merge"), sh.hint("merge"), idCol)
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .transform(graft.core.Pin.apply)
     }
+    // the result pin is eager and lineage-truncated, so the input pins
+    // have no remaining consumer — release them (the KCore discipline)
+    // or a multi-query session accumulates superseded shingle/candidate
+    // blocks in the protected storage pool
+    graft.core.Pin.unpin(sh)
+    graft.core.Pin.unpin(cands)
+    out
   }
 
   /** Incremental end-to-end: near-dup pairs TOUCHING `newDocs`, against a
@@ -231,11 +238,15 @@ object MinHash {
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
       math.min(4096L, nCands * avgSh / 2000000L).toInt)
-    graft.core.ScopedConf.withShufflePartitions(spark, width) {
+    val out = graft.core.ScopedConf.withShufflePartitions(spark, width) {
       verify(cands.hint("merge"), candSh.hint("merge"), idCol)
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .transform(graft.core.Pin.apply)
     }
+    // same release discipline as the batch path above
+    graft.core.Pin.unpin(cands)
+    graft.core.Pin.unpin(candSh)
+    out
   }
 }

@@ -70,11 +70,16 @@ object RandomWalks {
     require(length >= 1, s"length must be >= 1")
     require(rowsPerTask >= 1, s"rowsPerTask must be >= 1, got $rowsPerTask")
     val spark = edges.sparkSession
-    // upper bound on the adjacency row count (pre-distinct) — an
-    // over-estimate only widens the exchange, which AQE coalesces
+    // upper bound on the adjacency row count (pre-distinct — the cheap
+    // count; an over-estimate only widens), clamped at 4096 like every
+    // other measured-width site: the adjacency pin and each per-step
+    // join run AT this width, and a pinned scan's partitioning is not
+    // AQE-coalescible, so an unbounded width would turn every hop into
+    // that many tasks on arbitrarily large inputs
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
-      ((edges.count() + rowsPerTask - 1) / rowsPerTask).toInt)
+      math.min(4096L,
+        (edges.count() + rowsPerTask - 1) / rowsPerTask).toInt)
     val adj = graft.core.ScopedConf.withShufflePartitions(spark, width) {
       neighborIndex(edges, srcCol, dstCol)
         .repartition(width, col("node"))

@@ -121,7 +121,15 @@ object Triangles {
     * sampled estimate side by side): re-pinning the canonical set per
     * pass would hold one extra materialized edge copy per consumer,
     * which at 30× is the difference between fitting the default probe
-    * heap and not. */
+    * heap and not.
+    *
+    * EAGER in the chunked regime: when the measured wedge volume
+    * exceeds the per-job budget, this call runs the whole out-of-core
+    * close AT CALL TIME (oriented scratch + one bounded job per chunk)
+    * and returns a scan over the landed partials — a deliberate
+    * departure from lazy DataFrame semantics (the ChunkedPairs
+    * contract). Callers must build the frame ONCE and reuse it;
+    * constructing it twice redoes and double-stores the full close. */
   def trianglesOfCanonical(
       c: DataFrame, maxBloomEdges: Long = 4000000L,
       rowsPerTask: Long = 500000L): DataFrame = {
@@ -193,6 +201,11 @@ object Triangles {
             m, maxBloomEdges, chunkWidth)
           .write.mode("overwrite").parquet(s"$dir/t$i")
       }
+      // every partial has landed — the oriented scratch table has no
+      // remaining reader; deleting it now halves the operator's peak
+      // disk footprint (partials are triangle-sized, oriented is
+      // edge-sized)
+      graft.core.TempWork.delete(s"$dir/oriented")
       spark.read.parquet((0 until nChunks).map(i => s"$dir/t$i"): _*)
     }
   }

@@ -226,7 +226,8 @@ object IngestQueries {
       val zos = new java.util.zip.ZipOutputStream(
         new java.io.FileOutputStream(jar))
       val root = java.nio.file.Paths.get(dbDir)
-      java.nio.file.Files.walk(root).filter(p =>
+      val walk = java.nio.file.Files.walk(root)
+      try walk.filter(p =>
           java.nio.file.Files.isRegularFile(p) &&
             !p.getFileName.toString.endsWith(".lck"))
         .forEach { p =>
@@ -235,7 +236,7 @@ object IngestQueries {
           java.nio.file.Files.copy(p, zos)
           zos.closeEntry()
         }
-      zos.close()
+      finally { walk.close(); zos.close() }
       val url = s"jdbc:derby:jar:($jar)db"
 
       val cachePath = s"$work/nation-cache"

@@ -407,11 +407,18 @@ object PipelineQueries {
     bench = true)
 
   // ---------------------------------------------------------------- q125
-  /** DIMSUM similarity plumbing, differentially oracled: at threshold 0
-    * the DIMSUM sampler saturates (gamma → ∞, inclusion probability 1 —
-    * Zadeh & Carlson's "Dimension Independent Matrix Square", public), so
-    * `RowMatrix.columnSimilarities(0)` must emit EXACT cosine for every
-    * co-occurring user pair. A rounded-cosine compare would be FP-fragile
+  /** DIMSUM similarity plumbing, differentially oracled — and the
+    * REFERENCE-FAITHFUL form: similarity/user.py:114 runs
+    * `columnSimilarities()` with no threshold, i.e. exactly this
+    * threshold-0 call. It is verifyOnly on COST grounds alone (its
+    * output is the full quadratic pair closure — inherent to the exact
+    * form, ~15 s at sf0.1 and unbounded at the 100× tier), not because
+    * the reference avoids it; q280 is this engine's thresholded
+    * production variant, envelope-gated against the exact answer.
+    * At threshold 0 the DIMSUM sampler saturates (gamma → ∞, inclusion
+    * probability 1 — Zadeh & Carlson's "Dimension Independent Matrix
+    * Square", public), so `RowMatrix.columnSimilarities(0)` must emit
+    * EXACT cosine for every co-occurring user pair. A rounded-cosine compare would be FP-fragile
     * — DIMSUM sums per-item quotients where a single divide is exact, and
     * some cosines here land exactly on dyadic rounding boundaries
     * (0.9140625 in this corpus) — so instead the query recovers the
@@ -449,14 +456,23 @@ object PipelineQueries {
     verifyOnly = true)
 
   // ---------------------------------------------------------------- q280
-  /** PRODUCTION-thresholded DIMSUM (reference similarity/user.py:104
-    * runs `columnSimilarities(threshold)` in production — q125's
-    * threshold-0 form is the declared quadratic verification oracle,
-    * marked verifyOnly): `UserCosine.dimsum(τ = 0.1)` over the full
-    * user×recording play matrix, gated by a bounded-error envelope
-    * against the EXACT cosine on a deterministic audit sub-population
-    * (users ≡ 0 mod 7 — ~2% of the pair space, so the exact side stays
-    * output-sized while the DIMSUM side is the full production run).
+  /** THRESHOLDED DIMSUM — this engine's production-scale variant.
+    * The reference itself runs the EXACT form: similarity/user.py:114
+    * calls `columnSimilarities()` with NO threshold (all co-occurring
+    * pairs, exact cosine), which is q125 — demoted to the verify tier
+    * purely on COST grounds: threshold-0 output is the full quadratic
+    * pair closure, which at 100× is a 350 s job whose answer the
+    * thresholded run reproduces near-exactly for every pair a consumer
+    * keeps. `UserCosine.dimsum(τ = 0.1)` over the full user×recording
+    * play matrix, gated by a bounded-error envelope against the EXACT
+    * cosine on a deterministic audit sub-population.
+    *
+    * Audit sample frame (stated scope): the exact side computes pairs
+    * where BOTH users ≡ 0 mod 7 — ~2% of the pair space — so the exact
+    * leg stays output-sized while the DIMSUM side is the full
+    * production run; the envelope therefore certifies the estimator on
+    * that sub-population and extrapolates by uniformity of the mod-7
+    * cut (id-independent of play behavior), not by covering every pair.
     * Zadeh & Carlson's published bound concentrates entries with true
     * cosine ≥ τ; measured (ProbeDimsum 2026-08-15): recall 1.0 and max
     * relative error ≤ 4.9e-6 at sf0.001/0.01/0.1 — at this τ the
