@@ -21,7 +21,7 @@ object ProbeDelta {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val which = if (args.length > 1) args.drop(1).toSet
-      else Set("cooccur", "join")
+      else Set("cooccur", "join", "lsm")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -78,6 +78,36 @@ object ProbeDelta {
       }
       println(f"cooccur-delta $dir: statePairs=$nState batchRows=$nBatch " +
         f"delta=$t%.2f s")
+    }
+
+    if (which("lsm")) {
+      // the PairState production layout: same 99/1 split as `cooccur`,
+      // state built and landed UNTIMED (pk-partitioned base), then the
+      // timed legs a nightly consumer pays — (a) ONE batch application
+      // (delta + segment write; the base is never shuffled) and (b) the
+      // amortized compaction fold, reported separately because a real
+      // stream pays it once per ~(compactFraction × base/batch) batches
+      val cut = (plays.agg(max(col("recording_mbid"))).head().getLong(0)
+        + 1L) * 99L / 100L
+      val base = plays.filter(col("recording_mbid") < cut)
+      val batch = plays.filter(col("recording_mbid") >= cut)
+      val work = graft.core.TempWork.dir("graft-probelsm")
+      val st = graft.similarity.PairState.create(
+        spark, s"$work/state", base, "user_id", "recording_mbid",
+        buckets = 64)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val nState = st.baseRows
+      val nBatch = batch.count()
+      val t0 = System.nanoTime()
+      val nSeg = st.applyBatch(batch, "user_id", "recording_mbid",
+        compactFraction = 1e12)
+      val tApply = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      st.compact()
+      val tCompact = (System.nanoTime() - t1) / 1e9
+      println(f"cooccur-lsm $dir: statePairs=$nState batchRows=$nBatch " +
+        f"segRows=$nSeg apply=$tApply%.2f s compact=$tCompact%.2f s")
     }
 
     if (which("join")) {

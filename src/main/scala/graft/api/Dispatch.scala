@@ -239,11 +239,15 @@ final class Dispatch(
       case "similarity.similar_users" =>
         // production path caps hot-item degree (one viral track must not
         // quadratically dominate pair generation); oracled queries use
-        // the uncapped exact form
+        // the uncapped exact form. approx=true routes through the
+        // thresholded-DIMSUM finder (τ = 0.1, q280's envelope-gated
+        // near-exact tier; q281 oracles the routed shape) — the 100×
+        // shape, where the exact pair engine is the verify tier
         graft.yim.Yim.similarUsers(
           windowed.filter(col("recording_mbid").isNotNull),
           "user_id", "recording_mbid", k = 25,
-          maxItemListeners = Some(10000L))
+          maxItemListeners = Some(10000L),
+          tau = if (req.approx) Some(0.1) else None)
       case "similarity.recording" =>
         graft.similarity.SessionSimilarity(
           windowed.filter(col("recording_mbid").isNotNull),
@@ -317,7 +321,8 @@ final class Dispatch(
       case "year_in_music.similar_users" =>
         graft.yim.Yim.similarUsers(
           yearListens.filter(col("recording_mbid").isNotNull),
-          "user_id", "recording_mbid", k = 25)
+          "user_id", "recording_mbid", k = 25,
+          tau = if (req.approx) Some(0.1) else None)
       case "year_in_music.top_stats" =>
         // the reference runs the entity stats AND an artist-map rollup in
         // the same handler (top_stats.py:33-52); entity selects which

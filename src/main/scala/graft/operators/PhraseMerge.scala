@@ -101,6 +101,84 @@ object PhraseMerge {
         col("n_after"), col("new_text"))
   }
 
+  /** One completed training round's driver-side stats. */
+  final case class MergeRound(round: Int, merges: Long, vocab: Long)
+
+  /** ITERATED merge training — the BPE-style tokenizer loop: requalify
+    * and merge until `maxRounds` rounds ran, a round merges nothing, or
+    * the vocabulary (distinct token count of the rewritten corpus)
+    * drops to `vocabBudget` (0 = no budget). Each round recounts pairs
+    * and unigrams on the PREVIOUS round's rewritten corpus, so merged
+    * units ("a_b") qualify as members of longer phrases in later
+    * rounds — exactly how word2phrase builds trigrams+ by re-running
+    * and how BPE grows its vocabulary one merge table at a time.
+    *
+    * Returns the final per-doc frame
+    * `(idCol, n_before, n_merges, n_after, new_text)` — n_before is
+    * the ORIGINAL token count, n_merges the total across rounds,
+    * n_after/new_text the final corpus — plus the per-round stats.
+    *
+    * Scale shape: each round is one [[mergeOnce]] (doc-keyed window
+    * sort + broadcast phrase table — the qualifying set is
+    * significance-filtered, vocabulary²-bounded in principle and tiny
+    * in practice), and the corpus is rewritten O(rounds) times — the
+    * inherent cost of iterated merge training; rounds are bounded by
+    * the caller. Per-round state is pinned and the superseded round
+    * unpinned (the KCore round discipline), so a long training run
+    * holds ONE corpus copy, not one per round. Early stop is exact:
+    * a 0-merge round is a fixed point (round r+1 would qualify the
+    * same empty set), so stopping early returns what more rounds
+    * would. */
+  def iterate(
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Long, scoreNum: Long, scoreDen: Long,
+      maxRounds: Int, vocabBudget: Long = 0L)
+      : (DataFrame, Seq[MergeRound]) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    // scalar anchors per round: CUMULATIVE merge total + rewritten
+    // vocabulary size (both cached scans over the round's pin)
+    def anchors(df: DataFrame): (Long, Long) = {
+      val m = df.agg(sum(col("n_merges"))).head()
+      val merges = if (m.isNullAt(0)) 0L else m.getLong(0)
+      val vocab = df
+        .select(explode(filter(split(col("new_text"), " "),
+          x => x =!= "")).as("w"))
+        .agg(count_distinct(col("w"))).head().getLong(0)
+      (merges, vocab)
+    }
+    // acc: (idCol, n_before, n_merges-cumulative, n_after, new_text)
+    var acc = mergeOnce(docs, idCol, textCol, discount, scoreNum,
+      scoreDen).transform(graft.core.Pin.apply)
+    var (cum, vocab) = anchors(acc)
+    var roundMerges = cum
+    val stats =
+      scala.collection.mutable.ListBuffer(MergeRound(1, cum, vocab))
+    var r = 1
+    while (r < maxRounds && roundMerges > 0 &&
+        (vocabBudget <= 0 || vocab > vocabBudget)) {
+      r += 1
+      val next = mergeOnce(
+        acc.select(col(idCol), col("new_text").as(textCol)),
+        idCol, textCol, discount, scoreNum, scoreDen)
+      val combined = acc
+        .select(col(idCol), col("n_before"),
+          col("n_merges").as("__m_prev"))
+        .join(next.drop("n_before"), Seq(idCol))
+        .select(col(idCol), col("n_before"),
+          (col("__m_prev") + col("n_merges")).as("n_merges"),
+          col("n_after"), col("new_text"))
+        .transform(graft.core.Pin.apply)
+      graft.core.Pin.unpin(acc)
+      acc = combined
+      val (cum2, vocab2) = anchors(acc)
+      roundMerges = cum2 - cum
+      cum = cum2
+      vocab = vocab2
+      stats += MergeRound(r, roundMerges, vocab)
+    }
+    (acc, stats.toList)
+  }
+
   private def tokens(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("__doc"),

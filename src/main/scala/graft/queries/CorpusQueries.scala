@@ -409,6 +409,98 @@ object CorpusQueries {
       FROM documents d LEFT JOIN rb USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // ---------------------------------------------------------------- q282
+  /** ITERATED tokenizer training ([[graft.operators.PhraseMerge
+    * .iterate]]): two qualification+merge rounds, each recounting
+    * pairs and unigrams on the previous round's REWRITTEN corpus — so
+    * units merged in round 1 ("a_b") qualify inside longer phrases in
+    * round 2, the loop a BPE/word2phrase trainer runs until its
+    * vocabulary budget. The oracle unrolls BOTH rounds (q214's replay
+    * chain twice, round 2 over round 1's rebuilt text), so the hash
+    * verdict pins the full training trajectory byte-for-byte: per-doc
+    * original token count, total merges across rounds, and the final
+    * corpus. */
+  val q282PhraseIterate = Q(
+    "q282_phrase_iterate",
+    (s, d) => {
+      val (merged, _) = graft.operators.PhraseMerge.iterate(
+        Tables.documents(s, d), "doc_id", "text",
+        discount = 5L, scoreNum = 1L, scoreDen = 20000L, maxRounds = 2)
+      merged.orderBy(col("doc_id"))
+    },
+    Some("""WITH t1 AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+        generate_subscripts(
+          list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
+      FROM documents),
+      adj1 AS (SELECT a.w AS w1, b.w AS w2 FROM t1 a JOIN t1 b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      pc1 AS (SELECT w1, w2, count(*) AS n_ab FROM adj1 GROUP BY 1, 2),
+      u1 AS (SELECT w, count(*) AS n_w FROM t1 GROUP BY 1),
+      ph1 AS (SELECT w1, w2 FROM pc1
+        JOIN u1 ua ON pc1.w1 = ua.w JOIN u1 ub ON pc1.w2 = ub.w
+        WHERE (n_ab - 5) * 20000 >= ua.n_w * ub.n_w),
+      cand1 AS (SELECT doc_id, pos, w,
+          lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t1),
+      mm1 AS (SELECT c.*, (ph1.w1 IS NOT NULL) AS m FROM cand1 c
+        LEFT JOIN ph1 ON c.w = ph1.w1 AND c.nxt = ph1.w2),
+      rr1 AS (SELECT *, CASE WHEN m THEN pos - row_number() OVER (
+          PARTITION BY doc_id, m ORDER BY pos) END AS run FROM mm1),
+      oo1 AS (SELECT *, CASE WHEN m THEN row_number() OVER (
+          PARTITION BY doc_id, run ORDER BY pos) END AS ord FROM rr1),
+      mk1 AS (SELECT *, (m AND ord % 2 = 1) AS merge_here FROM oo1),
+      ck1 AS (SELECT *, coalesce(lag(merge_here) OVER (
+          PARTITION BY doc_id ORDER BY pos), false) AS consumed FROM mk1),
+      rb1 AS (SELECT doc_id,
+          cast(sum(CASE WHEN merge_here THEN 1 ELSE 0 END) AS bigint)
+            AS n_merges,
+          string_agg(CASE WHEN merge_here THEN w || '_' || nxt ELSE w
+            END, ' ' ORDER BY pos) AS new_text
+        FROM ck1 WHERE NOT consumed GROUP BY doc_id),
+      docs2 AS (SELECT d.doc_id, coalesce(rb1.new_text, '') AS text
+        FROM documents d LEFT JOIN rb1 USING (doc_id)),
+      t2 AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+        generate_subscripts(
+          list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
+      FROM docs2),
+      adj2 AS (SELECT a.w AS w1, b.w AS w2 FROM t2 a JOIN t2 b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      pc2 AS (SELECT w1, w2, count(*) AS n_ab FROM adj2 GROUP BY 1, 2),
+      u2 AS (SELECT w, count(*) AS n_w FROM t2 GROUP BY 1),
+      ph2 AS (SELECT w1, w2 FROM pc2
+        JOIN u2 ua ON pc2.w1 = ua.w JOIN u2 ub ON pc2.w2 = ub.w
+        WHERE (n_ab - 5) * 20000 >= ua.n_w * ub.n_w),
+      cand2 AS (SELECT doc_id, pos, w,
+          lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t2),
+      mm2 AS (SELECT c.*, (ph2.w1 IS NOT NULL) AS m FROM cand2 c
+        LEFT JOIN ph2 ON c.w = ph2.w1 AND c.nxt = ph2.w2),
+      rr2 AS (SELECT *, CASE WHEN m THEN pos - row_number() OVER (
+          PARTITION BY doc_id, m ORDER BY pos) END AS run FROM mm2),
+      oo2 AS (SELECT *, CASE WHEN m THEN row_number() OVER (
+          PARTITION BY doc_id, run ORDER BY pos) END AS ord FROM rr2),
+      mk2 AS (SELECT *, (m AND ord % 2 = 1) AS merge_here FROM oo2),
+      ck2 AS (SELECT *, coalesce(lag(merge_here) OVER (
+          PARTITION BY doc_id ORDER BY pos), false) AS consumed FROM mk2),
+      rb2 AS (SELECT doc_id, count(*) AS n_after,
+          cast(sum(CASE WHEN merge_here THEN 1 ELSE 0 END) AS bigint)
+            AS n_merges,
+          string_agg(CASE WHEN merge_here THEN w || '_' || nxt ELSE w
+            END, ' ' ORDER BY pos) AS new_text
+        FROM ck2 WHERE NOT consumed GROUP BY doc_id)
+      SELECT d.doc_id,
+        cast(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+          AS bigint) AS n_before,
+        cast(coalesce(rb1.n_merges, 0) + coalesce(rb2.n_merges, 0)
+          AS bigint) AS n_merges,
+        coalesce(rb2.n_after, 0) AS n_after,
+        coalesce(rb2.new_text, '') AS new_text
+      FROM documents d LEFT JOIN rb1 USING (doc_id)
+        LEFT JOIN rb2 USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   // ---------------------------------------------------------------- q219
   /** Rolling-window repeated-passage masking
     * ([[graft.operators.RepeatedSpans]]): every token position starts an
@@ -590,5 +682,6 @@ object CorpusQueries {
     q149SegmentDedup, q150VocabOov, q151SourceMix, q152SourceOverlap,
     q156ProfileEvents, q159TemperatureMix, q181ProfileApprox,
     q184SkewReport, q185CorpusDiff, q213Phrases, q214PhraseMerge,
-    q219RepeatedSpans, q262SequencePack, q265PpsSample, q278PpsFast)
+    q219RepeatedSpans, q262SequencePack, q265PpsSample, q278PpsFast,
+    q282PhraseIterate)
 }

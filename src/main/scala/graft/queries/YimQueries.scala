@@ -377,6 +377,50 @@ object MusicQueries {
         other_user_id, sim AS similarity
       FROM ranked WHERE rn <= 5 ORDER BY user_id, pos"""))
 
+  // ---------------------------------------------------------------- q281
+  /** The ROUTED similar-users production path (Dispatch approx=true →
+    * Yim.similarUsers(tau)): thresholded DIMSUM finds every pair with
+    * cosine ≥ τ = 0.1 (magnitude-pruned at the mapper — the pair
+    * stream is never the quadratic closure q101's exact engine
+    * absorbs), then a pair-constrained join recomputes each dot
+    * EXACTLY and re-derives the similarity with the exact path's own
+    * expression, so the rows are DRIVER-EXACT against the brute-force
+    * oracle, not envelope-gated like q280. Contract vs q101: neighbors below τ are dropped (users
+    * whose 5th neighbor is < τ get fewer rows) — the thresholded
+    * consumer's semantics, stated in the oracle's WHERE. Top-k after
+    * the τ filter equals the τ filter of exact top-k because all ≥τ
+    * pairs rank above all <τ pairs (UserCosineSpec pins that
+    * equivalence differentially). */
+  val q281SimilarUsersDimsum = Q(
+    "q281_similar_users_dimsum",
+    (s, d) => graft.similarity.UserCosine.dimsumTopK(
+        listens(s, d), "user_id", "recording_mbid", k = 5, tau = 0.1)
+      .orderBy(col("user_id"), col("other_user_id")),
+    Some(s"""WITH counts AS (
+        SELECT user_id AS u, recording_mbid AS it, count(*) AS c
+        FROM ($ListensSql) GROUP BY 1, 2),
+      norms AS (SELECT u, sum(c * c) AS norm2 FROM counts GROUP BY u),
+      dots AS (
+        SELECT a.u AS u1, b.u AS u2, sum(a.c * b.c) AS dot
+        FROM counts a JOIN counts b ON a.it = b.it AND a.u < b.u
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT u1, u2,
+          round(dot / sqrt(cast(n1.norm2 * n2.norm2 AS double)), 6) AS sim
+        FROM dots JOIN norms n1 ON u1 = n1.u JOIN norms n2 ON u2 = n2.u
+        WHERE dot / sqrt(cast(n1.norm2 * n2.norm2 AS double)) >= 0.1),
+      sym AS (
+        SELECT u1 AS user_id, u2 AS other_user_id, sim FROM pairs
+        UNION ALL
+        SELECT u2, u1, sim FROM pairs),
+      ranked AS (
+        SELECT user_id, other_user_id, sim, row_number() OVER (
+          PARTITION BY user_id ORDER BY sim DESC, other_user_id) AS rn
+        FROM sym)
+      SELECT user_id, other_user_id, sim AS similarity
+      FROM ranked WHERE rn <= 5 ORDER BY user_id, other_user_id"""),
+    bench = true)
+
   // ---------------------------------------------------------------- q102
   /** cf recording discovery (discovery.py:17-25): latest listen timestamp
     * per (user, recording) — the enrichment table for recommendations. */
@@ -816,14 +860,17 @@ object MusicQueries {
       ORDER BY p.item_a, p.item_b"""))
 
   // ---------------------------------------------------------------- q230
-  /** Incrementally-maintained PMI associations: the co-presence state
-    * is built on the first 80% of orders, persisted to parquet, then
-    * the remaining 20% merges through
-    * [[graft.similarity.Cooccurrence.updateCounts]] — O(batch ×
-    * affected-user degree), no corpus re-pair. The oracle is the FULL
-    * single-pass PMI over all listens (q227's SQL at this support),
-    * i.e. the verdict pins incremental ≡ direct, including replayed
-    * (item, user) rows straddling the cut. */
+  /** Incrementally-maintained PMI associations through the PRODUCTION
+    * state layout ([[graft.similarity.PairState]]): the pair base is
+    * built on the first 80% of recordings and lands pk-partitioned;
+    * the remaining 20% applies as TWO batches with a forced
+    * compaction between them, so one query oracles every lifecycle
+    * leg — segment-log delta write (O(batch), base never shuffled),
+    * the dynamic-partition-overwrite fold (only touched pk partitions
+    * rewritten), and the merged base∪segment read. The oracle is the
+    * FULL single-pass PMI over all listens (q227's SQL at this
+    * support), i.e. the verdict pins incremental ≡ direct, including
+    * replayed (item, user) rows straddling the cuts. */
   val q230CooccurIncremental = Q(
     "q230_cooccur_incremental",
     (s, d) => {
@@ -831,37 +878,27 @@ object MusicQueries {
       // a user-id split would put whole users on one side; splitting on
       // recording id makes users straddle the cut, so batch rows
       // collide with existing presence (the hard incremental case)
-      val cutRec =
-        (ev.agg(max(col("recording_mbid"))).collect()(0).getLong(0) + 1L) *
-          4L / 5L
-      val base = ev.filter(col("recording_mbid") < cutRec)
-      val batch = ev.filter(col("recording_mbid") >= cutRec)
-      val basePres = base
-        .select(col("recording_mbid").as("item"), col("user_id").as("user"))
-        .distinct().transform(graft.core.Pin.apply)
-      val basePairs = graft.similarity.ChunkedPairs.dots(
-          basePres.select(col("item"), col("user"), lit(1L).as("c")),
-          "item", "user", "c")
-        .select(col("u1").as("item_a"), col("u2").as("item_b"),
-          col("dot").as("users_both"))
+      val top =
+        ev.agg(max(col("recording_mbid"))).collect()(0).getLong(0) + 1L
+      val cut1 = top * 4L / 5L
+      val cut2 = top * 9L / 10L
+      val base = ev.filter(col("recording_mbid") < cut1)
+      val batch1 = ev.filter(
+        col("recording_mbid") >= cut1 && col("recording_mbid") < cut2)
+      val batch2 = ev.filter(col("recording_mbid") >= cut2)
       val work = graft.core.TempWork.dir("graft-q230")
-      // Persisted STATE frames get bounded parquet row groups: the
-      // vectorized reader buffers a whole row group's column chunks per
-      // task, so default 128 MB groups × 32 concurrent scan tasks is
-      // ~4 GiB of reader buffers before a single pair aggregates — the
-      // 100× probe's genuine heap exhaustion (stage 153). 16 MB groups
-      // cap that at ~512 MB total with no scan-parallelism loss (the
-      // file splits finer, not coarser).
-      basePres.write
-        .option("parquet.block.size", 16L * 1024 * 1024)
-        .parquet(s"$work/presence")
-      basePairs.write
-        .option("parquet.block.size", 16L * 1024 * 1024)
-        .parquet(s"$work/pairs")
-      val (pairs, presence) = graft.similarity.Cooccurrence.updateCounts(
-        s.read.parquet(s"$work/pairs"), s.read.parquet(s"$work/presence"),
-        batch, "user_id", "recording_mbid")
-      graft.similarity.Cooccurrence.scoreCounts(pairs, presence,
+      val st = graft.similarity.PairState.create(
+        s, s"$work/state", base, "user_id", "recording_mbid",
+        buckets = 16)
+      // compactFraction beyond reach — the compaction leg is exercised
+      // by the explicit call so BOTH paths (post-compact read after
+      // batch 1, live-segment merge read after batch 2) are oracled
+      st.applyBatch(batch1, "user_id", "recording_mbid",
+        compactFraction = 1e12)
+      st.compact()
+      st.applyBatch(batch2, "user_id", "recording_mbid",
+        compactFraction = 1e12)
+      graft.similarity.Cooccurrence.scoreCounts(st.pairs(), st.presence(),
           minBoth = 5)
         .orderBy(col("item_a"), col("item_b"))
     },
@@ -888,5 +925,5 @@ object MusicQueries {
     q103RecommendFlat, q104RecommendNested, q105EraActivity,
     q106GenreHour, q107YimTopStats, q108TopDiscoveries, q115ArtistMap,
     q116SitewideActivity, q120MissingMbData, q227CooccurPmi,
-    q230CooccurIncremental)
+    q230CooccurIncremental, q281SimilarUsersDimsum)
 }

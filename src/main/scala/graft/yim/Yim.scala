@@ -106,18 +106,31 @@ object Yim {
   def similarUsers(
       listens: DataFrame, userCol: String, itemCol: String,
       k: Int = 25, maxItemListeners: Option[Long] = None,
-      pairChunks: Int = graft.similarity.ChunkedPairs.Auto): DataFrame =
+      pairChunks: Int = graft.similarity.ChunkedPairs.Auto,
+      tau: Option[Double] = None): DataFrame = {
     // the co-listen pair space is the engine's largest single working
-    // set; exactTopK runs it through ChunkedPairs with per-chunk top-k
-    // pushdown (hierarchical top-k — exact), so neither the pair set
-    // nor its global sort ever materializes: the 4 GiB probe shape
-    graft.similarity.UserCosine
-      .exactTopK(listens, userCol, itemCol, k, maxItemListeners,
-        pairChunks)
+    // set. tau = None: exactTopK runs it through ChunkedPairs with
+    // per-chunk top-k pushdown (hierarchical top-k — exact over ALL
+    // pairs), so neither the pair set nor its global sort ever
+    // materializes: the 4 GiB probe shape. tau = Some(τ): the
+    // production-scale dispatch route — thresholded DIMSUM finds the
+    // pairs with cosine ≥ τ (magnitude-pruned at the mapper, never the
+    // quadratic closure) and integer-dot recovery scores them
+    // bit-identically to the exact path (UserCosine.dimsumTopK);
+    // neighbors below τ are dropped by contract.
+    val topk = tau match {
+      case Some(t) => graft.similarity.UserCosine
+        .dimsumTopK(listens, userCol, itemCol, k, t)
+      case None => graft.similarity.UserCosine
+        .exactTopK(listens, userCol, itemCol, k, maxItemListeners,
+          pairChunks)
+    }
+    topk
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(
         col("similarity"), col("other_user_id"))), asc = false)
         .as("similar_users"))
+  }
 
   /** Tracks-of-the-year scoring (top_discoveries.py:72-88): per-user play
     * counts of recordings FIRST listened in the target year, keeping

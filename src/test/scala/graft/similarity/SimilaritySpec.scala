@@ -119,6 +119,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dimsumTopK equals the tau-filter of exact top-k, bit-for-bit") {
+    import spark.implicits._
+    // all >=tau pairs rank above all <tau pairs in any user's desc
+    // list, so filter(exactTopK(k)) and dimsumTopK(k, tau) must agree
+    // exactly — including the re-derived 6-dp similarity values
+    // sparse corpus: most pairs share ~1 of ~15 items (cosine well
+    // under τ), some share several (over τ) — both finder legs exercised.
+    // τ = 0.1 is the production setting, where the oversampling γ
+    // saturates every inclusion probability (deterministic finder).
+    val rnd = new scala.util.Random(29)
+    val ev = Seq.fill(1000)(
+      (rnd.nextInt(60).toLong + 1L, s"i${rnd.nextInt(200)}"))
+      .toDF("user_id", "item")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("similarity"))).toSet
+    val tau = 0.1
+    val expect = key(
+      UserCosine.exactTopK(ev, "user_id", "item", k = 4)
+        .filter(col("similarity") >= tau))
+    val got = key(
+      UserCosine.dimsumTopK(ev, "user_id", "item", k = 4, tau = tau))
+    assert(expect.nonEmpty && got == expect)
+    // and some pair space genuinely sits below tau (the finder prunes)
+    assert(UserCosine.exact(ev, "user_id", "item", 0.0)
+      .filter(col("cosine_r") < tau).count() > 0)
+  }
+
   test("cooccurrence PMI: hand-computed fixture, chunk-count invariant") {
     import spark.implicits._
     val ev = Seq(
