@@ -86,23 +86,35 @@ object ProbeDelta {
       // timed legs a nightly consumer pays — (a) ONE batch application
       // (delta + segment write; the base is never shuffled) and (b) the
       // amortized compaction fold, reported separately because a real
-      // stream pays it once per ~(compactFraction × base/batch) batches
-      val cut = (plays.agg(max(col("recording_mbid"))).head().getLong(0)
-        + 1L) * 99L / 100L
+      // stream pays it once per ~(compactFraction × base/batch) batches.
+      // SPARK_GRAFT_LSM_BATCH_FRACTION overrides the 1% batch window —
+      // the cross-tier batch-boundedness comparison needs the SAME
+      // ABSOLUTE batch at every tier (1% of a 100× corpus is a 3.3×
+      // bigger batch than 1% of a 30× one), so the 100× run is probed
+      // at 0.003 as well as the default
+      val frac = sys.env.getOrElse("SPARK_GRAFT_LSM_BATCH_FRACTION",
+        "0.01").toDouble
+      val span = plays.agg(max(col("recording_mbid"))).head().getLong(0)
+        + 1L
+      val cut = (span * (1.0 - frac)).toLong
       val base = plays.filter(col("recording_mbid") < cut)
       val batch = plays.filter(col("recording_mbid") >= cut)
       val work = graft.core.TempWork.dir("graft-probelsm")
+      Console.err.println("[lsm] create start")
       val st = graft.similarity.PairState.create(
         spark, s"$work/state", base, "user_id", "recording_mbid",
         buckets = 64)
+      Console.err.println("[lsm] create done")
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       val nState = st.baseRows
       val nBatch = batch.count()
       val t0 = System.nanoTime()
+      Console.err.println("[lsm] apply start")
       val nSeg = st.applyBatch(batch, "user_id", "recording_mbid",
         compactFraction = 1e12)
       val tApply = (System.nanoTime() - t0) / 1e9
+      Console.err.println("[lsm] apply done; compact start")
       val t1 = System.nanoTime()
       st.compact()
       val tCompact = (System.nanoTime() - t1) / 1e9

@@ -16,6 +16,21 @@ import org.apache.spark.sql.SparkSession
   * discipline as the events-read legacy flag (core/Tables.scala) —
   * scope the override to the operation that needs it, never the
   * session.
+  *
+  * CAVEAT — AQE coalescing can defeat the width for PINNED frames: a
+  * groupBy/join shuffle sized here is still fair game for
+  * CoalesceShufflePartitions, which re-fuses partitions toward the
+  * 64 MB advisory target, and the pin then stores those re-fused
+  * (possibly 100+ MB) blocks — the giant-block re-read hazard
+  * Pin.atWidth documents (measured: PairState.compact at 30×, 190
+  * requested → ~32 × 195 MB pinned). When the body's result is pinned
+  * and the carried volume is large, put the width on an EXPLICIT
+  * `repartition(width, groupKeys…)` instead — user-specified
+  * repartitions are exempt from AQE coalescing and satisfy the
+  * aggregate's required distribution with no second exchange. This
+  * scope remains right for widths protecting UNPINNED per-round
+  * working sets (sort/join frames), where AQE's re-fuse is the
+  * desired behavior at small volumes.
   */
 object ScopedConf {
 

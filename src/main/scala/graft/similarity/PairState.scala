@@ -117,23 +117,28 @@ final class PairState private (
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).cast("long").as("users_both"))
       .withColumn("pk", pkOf)
-      .transform(graft.core.Pin.apply)
-    val nSeg = delta.count()
-    // a fully-replayed batch creates no pairs — skip the segment (an
+    // The delta is NOT pinned: its one expensive consumer is the
+    // segment write, and the row count comes from the landed parquet's
+    // footers afterwards. A session-width pin here is the giant-block
+    // re-read hazard Pin.atWidth documents — at 30× the pinned delta's
+    // 32 ~195 MB blocks OOMed the segment write's sort when
+    // BlockManager re-cached them as whole ByteBuffers concurrently.
+    val segPath = s"$path/seg/s${segDirs().size}"
+    delta.write.option("parquet.block.size", RowGroupBytes)
+      .partitionBy("pk").parquet(segPath)
+    // explicit schema: a no-pair batch lands only a _SUCCESS marker,
+    // which schema inference rejects
+    val nSeg = spark.read.schema(delta.schema).parquet(segPath).count()
+    // a fully-replayed batch creates no pairs — drop the segment (an
     // empty partitioned write leaves a file-less dir that poisons
     // later multi-dir reads)
-    if (nSeg > 0) {
-      val segPath = s"$path/seg/s${segDirs().size}"
-      delta.write.option("parquet.block.size", RowGroupBytes)
-        .partitionBy("pk").parquet(segPath)
-    }
+    if (nSeg == 0) fs.delete(hp(segPath), true)
     // presence rows appended only AFTER every delta job has run (the
     // pinned delta above was the last action reading the old scan)
     newPres.write.mode("append")
       .option("parquet.block.size", RowGroupBytes)
       .parquet(s"$path/presence")
     graft.core.Pin.unpin(newPres)
-    graft.core.Pin.unpin(delta)
     val m = readMeta()
     val segRows = m.segRows + nSeg
     writeMeta(m.copy(segRows = segRows))
@@ -148,13 +153,22 @@ final class PairState private (
   def compact(): Unit = {
     val segs = segDirs()
     if (segs.isEmpty) return
-    val segDf = spark.read.parquet(segs: _*)
-      .transform(graft.core.Pin.apply)
+    // round-robin atWidth: the segment read's scan partitions are
+    // 128 MB of FILE bytes, 3×+ that as pinned serialized rows — the
+    // giant-block hazard for a near-threshold segment log. Keys stay
+    // empty: hashing on pk alone would fold the pin into ≤buckets
+    // non-empty blocks.
+    val segDf = graft.core.Pin.atWidth(
+      spark.read.parquet(segs: _*), Seq.empty)
     val touched = segDf.select(col("pk")).distinct()
       .collect().map(_.getAs[Number](0).longValue()).sorted
     val m = readMeta()
     // width from the measured volume the fold actually carries: the
-    // touched share of the base plus the segment rows
+    // touched share of the base plus the segment rows. It rides an
+    // EXPLICIT repartition on the group keys (the updateCounts
+    // discipline): AQE coalesces a plain groupBy's shuffle back toward
+    // the 64 MB advisory target no matter what shuffle.partitions
+    // says, and a user-specified repartition is exempt.
     val carried =
       m.baseRows * touched.length / math.max(1, buckets) + m.segRows
     val width = math.max(
@@ -163,18 +177,31 @@ final class PairState private (
     val basePath = s"$path/base"
     val touchedBase = spark.read.parquet(basePath)
       .filter(col("pk").isin(touched.map(Long.box): _*))
-    val merged = graft.core.ScopedConf.withShufflePartitions(spark, width) {
-      touchedBase.unionByName(segDf)
-        .groupBy(col("item_a"), col("item_b"), col("pk"))
-        .agg(sum(col("users_both")).as("users_both"))
-        .transform(graft.core.Pin.apply)
-    }
-    merged.write
-      .option("partitionOverwriteMode", "dynamic")
-      .option("parquet.block.size", RowGroupBytes)
-      .partitionBy("pk").mode("overwrite").parquet(basePath)
-    graft.core.Pin.unpin(merged)
+    // The fold STREAMS into a scratch dir — the base stays read-only
+    // for the whole job, so nothing needs pinning (a pinned fold of a
+    // 375M-row touched share is 20+ GB of Java-serialized blocks; this
+    // exact site OOMed the 30× probe twice before landing here), and
+    // the touched pk partition dirs are swapped in afterwards — the
+    // same staging dynamic partition overwrite does internally, minus
+    // the self-read conflict that forced the one-job form to pin.
+    val tmp = s"$path/compact-tmp"
+    fs.delete(hp(tmp), true)
+    touchedBase.unionByName(segDf)
+      .repartition(width, col("item_a"), col("item_b"), col("pk"))
+      .groupBy(col("item_a"), col("item_b"), col("pk"))
+      .agg(sum(col("users_both")).as("users_both"))
+      .write.option("parquet.block.size", RowGroupBytes)
+      .partitionBy("pk").parquet(tmp)
     graft.core.Pin.unpin(segDf)
+    touched.foreach { k =>
+      val src = hp(s"$tmp/pk=$k")
+      val dst = hp(s"$basePath/pk=$k")
+      // every touched pk has fold output (its segment rows are in the
+      // fold input and counts never cancel); the guard just ensures a
+      // base partition is never deleted without its replacement staged
+      if (fs.exists(src)) { fs.delete(dst, true); fs.rename(src, dst) }
+    }
+    fs.delete(hp(tmp), true)
     segs.foreach(s => fs.delete(hp(s), true))
     writeMeta(Meta(buckets,
       baseRows = spark.read.parquet(basePath).count(), segRows = 0L))
