@@ -456,16 +456,21 @@ object PipelineQueries {
     verifyOnly = true)
 
   // ---------------------------------------------------------------- q280
-  /** THRESHOLDED DIMSUM — this engine's production-scale variant.
-    * The reference itself runs the EXACT form: similarity/user.py:114
-    * calls `columnSimilarities()` with NO threshold (all co-occurring
-    * pairs, exact cosine), which is q125 — demoted to the verify tier
-    * purely on COST grounds: threshold-0 output is the full quadratic
-    * pair closure, which at 100× is a 350 s job whose answer the
-    * thresholded run reproduces near-exactly for every pair a consumer
-    * keeps. `UserCosine.dimsum(τ = 0.1)` over the full user×recording
-    * play matrix, gated by a bounded-error envelope against the EXACT
-    * cosine on a deterministic audit sub-population.
+  /** DIMSUM-estimator audit — `UserCosine.dimsum(τ = 0.1)` over the
+    * full user×recording play matrix, gated by a bounded-error
+    * envelope against the EXACT cosine on a deterministic audit
+    * sub-population. The reference runs the exact form:
+    * similarity/user.py:114 calls `columnSimilarities()` with NO
+    * threshold (q125, verify tier on cost grounds).
+    *
+    * VERIFY TIER (round 11, cost grounds, measured): at 100× the
+    * estimator's sampling cutoff √γ ≈ 37.7 exceeds nearly every user
+    * magnitude, so its "sampled" pair stream is the full quadratic
+    * closure through one un-chunked RDD shuffle — 57+ GB of spill,
+    * disk-full. The PRODUCTION thresholded path is q281's
+    * normalized-counts chunked finder (exact, output-pruned inside
+    * each chunk job); this query's role is verifying the estimator's
+    * math at envelope scale, which sf0.01 does.
     *
     * Audit sample frame (stated scope): the exact side computes pairs
     * where BOTH users ≡ 0 mod 7 — ~2% of the pair space — so the exact
@@ -516,7 +521,8 @@ object PipelineQueries {
       SELECT cast(count(*) AS bigint) AS n_audit, true AS recall_ok,
         true AS maxrel_ok, true AS meanrel_ok
       FROM dots JOIN norms n1 ON u1 = n1.u JOIN norms n2 ON u2 = n2.u
-      WHERE dot / sqrt(cast(n1.norm2 * n2.norm2 AS double)) >= 0.1"""))
+      WHERE dot / sqrt(cast(n1.norm2 * n2.norm2 AS double)) >= 0.1"""),
+    verifyOnly = true)
 
   // ---------------------------------------------------------------- q139
   /** INCREMENTAL MinHash near-dup (MinHash.incrementalNearDuplicates):

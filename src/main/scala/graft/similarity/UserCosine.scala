@@ -167,7 +167,16 @@ object UserCosine {
     * threshold > 0 trades exactness for sampling bounds (Zadeh & Carlson,
     * "Dimension Independent Matrix Square using MapReduce", public).
     * Item ids are assigned distributedly (zipWithIndex + join) — no
-    * driver-side vocabulary map. */
+    * driver-side vocabulary map.
+    *
+    * VERIFY-TIER ONLY at this corpus shape: the sampling magnitude
+    * cutoff √γ = √(10·ln(numCols)/τ) (≈ 37.7 at 1.5M users, τ = 0.1)
+    * exceeds nearly every user's play-count norm, so NOTHING is pruned
+    * and the full quadratic pair stream flows through one un-chunked
+    * RDD shuffle — measured disk-full (57+ GB spill) at 100×
+    * (SCALE.md round 11). Production thresholded similarity is
+    * [[dimsumTopK]]'s normalized chunked finder; this form verifies
+    * the estimator's math at envelope scale (q280/q125). */
   def dimsum(
       listens: DataFrame, userCol: String, itemCol: String,
       threshold: Double): DataFrame =
@@ -197,34 +206,50 @@ object UserCosine {
   }
 
   /** Per-user top-k most-similar users AMONG PAIRS WITH COSINE ≥ `tau`
-    * — the production-scale similar-users path: thresholded DIMSUM as
-    * the pair FINDER, an exact pair-constrained join as the SCORER.
+    * — the production-scale similar-users path: a normalized-counts
+    * [[ChunkedPairs]] sweep as the pair FINDER, an exact
+    * pair-constrained join as the SCORER.
     *
-    * Why this is driver-exact rather than approximate: DIMSUM's
-    * ESTIMATES are never emitted — only its pair ids. Each found pair
-    * gets its true integer dot recomputed by a join restricted to the
-    * found set (found ⋈ counts on u1, ⋈ counts on (u2, item), one
-    * pair-keyed sum — candidate-volume work, never the corpus pair
-    * space), and the similarity comes from the same
-    * `round(dot/√(n1·n2), 6)` expression [[exact]] uses, so every
-    * emitted row is bit-identical to the exact path's regardless of
-    * sampling precision. The τ filter is applied on that exact cosine,
-    * so borderline pairs follow the exact definition, and DIMSUM
-    * false positives are filtered exactly. The one probabilistic leg
-    * is RECALL — a true ≥τ pair must be emitted at all — which Zadeh &
-    * Carlson's bound concentrates and q280's envelope measures
-    * (recall 1.0 at τ = 0.1 across three SFs: at these magnitudes the
-    * oversampling γ saturates every inclusion probability to 1, making
-    * the finder deterministic).
+    * The finder pre-divides each user's play counts by their L2 norm,
+    * so the chunked dot over normalized entries IS the cosine; each
+    * chunk job filters `dot ≥ τ − 1e-9` before anything is written, so
+    * partials hold only would-be-kept pairs and the full pair space
+    * exists only transiently inside one chunk's shuffle (the
+    * [[ChunkedPairs]] out-of-core contract). The 1e-9 guard band
+    * covers float-sum error (≤ ~4e-15 relative for realistic degrees),
+    * so no true ≥τ pair is lost; sub-band false positives are removed
+    * by the exact filter below. The finder is DETERMINISTIC — no
+    * sampling leg at all.
+    *
+    * Why not DIMSUM sampling as the finder (the first-landed form):
+    * measured at 100× (SCALE.md round 11), RowMatrix
+    * `columnSimilarities(0.1)` over 1.5M users computes
+    * γ = 10·ln(n)/τ ≈ 1422, i.e. a √γ ≈ 37.7 magnitude cutoff that
+    * exceeds nearly every user's play-count norm — ZERO pruning, the
+    * full quadratic pair stream through one un-chunked RDD shuffle:
+    * 57+ GB of spill, disk-full twice. Zadeh & Carlson's bound prunes
+    * heavy COLUMNS; at this corpus shape the τ = 0.1 guarantee is
+    * quadratic work by construction, so the winning mechanics are the
+    * chunked engine's, and the τ filter's value is OUTPUT pruning.
+    * The sampling estimator survives as [[dimsum]] for envelope-scale
+    * verification (q280, verify tier).
+    *
+    * Why this is driver-exact: the finder's float cosines are never
+    * emitted — only its pair ids. Each found pair gets its true
+    * integer dot recomputed by a join restricted to the found set
+    * (found ⋈ counts on u1, ⋈ counts on (u2, item), one pair-keyed
+    * sum — candidate-volume work, never the corpus pair space), and
+    * the similarity comes from the same `round(dot/√(n1·n2), 6)`
+    * expression [[exact]] uses, with the τ filter applied on that
+    * exact value — so every emitted row is bit-identical to the exact
+    * path's.
     *
     * Contract difference vs [[exactTopK]]: users whose k-th neighbor
-    * has cosine < τ get fewer than k rows (the pairs DIMSUM prunes are
-    * exactly those a thresholded consumer discards). This is the
-    * reference-beyond trade: similarity/user.py:114 runs the
-    * UNthresholded `columnSimilarities()` (our q125 verify tier);
-    * thresholding is what survives the 100× pair space — the pair
-    * stream DIMSUM emits is magnitude-pruned at the mapper, never the
-    * full quadratic closure. */
+    * has cosine < τ get fewer than k rows (the pairs the finder prunes
+    * are exactly those a thresholded consumer discards). The reference
+    * runs the UNthresholded `columnSimilarities()`
+    * (similarity/user.py:114 — our q125 verify tier); thresholding is
+    * what keeps 100×-scale partials output-sized. */
   def dimsumTopK(
       listens: DataFrame, userCol: String, itemCol: String,
       k: Int, tau: Double): DataFrame = {
@@ -237,7 +262,15 @@ object UserCosine {
       .transform(graft.core.Pin.apply)
     val norms = counts.groupBy(col("u"))
       .agg(sum(col("c") * col("c")).as("norm2"))
-    val found = dimsumOfCounts(counts, tau).select(col("u1"), col("u2"))
+    val normed = counts
+      .join(broadcast(norms), Seq("u"))
+      .select(col("u"), col("it"),
+        (col("c").cast("double") / sqrt(col("norm2").cast("double")))
+          .as("cn"))
+    val found = ChunkedPairs.dots(normed, "u", "it", "cn",
+        post = df => df.filter(col("dot") >= tau - 1e-9)
+          .select(col("u1"), col("u2")))
+      .select(col("u1"), col("u2"))
     val dots = found
       .join(counts.select(col("u").as("u1"), col("it"),
         col("c").as("c1")), Seq("u1"))
