@@ -907,6 +907,78 @@ object EngineQueries {
       FROM conf WHERE confidence >= 2
       ORDER BY user_id, release_mbid"""))
 
+  // ---------------------------------------------------------------- q283
+  /** Fresh releases on an ARTIST-CARDINALITY-FAITHFUL analog. q122's
+    * analog keys the artist match on p_brand — 25 distinct values at
+    * every SF — so its confidence surface is Θ(users × windowed
+    * releases) by construction and its 100× run is output-quadratic
+    * (measured: the fan-out join + final sort filled the disk; ledger
+    * round 11). Real listen data doesn't look like that: artist
+    * cardinality GROWS with the corpus (the reference's MBID space),
+    * so per-artist audiences and per-artist release lists stay
+    * bounded and the output is listens-linear. This query runs the
+    * SAME FreshReleases.forUsers on a faithful analog — artist =
+    * brand#type#size (~50k combos at sf1+, scaling with part
+    * count) — and is the operator's scale row; q122 remains the
+    * parameter-surface oracle at envelope SF. */
+  val q283FreshReleasesScaled = Q(
+    "q283_fresh_releases_scaled",
+    (s, d) => {
+      val art = concat_ws("#", col("p_brand"), col("p_type"),
+        col("p_size").cast("string"))
+      val purchases = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_shipdate").cast("timestamp").as("listened_at"),
+          col("p_partkey"), art.as("artist"))
+        .transform(graft.core.Pin.apply)
+      val releases = purchases
+        .groupBy(col("p_partkey"), col("artist"))
+        .agg(min(col("listened_at")).as("release_date"))
+        .select(col("p_partkey").as("release_mbid"),
+          col("artist").as("release_name"), col("release_date"),
+          array(col("artist")).as("artist_mbids"))
+      val listens = purchases
+        .select(col("user_id"), col("listened_at"),
+          array(col("artist")).as("artist_credit_mbids"))
+      graft.releases.FreshReleases.forUsers(
+          listens, releases,
+          anchor = java.sql.Timestamp.valueOf("1995-06-01 00:00:00"),
+          days = Some(120), threshold = 2L)
+        .orderBy(col("user_id"), col("release_mbid"))
+    },
+    Some("""WITH purchases AS (
+        SELECT o_custkey AS user_id, p_partkey AS pk,
+          p_brand || '#' || p_type || '#' || p_size AS artist,
+          l_shipdate AS ship
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey),
+      releases AS (
+        SELECT pk, artist, min(ship) AS release_date
+        FROM purchases GROUP BY 1, 2),
+      windowed_releases AS (
+        SELECT * FROM releases
+        WHERE release_date >= TIMESTAMP '1995-06-01' - INTERVAL 120 DAY
+          AND release_date <= TIMESTAMP '1995-06-01' + INTERVAL 120 DAY),
+      windowed_listens AS (
+        SELECT user_id, artist FROM purchases
+        WHERE ship >= TIMESTAMP '1995-06-01' - INTERVAL 120 DAY
+          AND ship <= TIMESTAMP '1995-06-01'),
+      conf AS (
+        SELECT l.user_id, r.pk AS release_mbid, r.artist AS release_name,
+          r.release_date::TIMESTAMP AS release_date,
+          r.release_date > TIMESTAMP '1995-06-01' AS is_future,
+          count(*) AS confidence
+        FROM windowed_listens l JOIN windowed_releases r
+          ON l.artist = r.artist
+        GROUP BY 1, 2, 3, 4, 5)
+      SELECT user_id, release_mbid, release_name, release_date, is_future,
+        confidence
+      FROM conf WHERE confidence >= 2
+      ORDER BY user_id, release_mbid"""))
+
   // ---------------------------------------------------------------- q94
   /** Artist-evolution via the ArtistEvolutionStats provider: purchases
     * shaped as listens (brand ≙ artist with a single-element credit
@@ -997,6 +1069,7 @@ object EngineQueries {
     q73SitewideCapped, q74TopListeners, q87ListeningActivity,
     q89GenreActivity, q90ListeningTime, q91FreshReleases,
     q94ArtistEvolution, q121StoreEngine, q122FreshReleasesParams,
+    q283FreshReleasesScaled,
     q129BucketedAgg, q135StreamingIngest, q158SketchDistinct,
     q173StreamingWindows, q189StreamIntervalJoin, q216MlhdPopularity,
     q228StreamingHeavyHitters, q234TwsTopK, q259SessionTimers,
