@@ -22,9 +22,12 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
     // SPARK_GRAFT_MASTER: see ProbeOne — the local-cluster tier
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // SPARK_GRAFT_WIDTH: see ProbeOne — shuffle width is a data-volume
+    // knob, decoupled from cores for the local-cluster tier
+    val width = sys.env.getOrElse("SPARK_GRAFT_WIDTH", cpus)
     val spark = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

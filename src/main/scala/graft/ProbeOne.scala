@@ -19,8 +19,16 @@ object ProbeOne {
     // (closure serialization, torrent broadcast, off-heap exchange);
     // pair it with spark.executor.extraClassPath=target/scala-2.13/classes
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // SPARK_GRAFT_WIDTH decouples shuffle width from core count: width
+    // is a DATA-VOLUME knob (it sets per-task bytes, and thereby the
+    // size of every session-width pinned block), cores a THROUGHPUT
+    // knob. The local-cluster tier proved the coupling wrong: width 8
+    // (= its cores) re-fused 30× pinned frames into ~135 MB blocks
+    // whose re-read OOMed 4 GiB executors that width 32 survives —
+    // exactly how a production job sizes partitions to data, not slots.
+    val width = sys.env.getOrElse("SPARK_GRAFT_WIDTH", cpus)
     val spark = SparkSession.builder().master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
