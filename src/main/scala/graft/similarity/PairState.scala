@@ -45,6 +45,37 @@ import org.apache.spark.sql.functions._
   * ([[pairs]], [[presence]]) to [[Cooccurrence.scoreCounts]] equals a
   * full [[Cooccurrence.pmi]] recompute bit-for-bit (q230's oracle
   * states exactly that, across two batches and a forced compaction).
+  *
+  * ==Crash-recovery contract==
+  *
+  * [[compact]] is crash-safe: the fold lands in a scratch dir, a
+  * `compact-marker` file (written atomically via rename) then records
+  * the touched pks and the consumed segment dirs, and only then are
+  * base partitions swapped — each via rename-ASIDE (`pk=k` →
+  * `pk=k.old`, staged `pk=k` in, aside dropped), every rename checked
+  * and fatal on failure so a silent `false` from
+  * `FileSystem.rename` can never drop a partition. While the marker
+  * exists the staged fold output + aside copies are authoritative for
+  * the listed pks; [[open]] (and a re-entered [[compact]]) finishes
+  * the swap from the on-disk evidence alone — including deleting
+  * exactly the CONSUMED segments named in the marker, so a re-run can
+  * never re-fold them into an already-folded base. Without a marker,
+  * `base` + the segment dirs + `presence` are authoritative and
+  * `compact-tmp` is scratch.
+  *
+  * [[applyBatch]] is NOT crash-atomic (segment write → presence
+  * append → meta write, matching the reference's single-driver batch
+  * bookkeeping). After a crash inside it, recover manually with this
+  * rule: compare the summed row count of the segment dirs against
+  * `meta.segRows`. If they match, the crash preceded the segment
+  * write — state is consistent, re-apply the batch. If the segments
+  * hold MORE rows than meta records, the newest segment is
+  * uncommitted; re-run the batch's presence anti-join — if it yields
+  * new rows the presence append never ran, so delete the newest
+  * segment and re-apply the batch; if it yields none the presence
+  * append committed, so keep the segment and rewrite `meta.segRows`
+  * to the measured total. A segment dir without a `_SUCCESS` marker
+  * is a torn write: always delete it first.
   */
 final class PairState private (
     spark: SparkSession, path: String, val buckets: Int) {
@@ -64,6 +95,15 @@ final class PairState private (
       .map(_.getPath.toString).sorted.toSeq
   }
 
+  /** One frame over N segment dirs. Each dir is read separately and
+    * unioned: a single multi-path read trips partition discovery's
+    * CONFLICTING_DIRECTORY_STRUCTURES on sibling pk-partitioned roots
+    * (found by the 20-batch endurance spec — every pre-round-12 path
+    * held at most ONE outstanding segment when it read them). The
+    * union width is bounded by the compaction interval. */
+  private def readSegs(segs: Seq[String]): DataFrame =
+    segs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+
   /** Merged pair counts `(item_a, item_b, users_both)`. With no
     * outstanding segments this is the base scan itself (no aggregate);
     * with segments it is base ∪ segments through one key-partitioned
@@ -72,8 +112,7 @@ final class PairState private (
     val base = spark.read.parquet(s"$path/base").drop("pk")
     val segs = segDirs()
     if (segs.isEmpty) base
-    else base.unionByName(
-        spark.read.parquet(segs: _*).drop("pk"))
+    else base.unionByName(readSegs(segs).drop("pk"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(sum(col("users_both")).as("users_both"))
   }
@@ -147,10 +186,13 @@ final class PairState private (
   }
 
   /** Fold all outstanding segments into the base, rewriting ONLY the
-    * pk partitions the segments touch (dynamic partition overwrite —
-    * untouched base partitions are never read, shuffled, or
-    * rewritten), then drop the segment log. No-op with no segments. */
+    * pk partitions the segments touch (untouched base partitions are
+    * never read, shuffled, or rewritten), then drop the consumed
+    * segments. Crash-safe per the class-doc contract: marker →
+    * checked rename-aside swaps → marker drop. No-op with no
+    * segments. */
   def compact(): Unit = {
+    repair() // finish any half-done prior swap before folding anew
     val segs = segDirs()
     if (segs.isEmpty) return
     // round-robin atWidth: the segment read's scan partitions are
@@ -158,8 +200,7 @@ final class PairState private (
     // giant-block hazard for a near-threshold segment log. Keys stay
     // empty: hashing on pk alone would fold the pin into ≤buckets
     // non-empty blocks.
-    val segDf = graft.core.Pin.atWidth(
-      spark.read.parquet(segs: _*), Seq.empty)
+    val segDf = graft.core.Pin.atWidth(readSegs(segs), Seq.empty)
     val touched = segDf.select(col("pk")).distinct()
       .collect().map(_.getAs[Number](0).longValue()).sorted
     val m = readMeta()
@@ -193,22 +234,93 @@ final class PairState private (
       .write.option("parquet.block.size", RowGroupBytes)
       .partitionBy("pk").parquet(tmp)
     graft.core.Pin.unpin(segDf)
+    // commit point: once the marker is durable, the staged fold output
+    // is authoritative for the listed pks and the listed segments are
+    // consumed — finishSwap (here or from a post-crash open) completes
+    writeMarker(touched, segs)
+    finishSwap(touched, segs)
+  }
+
+  private def markerPath = hp(s"$path/compact-marker")
+
+  private def writeMarker(touched: Seq[Long], segs: Seq[String]): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("touched", touched.mkString(","))
+    p.setProperty("segs", segs.mkString(","))
+    val tmp = hp(s"$path/compact-marker.tmp")
+    val out = fs.create(tmp, true)
+    try p.store(out, null) finally out.close()
+    renameOrThrow(tmp, markerPath)
+  }
+
+  private def renameOrThrow(
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    // LocalFileSystem (and HDFS) report most rename failures as a
+    // bare `false`, not an exception — unchecked, a failed swap here
+    // would silently drop a base partition and then delete the only
+    // other copy (the segment log)
+    if (!fs.rename(src, dst)) throw new java.io.IOException(
+      s"PairState compaction: rename $src -> $dst failed; " +
+        "staged fold output and segments left intact for retry")
+
+  /** Complete a marker-recorded swap. Idempotent — every touched pk is
+    * finishable from on-disk evidence alone: staged output still
+    * present → (re)do aside+install; aside present without an
+    * installed dir → install; staged output gone → swap done, drop any
+    * lingering aside. Then the consumed segments are dropped, meta is
+    * recomputed, and the marker + scratch dir are removed (in that
+    * order, so a crash anywhere re-enters here). */
+  private def finishSwap(touched: Seq[Long], consumed: Seq[String]): Unit = {
+    val basePath = s"$path/base"
+    val tmp = s"$path/compact-tmp"
     touched.foreach { k =>
       val src = hp(s"$tmp/pk=$k")
       val dst = hp(s"$basePath/pk=$k")
-      // every touched pk has fold output (its segment rows are in the
-      // fold input and counts never cancel); the guard just ensures a
-      // base partition is never deleted without its replacement staged
-      if (fs.exists(src)) { fs.delete(dst, true); fs.rename(src, dst) }
+      val old = hp(s"$basePath/pk=$k.old")
+      if (fs.exists(src)) {
+        if (fs.exists(dst) && fs.exists(old)) throw new java.io.IOException(
+          s"PairState compaction: pk=$k has staged, installed and aside " +
+            "dirs all present — unreachable under the swap protocol; " +
+            "refusing to guess which is authoritative")
+        if (fs.exists(dst)) renameOrThrow(dst, old)
+        renameOrThrow(src, dst)
+      }
+      if (fs.exists(old)) fs.delete(old, true)
     }
-    fs.delete(hp(tmp), true)
-    segs.foreach(s => fs.delete(hp(s), true))
+    consumed.foreach(s => fs.delete(hp(s), true))
+    // any segment NOT consumed by this fold (none under today's
+    // all-segments compaction, but the marker format permits it) stays
+    // counted in segRows
+    val remaining = segDirs()
+    val segRows = if (remaining.isEmpty) 0L
+      else readSegs(remaining).count()
     writeMeta(Meta(buckets,
-      baseRows = spark.read.parquet(basePath).count(), segRows = 0L))
+      baseRows = spark.read.parquet(basePath).count(), segRows = segRows))
+    fs.delete(markerPath, false)
+    fs.delete(hp(tmp), true)
+  }
+
+  /** Finish a half-done compaction swap if a marker is present (crash
+    * between the marker write and the marker drop); no-op otherwise. */
+  private[similarity] def repair(): Unit = {
+    if (!fs.exists(markerPath)) return
+    val in = fs.open(markerPath)
+    val p = new java.util.Properties()
+    try p.load(in) finally in.close()
+    val touched = p.getProperty("touched", "").split(",")
+      .filter(_.nonEmpty).map(_.toLong).toSeq
+    val consumed = p.getProperty("segs", "").split(",")
+      .filter(_.nonEmpty).toSeq
+    finishSwap(touched, consumed)
   }
 
   private[similarity] def readMeta(): Meta = {
-    val in = fs.open(hp(s"$path/meta"))
+    // write protocol is tmp → delete meta → rename tmp onto meta, so a
+    // crash can leave only the tmp — it then holds the newest state
+    val live = hp(s"$path/meta")
+    val src = if (fs.exists(live)) live else hp(s"$path/meta.tmp")
+    val in = fs.open(src)
     val p = new java.util.Properties()
     try p.load(in) finally in.close()
     Meta(p.getProperty("buckets").toInt, p.getProperty("baseRows").toLong,
@@ -220,8 +332,13 @@ final class PairState private (
     p.setProperty("buckets", m.buckets.toString)
     p.setProperty("baseRows", m.baseRows.toString)
     p.setProperty("segRows", m.segRows.toString)
-    val out = fs.create(hp(s"$path/meta"), true)
+    // never truncate-in-place: a crash mid-store would corrupt the one
+    // file the whole bookkeeping hangs off
+    val tmp = hp(s"$path/meta.tmp")
+    val out = fs.create(tmp, true)
     try p.store(out, null) finally out.close()
+    fs.delete(hp(s"$path/meta"), false)
+    renameOrThrow(tmp, hp(s"$path/meta"))
   }
 }
 
@@ -265,9 +382,13 @@ object PairState {
     st
   }
 
-  /** Open an existing state (created by [[create]]) at `path`. */
+  /** Open an existing state (created by [[create]]) at `path`,
+    * finishing any half-done compaction swap first (the crash-recovery
+    * contract in the class doc). */
   def open(spark: SparkSession, path: String): PairState = {
     val probe = new PairState(spark, path, 1)
-    new PairState(spark, path, probe.readMeta().buckets)
+    val st = new PairState(spark, path, probe.readMeta().buckets)
+    st.repair()
+    st
   }
 }
