@@ -22,9 +22,19 @@ object ProbeDelta {
     val dir = args(0)
     val which = if (args.length > 1) args.drop(1).toSet
       else Set("cooccur", "join", "lsm")
+    // "lsmlocal" is opt-in: the PARTIAL-rewrite adjudication point
+    // (compact cost ∝ touched pk share), complementing lsm's
+    // all-bucket spray
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // SPARK_GRAFT_MASTER / SPARK_GRAFT_WIDTH: same contract as Bench /
+    // ProbeOne — width is a DATA-volume knob, decoupled from cores, so
+    // the LSM probe (PairState, exactly the path whose width-vs-cores
+    // coupling round 11 identified as the giant-block OOM cause) can
+    // run the local-cluster tier at data-sized width
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val width = sys.env.getOrElse("SPARK_GRAFT_WIDTH", cpus)
+    val spark = SparkSession.builder().master(master)
+      .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -94,8 +104,8 @@ object ProbeDelta {
       // at 0.003 as well as the default
       val frac = sys.env.getOrElse("SPARK_GRAFT_LSM_BATCH_FRACTION",
         "0.01").toDouble
-      val span = plays.agg(max(col("recording_mbid"))).head().getLong(0)
-        + 1L
+      val span = plays.agg(max(col("recording_mbid"))).head()
+        .getLong(0) + 1L
       val cut = (span * (1.0 - frac)).toLong
       val base = plays.filter(col("recording_mbid") < cut)
       val batch = plays.filter(col("recording_mbid") >= cut)
@@ -120,6 +130,42 @@ object ProbeDelta {
       val tCompact = (System.nanoTime() - t1) / 1e9
       println(f"cooccur-lsm $dir: statePairs=$nState batchRows=$nBatch " +
         f"segRows=$nSeg apply=$tApply%.2f s compact=$tCompact%.2f s")
+    }
+
+    if (which("lsmlocal")) {
+      // The PARTIAL-rewrite adjudication: pk = hash(item_a, item_b)
+      // deliberately sprays any sizeable batch across every bucket, so
+      // the key-local regime is the SMALL-delta one — a batch whose
+      // pair delta is a handful of rows touches a strict subset of pk
+      // partitions. State = full corpus; batch = ONE new item for the
+      // lowest-degree user, so the delta is that user's co-item list
+      // (the smallest organic non-empty delta the corpus offers).
+      // Reported: touched partitions + compact seconds, to divide
+      // against the `lsm` mode's all-bucket spray row.
+      val span = plays.agg(max(col("recording_mbid"))).head()
+        .getLong(0) + 1L
+      val work = graft.core.TempWork.dir("graft-probelsmlocal")
+      val st = graft.similarity.PairState.create(
+        spark, s"$work/state", plays, "user_id", "recording_mbid",
+        buckets = 64)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val loner = plays.groupBy(col("user_id"))
+        .agg(countDistinct(col("recording_mbid")).as("d"))
+        .orderBy(col("d"), col("user_id")).head()
+      import spark.implicits._
+      val batch = Seq((loner.getLong(0), span))
+        .toDF("user_id", "recording_mbid")
+      val nSeg = st.applyBatch(batch, "user_id", "recording_mbid",
+        compactFraction = 1e12)
+      val touched = spark.read
+        .parquet(s"$work/state/seg/s0")
+        .select(col("pk")).distinct().count()
+      val t0 = System.nanoTime()
+      st.compact()
+      val tCompact = (System.nanoTime() - t0) / 1e9
+      println(f"cooccur-lsmlocal $dir: userDegree=${loner.getLong(1)} " +
+        f"segRows=$nSeg touchedPk=$touched/64 compact=$tCompact%.2f s")
     }
 
     if (which("join")) {

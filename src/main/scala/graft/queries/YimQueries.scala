@@ -257,28 +257,16 @@ object MusicQueries {
       // UserCosine.exact)
       val cp = l.select(col("user_id"), col("recording_mbid")).distinct()
         .transform(graft.core.Pin.apply)
-      // shared(u, u') is symmetric: generate each unordered pair once
-      // (u1 < u2 halves the item-keyed join output) and mirror the
-      // aggregated counts afterwards — same rows as the u != u' join at
-      // half the shuffle volume (measured 4.5 s -> 3.3 s at sf0.1).
-      // ChunkedPairs with c=1 IS this count (Σ 1·1), run out-of-core in
-      // 4 per-u1-chunk jobs so the pair aggregate survives the
-      // production per-executor heap share (the 4 GiB probe)
-      val half = graft.similarity.ChunkedPairs.dots(
-          cp.select(col("user_id").as("u"),
-            col("recording_mbid").as("it"), lit(1L).as("c")),
-          "u", "it", "c")
-        .select(col("u1"), col("u2"), col("dot").as("shared"))
-      val shared = half.select(col("u1").as("user_id"),
-          col("u2").as("other_user_id"), col("shared"))
-        .unionByName(half.select(col("u2").as("user_id"),
-          col("u1").as("other_user_id"), col("shared")))
-      val similar = shared
-        .withColumn("rn", row_number().over(Window
-          .partitionBy(col("user_id"))
-          .orderBy(col("shared").desc, col("other_user_id"))))
-        .filter(col("rn") <= 3)
-        .select(col("user_id"), col("other_user_id"))
+      // top-3 by shared distinct recordings via the BOUNDED finder:
+      // a min-shared-2 filter inside each ChunkedPairs chunk prunes
+      // the single-shared-item bulk of the quadratic pair space at the
+      // mapper side of the partials, and the users whose 3rd neighbor
+      // the threshold could have cost get an exact restricted
+      // recompute — output identical to the unthresholded sweep
+      // (SharedNeighborsSpec pins that differentially; the oracle
+      // below is the unthresholded formulation)
+      val similar = graft.similarity.SharedNeighbors.topK(
+        cp, "user_id", "recording_mbid", k = 3, minShared = 2)
       val artists = Tables.part(s, d)
         .select(col("p_partkey").as("recording_mbid"),
           array(col("p_brand")).as("artist_mbids"))
@@ -379,10 +367,12 @@ object MusicQueries {
 
   // ---------------------------------------------------------------- q281
   /** The ROUTED similar-users production path (Dispatch approx=true →
-    * Yim.similarUsers(tau)): thresholded DIMSUM finds every pair with
-    * cosine ≥ τ = 0.1 (magnitude-pruned at the mapper — the pair
-    * stream is never the quadratic closure q101's exact engine
-    * absorbs), then a pair-constrained join recomputes each dot
+    * Yim.similarUsers(tau)): a normalized-counts ChunkedPairs sweep
+    * finds every pair with cosine ≥ τ = 0.1 (the τ filter inside each
+    * chunk job keeps partials output-sized — deterministic, no
+    * sampling; DIMSUM's magnitude cutoff prunes nothing at this
+    * corpus shape, UserCosine.scala's measured 100× cliff), then a
+    * pair-constrained join recomputes each dot
     * EXACTLY and re-derives the similarity with the exact path's own
     * expression, so the rows are DRIVER-EXACT against the brute-force
     * oracle, not envelope-gated like q280. Contract vs q101: neighbors below τ are dropped (users

@@ -262,8 +262,14 @@ object UserCosine {
       .transform(graft.core.Pin.apply)
     val norms = counts.groupBy(col("u"))
       .agg(sum(col("c") * col("c")).as("norm2"))
+      .transform(graft.core.Pin.apply)
+    // norms is one row per user — pinned and runtime-sized so AQE
+    // broadcasts it when it fits and shuffles otherwise (exactTopK's
+    // rationale). A static broadcast() hint here bypasses
+    // autoBroadcastJoinThreshold and becomes a driver OOM cliff at the
+    // hundreds-of-millions-of-users design point this path serves.
     val normed = counts
-      .join(broadcast(norms), Seq("u"))
+      .join(norms, Seq("u"))
       .select(col("u"), col("it"),
         (col("c").cast("double") / sqrt(col("norm2").cast("double")))
           .as("cn"))
@@ -290,6 +296,7 @@ object UserCosine {
       .select(col("u1"), col("u2"), col("similarity"))
       .transform(graft.core.Pin.apply)
     graft.core.Pin.unpin(counts)
+    graft.core.Pin.unpin(norms)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("similarity").desc, col("other_user_id"))

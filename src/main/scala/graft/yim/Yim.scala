@@ -113,11 +113,14 @@ object Yim {
     // per-chunk top-k pushdown (hierarchical top-k — exact over ALL
     // pairs), so neither the pair set nor its global sort ever
     // materializes: the 4 GiB probe shape. tau = Some(τ): the
-    // production-scale dispatch route — thresholded DIMSUM finds the
-    // pairs with cosine ≥ τ (magnitude-pruned at the mapper, never the
-    // quadratic closure) and integer-dot recovery scores them
-    // bit-identically to the exact path (UserCosine.dimsumTopK);
-    // neighbors below τ are dropped by contract.
+    // production-scale dispatch route — a normalized-counts
+    // ChunkedPairs sweep finds the pairs with cosine ≥ τ (the τ
+    // filter runs INSIDE each chunk job, so partials hold only
+    // would-be-kept pairs; deterministic, no sampling — DIMSUM's
+    // magnitude cutoff prunes nothing at this corpus shape, see
+    // UserCosine.dimsumTopK's scaladoc for the measured cliff) and
+    // integer-dot recovery scores the found pairs bit-identically to
+    // the exact path; neighbors below τ are dropped by contract.
     val topk = tau match {
       case Some(t) => graft.similarity.UserCosine
         .dimsumTopK(listens, userCol, itemCol, k, t)
