@@ -257,16 +257,14 @@ object MusicQueries {
       // UserCosine.exact)
       val cp = l.select(col("user_id"), col("recording_mbid")).distinct()
         .transform(graft.core.Pin.apply)
-      // top-3 by shared distinct recordings via the BOUNDED finder:
-      // a min-shared-2 filter inside each ChunkedPairs chunk prunes
-      // the single-shared-item bulk of the quadratic pair space at the
-      // mapper side of the partials, and the users whose 3rd neighbor
-      // the threshold could have cost get an exact restricted
-      // recompute — output identical to the unthresholded sweep
-      // (SharedNeighborsSpec pins that differentially; the oracle
-      // below is the unthresholded formulation)
+      // top-3 by shared distinct recordings via HIERARCHICAL top-k:
+      // each ChunkedPairs chunk reduces its complete pair aggregate to
+      // ≤3 rows per user before anything is written, so the pair
+      // space is never persisted or re-read (SharedNeighborsSpec pins
+      // the equivalence to the direct formulation; the oracle below
+      // is the unreduced one)
       val similar = graft.similarity.SharedNeighbors.topK(
-        cp, "user_id", "recording_mbid", k = 3, minShared = 2)
+        cp, "user_id", "recording_mbid", k = 3)
       val artists = Tables.part(s, d)
         .select(col("p_partkey").as("recording_mbid"),
           array(col("p_brand")).as("artist_mbids"))

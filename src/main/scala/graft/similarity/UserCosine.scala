@@ -85,10 +85,17 @@ object UserCosine {
           Seq("u2"))
         .withColumn("similarity", round(
           col("dot") / sqrt((col("n1") * col("n2")).cast("double")), 6))
-      withCos.select(col("u1").as("user_id"),
-          col("u2").as("other_user_id"), col("similarity"))
-        .unionByName(withCos.select(col("u2").as("user_id"),
-          col("u1").as("other_user_id"), col("similarity")))
+      // mirror via ONE generator pass, not a self-union: a union's two
+      // branches each re-run the whole upstream chunk subtree (final
+      // aggregate pass + both norm joins — only the exchange is
+      // reused), measured +100 s over 23 chunk jobs on q100's sibling
+      // sweep at 100× (SharedNeighbors.mirror)
+      withCos.select(col("similarity"), explode(array(
+          struct(col("u1").as("user_id"), col("u2").as("other_user_id")),
+          struct(col("u2").as("user_id"), col("u1").as("other_user_id"))))
+          .as("e"))
+        .select(col("e.user_id"), col("e.other_user_id"),
+          col("similarity"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= k).drop("__rn")
     }

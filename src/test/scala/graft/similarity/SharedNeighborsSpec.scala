@@ -1,18 +1,16 @@
 package graft.similarity
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.SparkSpec
 
 class SharedNeighborsSpec extends SparkSpec {
 
-  // fixture engineered to exercise every coverage regime at once:
-  //  - users 1-8: dense overlap (well over k neighbors at shared >= 2)
-  //  - users 20-23: exactly one strong neighbor each (< k survivors —
-  //    tail users whose remaining top-k slots are shared=1 pairs the
-  //    threshold prunes)
-  //  - user 30: shares only SINGLE items with everyone (zero survivors
-  //    at minShared=2 — a pure-tail user invisible to the finder)
-  //  - user 40: isolated (no co-listeners at all — appears in neither)
+  // fixture with every ranking regime: a dense block (well over k
+  // neighbors, shared counts 1-8), two-user cliques whose only strong
+  // neighbor is each other, a user sharing only SINGLE items with
+  // everyone (top-k made of shared=1 rows, tie-broken by id), and an
+  // isolated user (no co-listeners — must not appear)
   private def presence = {
     import spark.implicits._
     val dense = for {
@@ -27,32 +25,49 @@ class SharedNeighborsSpec extends SparkSpec {
     (dense ++ pairsOnly ++ singles ++ isolated).toDF("user_id", "item_id")
   }
 
-  private def run(minShared: Long, k: Int = 3) =
+  private def direct(k: Int) = {
+    // the unreduced formulation: full pair aggregate, one window
+    val cp = presence
+    val sh = cp.alias("a").join(cp.alias("b"),
+        col("a.item_id") === col("b.item_id") &&
+          col("a.user_id") =!= col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_id"),
+        col("b.user_id").as("other_user_id"))
+      .agg(count(lit(1)).as("shared"))
+    sh.withColumn("__rn", row_number().over(Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("shared").desc, col("other_user_id"))))
+      .filter(col("__rn") <= k)
+      .select(col("user_id"), col("other_user_id"))
+      .orderBy(col("user_id"), col("other_user_id")).collect().toSeq
+  }
+
+  private def run(k: Int, chunks: Int) =
     SharedNeighbors.topK(presence.transform(graft.core.Pin.apply),
-        "user_id", "item_id", k, minShared, pairChunks = 3)
+        "user_id", "item_id", k, pairChunks = chunks)
       .orderBy(col("user_id"), col("other_user_id"))
       .collect().toSeq
 
-  test("thresholded finder + tail fallback ≡ unthresholded exact top-k") {
-    val exact = run(minShared = 1)
-    assert(exact.nonEmpty)
-    assert(run(minShared = 2) == exact)
-    assert(run(minShared = 3) == exact)
-    // a threshold above every pair's shared count sends EVERYONE to
-    // the tail — still exact
-    assert(run(minShared = 1000) == exact)
+  test("hierarchical per-chunk top-k ≡ direct full-aggregate top-k, " +
+      "chunked and unchunked") {
+    val want = direct(3)
+    assert(want.nonEmpty)
+    assert(run(3, chunks = 1) == want)
+    assert(run(3, chunks = 4) == want)
+    // k larger than some users' neighbor count: partial lists survive
+    assert(run(10, chunks = 3) == direct(10))
   }
 
-  test("tail users keep their sub-threshold neighbors; isolated users " +
-      "emit nothing") {
-    val got = run(minShared = 2).map(r =>
+  test("single-shared-item users rank by id; isolated users emit " +
+      "nothing") {
+    val got = run(3, chunks = 3).map(r =>
       (r.getLong(0), r.getLong(1))).groupBy(_._1)
-    // user 30's pairs are all shared=1 — pruned by the finder, fully
-    // recovered by the tail recompute
-    assert(got(30L).map(_._2).sorted.nonEmpty)
+    // user 30's pairs are all shared=1 — kept, tie-broken by id asc
+    assert(got(30L).map(_._2) == got(30L).map(_._2).sorted)
     // user 40 co-listens with nobody: absent entirely
     assert(!got.contains(40L))
-    // user 20: the strong (shared=2) neighbor 21 must be kept
-    assert(got(20L).map(_._2).contains(21L))
+    // user 20: shared=2 with 21 (items 100,101) AND with 30 (items
+    // 100,1), then the lowest-id shared-1 dense user via item 1
+    assert(got(20L).map(_._2).toSet == Set(21L, 30L, 1L))
   }
 }
