@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object UserCosine {
 
+  /** Measured-gate ceiling for broadcasting the per-user norms frame in
+    * [[dimsumTopK]]: ~16 B/row payload ≈ 200 MB hashed at 4M rows —
+    * comfortably inside a 4 GiB executor's storage share, far under the
+    * driver heap. Above it the planner's shuffled join is the correct
+    * layout (the ADVICE-r11 cliff), below it the broadcast saves a
+    * corpus-sized exchange before the chunk bucketing (measured 1.4× at
+    * the 100× tier). */
+  private val MaxBroadcastUsers = 4L * 1000 * 1000
+
   /** Pinned `(u, it, c)` play-count aggregate with the optional hot-item
     * guardrail. Counts feed three consumers (norms + both join sides);
     * Catalyst does not reuse the exchange across the differently-pruned
@@ -270,13 +279,24 @@ object UserCosine {
     val norms = counts.groupBy(col("u"))
       .agg(sum(col("c") * col("c")).as("norm2"))
       .transform(graft.core.Pin.apply)
-    // norms is one row per user — pinned and runtime-sized so AQE
-    // broadcasts it when it fits and shuffles otherwise (exactTopK's
-    // rationale). A static broadcast() hint here bypasses
-    // autoBroadcastJoinThreshold and becomes a driver OOM cliff at the
-    // hundreds-of-millions-of-users design point this path serves.
+    // norms is one row per user, and this join feeds the bucketed
+    // write that every chunk job reads — an extra exchange here is a
+    // full counts-sized shuffle. An UNCONDITIONAL broadcast() hint is
+    // the driver-OOM cliff ADVICE r11 flagged (hundreds of millions of
+    // users); no hint at all is a measured 1.4× regression at the 100×
+    // tier (1.5M users ≈ 24 MB serialized clears the 10 MB
+    // autoBroadcastJoinThreshold, so the planner sort-merge-joins and
+    // pays shuffle+sort on the corpus-sized counts side before the
+    // bucketing repartition). So the broadcast is GATED ON A MEASURED
+    // row count — the norms pin is consumed by three later joins, so
+    // the count() is a one-pass materialization it would pay anyway:
+    // ≤ 4M users (≈ 200 MB hashed, inside a 4 GiB executor's storage
+    // share) broadcasts; beyond that the planner's shuffled join is
+    // the correct layout, not a cliff.
+    val normsSide =
+      if (norms.count() <= MaxBroadcastUsers) broadcast(norms) else norms
     val normed = counts
-      .join(norms, Seq("u"))
+      .join(normsSide, Seq("u"))
       .select(col("u"), col("it"),
         (col("c").cast("double") / sqrt(col("norm2").cast("double")))
           .as("cn"))
