@@ -61,11 +61,31 @@ object RandomWalks {
 
   /** `walksPerNode` walks of `length` steps from every node with at
     * least one out-edge. Output: (walk_id, step 0..length, node) — step
-    * 0 is the start node. walk_id = node·walksPerNode + copy. */
+    * 0 is the start node. walk_id = node·walksPerNode + copy.
+    *
+    * State placement is gated on the MEASURED edge count
+    * (`tableStateRows`): below the gate the adjacency and per-step
+    * frontiers are block-pinned ([[graft.core.Pin]] — fastest re-scan,
+    * zero disk round-trips); at or above it they become TABLES (a
+    * node-bucketed adjacency + one parquet dir per step). The gate
+    * exists because a corpus-sized block pin is a CLUSTER-STORAGE
+    * budget, not just a block-size problem: the round-12 100× probe
+    * under 2×4 GiB real executors died writing the adjacency cache —
+    * ~2 GiB of pinned blocks resident per executor drove storage to
+    * its cap (free ~320 MB) while four cache-write tasks churned, the
+    * heap OOM killed the executor, and localCheckpoint blocks are
+    * unrecoverable by contract (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    * aborted the job; SCALE.md round 12). The tabled form holds the
+    * same state on local disk instead: the bucketed adjacency gives
+    * every step join an exchange-free, sort-free scan side (the
+    * [[graft.similarity.ChunkedPairs]] layout), per-step frontiers
+    * stream from their dirs, and executor storage holds NOTHING — the
+    * identical-output 100 TB shape. */
   def walks(
       edges: DataFrame, srcCol: String, dstCol: String,
       walksPerNode: Int, length: Int,
-      rowsPerTask: Long = 500000L): DataFrame = {
+      rowsPerTask: Long = 500000L,
+      tableStateRows: Long = 16L * 1000 * 1000): DataFrame = {
     require(walksPerNode >= 1, s"walksPerNode must be >= 1")
     require(length >= 1, s"length must be >= 1")
     require(rowsPerTask >= 1, s"rowsPerTask must be >= 1, got $rowsPerTask")
@@ -76,10 +96,12 @@ object RandomWalks {
     // join run AT this width, and a pinned scan's partitioning is not
     // AQE-coalescible, so an unbounded width would turn every hop into
     // that many tasks on arbitrarily large inputs
+    val n = edges.count()
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
-      math.min(4096L,
-        (edges.count() + rowsPerTask - 1) / rowsPerTask).toInt)
+      math.min(4096L, (n + rowsPerTask - 1) / rowsPerTask).toInt)
+    if (n >= tableStateRows)
+      return walksTabled(edges, srcCol, dstCol, walksPerNode, length, width)
     val adj = graft.core.ScopedConf.withShufflePartitions(spark, width) {
       neighborIndex(edges, srcCol, dstCol)
         .repartition(width, col("node"))
@@ -112,6 +134,63 @@ object RandomWalks {
     acc.select(col("walk_id"), col("step").cast("long").as("step"),
       col("node"))
   }
+
+  /** The ≥`tableStateRows` regime of [[walks]]: the adjacency as a
+    * node-bucketed parquet table (every step join gets an
+    * exchange-free, sort-free scan side — the
+    * [[graft.similarity.ChunkedPairs]] bucket layout), the frontiers
+    * as one parquet dir per step. Output-identical to the pinned form
+    * (RandomWalksSpec pins the two regimes against each other);
+    * nothing corpus-sized ever enters executor storage memory. */
+  private def walksTabled(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      walksPerNode: Int, length: Int, width: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val work = graft.core.TempWork.dir("graft-walks")
+    val tbl = s"graft_walk_adj_${tableSeq.getAndIncrement()}"
+    graft.core.ScopedConf.withShufflePartitions(spark, width) {
+      graft.core.Bucketing.writeBucketed(
+        neighborIndex(edges, srcCol, dstCol)
+          .repartition(width, col("node")),
+        s"$work/adj", tbl, width, Seq("node"))
+    }
+    val adj = graft.core.Bucketing.read(spark, tbl)
+    // bucketed scan: a distinct grouped on the bucket key plans
+    // exchange-free
+    val starts = adj.select(col("node")).distinct()
+      .withColumn("copy",
+        explode(lit((0L until walksPerNode.toLong).toArray)))
+      .select((col("node") * walksPerNode + col("copy")).as("walk_id"),
+        col("node"))
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val stepSchema = StructType(Seq(StructField("walk_id", LongType),
+      StructField("step", IntegerType), StructField("node", LongType)))
+    def stepPath(t: Int) = s"$work/steps/s$t"
+    // a step whose every walk dangled writes a file-less dir — the
+    // schema'd read keeps the loop and the final union total (the
+    // PairState empty-segment lesson)
+    def readStep(t: Int): DataFrame =
+      spark.read.schema(stepSchema).parquet(stepPath(t))
+    starts.select(col("walk_id"), lit(0).as("step"), col("node"))
+      .write.parquet(stepPath(0))
+    for (t <- 1 to length) {
+      graft.core.ScopedConf.withShufflePartitions(spark, width) {
+        readStep(t - 1)
+          .select(col("walk_id"), col("node"))
+          .join(adj, Seq("node"))
+          .filter(col("idx") === mix(col("node"), col("walk_id"), t) %
+            col("deg"))
+          .select(col("walk_id"), lit(t).as("step"),
+            col("nbr").as("node"))
+          .write.parquet(stepPath(t))
+      }
+    }
+    (0 to length).map(readStep).reduce(_ unionByName _)
+      .select(col("walk_id"), col("step").cast("long").as("step"),
+        col("node"))
+  }
+
+  private val tableSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Skip-gram pairs within `window` steps (center ≠ context, both
     * directions): (center, context, n). Dangling walks (a node with no
