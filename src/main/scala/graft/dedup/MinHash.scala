@@ -144,40 +144,53 @@ object MinHash {
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerms: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame = {
     // The batch path gets the SAME treatment the incremental path earned
     // at 30×/100× (see incrementalNearDuplicates): the round-10 100×
     // probe killed this path with "Not enough memory to build and
     // broadcast" — the static planner guessed the pair-driven verify
-    // sides small and hard-coded broadcast builds. Pin the two frames
-    // with multiple consumers (shingles feed signatures + all three
-    // verify positions; candidates feed the width measurement + verify),
-    // hint both verify sides to a spillable sort-merge join, and scope
-    // the verify width from the MEASURED candidate × avg-shingle volume.
+    // sides small and hard-coded broadcast builds. Materialize the two
+    // frames with multiple consumers (shingles feed signatures + all
+    // three verify positions; candidates feed the width measurement +
+    // verify), hint both verify sides to a spillable sort-merge join,
+    // and scope the verify width from the MEASURED candidate ×
+    // avg-shingle volume.
+    //
+    // Placement is the size gate (StateTable.pinOrStage): below
+    // `tableStateRows` both frames block-pin exactly as before; at or
+    // above, they stay local-disk parquet stages — the corpus-sized
+    // shingle pin was the q46 4 GiB-tier storage-budget OOM (SCALE.md
+    // round 12), and the verify consumers shuffle on their own keys
+    // either way, so the disk form gives up no exchange.
     val spark = docs.sparkSession
-    val sh = shingles(docs, idCol, textCol, shingleLen)
-      .transform(graft.core.Pin.apply)
-    val sigs = signatures(sh, idCol, numPerms)
-    val cands = candidates(sigs, idCol, numPerms, bands)
-      .transform(graft.core.Pin.apply)
-    val nCands = cands.count()
+    val sh = graft.core.StateTable.pinOrStage(
+      shingles(docs, idCol, textCol, shingleLen), Seq(col(idCol)),
+      "mh_shingles", gateRows = tableStateRows)
+    val sigs = signatures(sh.df, idCol, numPerms)
+    val cands = graft.core.StateTable.pinOrStage(
+      candidates(sigs, idCol, numPerms, bands),
+      Seq(col("id_a"), col("id_b")), "mh_cands",
+      gateRows = tableStateRows)
+    val nCands = cands.df.count()
     val nDocs = math.max(1L, docs.count())
-    val avgSh = math.max(1L, sh.count() / nDocs)
+    val avgSh = math.max(1L, sh.df.count() / nDocs)
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
       math.min(4096L, nCands * avgSh / 2000000L).toInt)
     val out = graft.core.ScopedConf.withShufflePartitions(spark, width) {
-      verify(cands.hint("merge"), sh.hint("merge"), idCol)
+      verify(cands.df.hint("merge"), sh.df.hint("merge"), idCol)
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .transform(graft.core.Pin.apply)
     }
-    // the result pin is eager and lineage-truncated, so the input pins
-    // have no remaining consumer — release them (the KCore discipline)
-    // or a multi-query session accumulates superseded shingle/candidate
-    // blocks in the protected storage pool
-    graft.core.Pin.unpin(sh)
-    graft.core.Pin.unpin(cands)
+    // the result pin is eager and lineage-truncated, so the input state
+    // has no remaining consumer — release it (the KCore discipline:
+    // unpin the pinned form, delete the staged tree) or a multi-query
+    // session accumulates superseded shingle/candidate state
+    sh.release()
+    cands.release()
     out
   }
 
@@ -197,16 +210,24 @@ object MinHash {
       newDocs: DataFrame, corpusDocs: DataFrame, corpusBuckets: DataFrame,
       idCol: String, textCol: String,
       shingleLen: Int = 3, numPerms: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1000,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame = {
     val newSh = shingles(newDocs, idCol, textCol, shingleLen)
     val newBuckets = buckets(
       signatures(newSh, idCol, numPerms), idCol, numPerms, bands)
     // cands feeds `touched` AND the verify join; candSh feeds verify's
-    // size aggregate and BOTH pair-side joins — pin both so the
+    // size aggregate and BOTH pair-side joins — materialize both so the
     // recompute (corpus scan + shingle explode ×3) is paid once.
-    val cands = incrementalCandidates(
-        newBuckets, corpusBuckets, idCol, maxBucketSize)
-      .transform(graft.core.Pin.apply)
+    // Size-gated placement, same rationale as nearDuplicates: both
+    // frames are candidate-volume-sized, which on a dup-heavy batch is
+    // corpus-proportional (q139 grew ~100× with the corpus).
+    val cands0 = graft.core.StateTable.pinOrStage(
+      incrementalCandidates(
+        newBuckets, corpusBuckets, idCol, maxBucketSize),
+      Seq(col("id_a"), col("id_b")), "mh_inc_cands",
+      gateRows = tableStateRows)
+    val cands = cands0.df
     val touched = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
     // batch shingles are already in hand (newSh) — only candidate-touched
@@ -219,11 +240,13 @@ object MinHash {
     // localCheckpoint carries the ORIGINAL static estimate over). A
     // sort-merge join spills instead of building driver-side hash
     // tables, which is the only plan that survives every scale.
-    val candSh = shingles(
+    val candSh0 = graft.core.StateTable.pinOrStage(
+      shingles(
         corpusDocs.join(touched, Seq(idCol), "left_semi"),
         idCol, textCol, shingleLen)
-      .unionByName(newSh.join(touched, Seq(idCol), "left_semi"))
-      .transform(graft.core.Pin.apply)
+        .unionByName(newSh.join(touched, Seq(idCol), "left_semi")),
+      Seq(col(idCol)), "mh_inc_sh", gateRows = tableStateRows)
+    val candSh = candSh0.df
     // Scope the verify width from the MEASURED pair volume (all three
     // counts are cached scans over the pins): the inter join streams
     // ≈ candidates × per-doc shingle rows, and a fixed session width
@@ -245,8 +268,8 @@ object MinHash {
         .transform(graft.core.Pin.apply)
     }
     // same release discipline as the batch path above
-    graft.core.Pin.unpin(cands)
-    graft.core.Pin.unpin(candSh)
+    cands0.release()
+    candSh0.release()
     out
   }
 }

@@ -49,17 +49,29 @@ object Bfs {
   def distances(
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, maxHops: Int,
-      rowsPerTask: Long = 500000L): DataFrame = {
+      rowsPerTask: Long = 500000L,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame = {
     require(maxHops >= 0 && maxHops <= 64,
       s"maxHops must be in [0,64], got $maxHops")
     require(rowsPerTask >= 1, s"rowsPerTask must be >= 1, got $rowsPerTask")
     val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     // upper bound on the directed-edge count — over-estimating only
-    // widens the exchange, which AQE coalesces
+    // widens the exchange, which AQE coalesces. The SAME count gates
+    // adjacency/frontier placement (the StateTable pin class): below
+    // the gate everything block-pins as before; at or above, the
+    // adjacency becomes an `a`-bucketed parquet table (each hop join
+    // still gets an exchange-free, sort-free scan side) and each
+    // frontier streams through its own parquet dir — executor storage
+    // holds nothing corpus-sized. Over-estimation tables early: slower,
+    // never wrong (the regimes are spec-pinned output-identical).
+    val n2 = 2L * e0.count()
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
-      ((2L * e0.count() + rowsPerTask - 1) / rowsPerTask).toInt)
+      ((n2 + rowsPerTask - 1) / rowsPerTask).toInt)
+    if (n2 >= tableStateRows)
+      return distancesTabled(spark, e0, seeds, maxHops, width)
     val e = graft.core.ScopedConf.withShufflePartitions(spark, width) {
       e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
         .distinct()
@@ -81,12 +93,67 @@ object Bfs {
           .join(visited.select(col("node")), Seq("node"), "left_anti")
           .transform(graft.core.Pin.apply)
       }
-      visited = visited
+      val nv = visited
         .unionByName(next.withColumn("dist", lit(hop)))
         .transform(graft.core.Pin.apply)
+      // nv and next are materialized with truncated lineage — the
+      // superseded visited pin and the PREVIOUS hop's frontier pin
+      // (its rows live in nv) release NOW instead of accumulating one
+      // frontier copy per hop (the KCore round discipline; unpin is a
+      // no-op on hop 1's derived frontier)
+      graft.core.Pin.unpin(visited)
+      graft.core.Pin.unpin(frontier)
+      visited = nv
       frontier = next
       done = next.isEmpty
     }
     visited
+  }
+
+  /** The ≥`tableStateRows` regime of [[distances]]: the adjacency as an
+    * `a`-bucketed parquet table (exchange-free, sort-free hop-join scan
+    * side — the [[RandomWalks]] tabled-walk layout), each hop's
+    * `(node, dist)` frontier as its own parquet dir, the visited set as
+    * the lazy union of the landed hops. Output-identical to the pinned
+    * form (BfsSpec pins the regimes against each other); executor
+    * storage holds nothing. State lives under [[graft.core.TempWork]]
+    * (its local-mode-stand-in caveat applies on a real cluster). */
+  private def distancesTabled(
+      spark: org.apache.spark.sql.SparkSession, e0: DataFrame,
+      seeds: DataFrame, maxHops: Int, width: Int): DataFrame = {
+    val adj = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+      graft.core.StateTable.bucketedAtWidth(
+        e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+          .distinct(),
+        Seq("a"), width, "bfs_adj")
+    }
+    val work = graft.core.TempWork.dir("graft-bfs")
+    val hop0 = graft.core.StateTable.stageAt(
+      seeds.toDF("node").distinct().withColumn("dist", lit(0L)),
+      s"$work/h0")
+    var hops = List(hop0)
+    var frontier = hop0.select(col("node"))
+    var hop = 0L
+    var done = frontier.isEmpty
+    while (hop < maxHops && !done) {
+      hop += 1L
+      val visited = hops.map(_.select(col("node")))
+        .reduce(_ unionByName _)
+      val next = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+        graft.core.StateTable.stageAt(
+          frontier.join(adj.df, col("node") === col("a"))
+            .select(col("b").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .withColumn("dist", lit(hop)),
+          s"$work/h$hop")
+      }
+      hops = next :: hops
+      frontier = next.select(col("node"))
+      done = next.isEmpty
+    }
+    // every hop has landed and the returned frame reads only the hop
+    // dirs — drop the adjacency table (catalog + corpus-sized files) NOW
+    adj.drop()
+    hops.reverse.reduce(_ unionByName _)
   }
 }

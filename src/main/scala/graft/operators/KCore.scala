@@ -34,9 +34,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): per round ONE map-side-combinable degree
   * aggregate and TWO semi-joins of the edge list against the (smaller)
-  * surviving-node set — the q145 propagation shape; the edge list
-  * localCheckpoints each round so lineage stays flat (reliable
-  * checkpoints on a cluster).
+  * surviving-node set — the q145 propagation shape. Round state
+  * materializes each round so lineage stays flat, with SIZE-GATED
+  * placement ([[graft.core.StateTable]]): small rounds block-pin,
+  * corpus-sized rounds live as `a`-bucketed parquet tables (a
+  * corpus-sized pin is a cluster-storage budget with an unrecoverable
+  * failure mode — the round-12 finding), and a shrinking peel migrates
+  * from tabled to pinned as it crosses the gate.
   */
 object KCore {
 
@@ -56,8 +60,10 @@ object KCore {
     * this one with a flag. */
   def core(
       edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int = 4): DataFrame =
-    peel(edges, srcCol, dstCol, k, rounds, strict = true)
+      k: Int, rounds: Int = 4,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame =
+    peel(edges, srcCol, dstCol, k, rounds, strict = true, tableStateRows)
 
   /** The bounded-peel variant: up to `rounds` degree-threshold passes,
     * returning whatever survives — by construction a SUPERGRAPH of the
@@ -67,49 +73,77 @@ object KCore {
     * certifies the fixpoint and throws rather than under-deliver. */
   def boundedPeel(
       edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int = 4): DataFrame =
-    peel(edges, srcCol, dstCol, k, rounds, strict = false)
+      k: Int, rounds: Int = 4,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame =
+    peel(edges, srcCol, dstCol, k, rounds, strict = false, tableStateRows)
 
   private def peel(
       edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int, strict: Boolean): DataFrame = {
+      k: Int, rounds: Int, strict: Boolean,
+      tableStateRows: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 64,
       s"rounds must be in [1,64], got $rounds")
+    val spark = edges.sparkSession
     val und = edges.filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-    var e = graft.core.Pin.atWidth(
+    // Round state is corpus-proportional (the directed edge set), so
+    // every round's placement is SIZE-GATED (StateTable scaladoc — the
+    // round-12 pin-class finding: a corpus-sized block pin is a
+    // cluster-storage budget with an unrecoverable failure mode). Below
+    // the gate: block-pin laid out on the peel key, exactly the old
+    // form. At or above: an `a`-bucketed parquet table, so round R+1's
+    // degree aggregate and first semi-join still read an exchange-free,
+    // key-laid-out scan side — disk-backed parity with the pinned
+    // layout. The edge set only shrinks, so a peel that starts tabled
+    // MIGRATES to pinned once it fits; the regimes are output-identical
+    // (KCoreSpec pins them against each other).
+    var e = graft.core.StateTable.pinOrStage(
       und.unionByName(und.select(col("b").as("a"), col("a").as("b"))),
-      Seq(col("a"))) // re-read-sized blocks, laid out on the peel key
-    // counts are over already-pinned frames — each check is a cached
-    // scan, not a recompute; edge count unchanged ⟺ the round's keep
-    // filter dropped nobody ⟺ fixpoint (0 edges is trivially one too)
-    var prev = e.count()
+      Seq(col("a")), "kcore", gateRows = tableStateRows)
+    // counts are over already-materialized frames — a cached scan below
+    // the gate, a parquet metadata count above; edge count unchanged ⟺
+    // the round's keep filter dropped nobody ⟺ fixpoint (0 edges is
+    // trivially one too)
+    var prev = e.df.count()
     var converged = prev == 0L
     var r = 0
     while (r < rounds && !converged) {
-      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+      val tabledRound = prev >= tableStateRows
+      val keepBase = e.df.groupBy(col("a")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("a"))
-        .transform(graft.core.Pin.apply) // consumed by both endpoint semi-joins
+      // keep is consumed by both endpoint semi-joins: below the gate it
+      // pins (node-sized, the old form); above, it stays LAZY — two
+      // aggregate passes over the bucketed scan (exchange-free from
+      // round 2 on) instead of one more executor-storage pin
+      val keep =
+        if (tabledRound) keepBase
+        else keepBase.transform(graft.core.Pin.apply)
       // the surviving edge set is bounded by prev (already counted) —
-      // repartition to that measured width before the pin so round-R+1
-      // blocks stay re-read-sized (the Pin.atWidth hazard, known size
-      // here so no extra count; keep is node-bounded and stays small)
-      val nextWidth = math.max(
-        e.sparkSession.sessionState.conf.numShufflePartitions,
-        math.min(4096L, (prev + 499999L) / 500000L).toInt)
-      val next = e.join(keep, Seq("a"), "left_semi")
+      // that measured width keeps round-R+1 blocks/buckets
+      // re-read-sized with no extra count
+      val nextWidth = graft.core.StateTable.measuredWidth(spark, prev)
+      val survivors = e.df.join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
-        .repartition(nextWidth, col("a"))
-        .transform(graft.core.Pin.apply)
-      val c = next.count()
-      // next is materialized with truncated lineage — the superseded
-      // round state can release its checkpoint blocks NOW instead of
-      // accumulating one edge copy per round (Pin.unpin scaladoc: the
-      // q220 100× execution-starvation failure)
-      graft.core.Pin.unpin(e)
+      val next: graft.core.StateTable.Placed =
+        if (tabledRound) {
+          val t = graft.core.StateTable.bucketedAtWidth(
+            survivors, Seq("a"), nextWidth, "kcore_round")
+          graft.core.StateTable.Placed(t.df, () => t.drop())
+        } else {
+          val p = survivors.repartition(nextWidth, col("a"))
+            .transform(graft.core.Pin.apply)
+          graft.core.StateTable.Placed(p, () => graft.core.Pin.unpin(p))
+        }
+      val c = next.df.count()
+      // next is materialized (pin or table) — the superseded round
+      // state releases NOW instead of accumulating one edge copy per
+      // round (Pin.unpin scaladoc: the q220 100× execution-starvation
+      // failure; same discipline for superseded tables on disk)
+      e.release()
       graft.core.Pin.unpin(keep)
       e = next
       converged = c == prev || c == 0L
@@ -120,7 +154,7 @@ object KCore {
       // the last permitted round still shrank the edge set; it may have
       // landed exactly on the fixpoint — certify with one min-degree
       // check (the fixpoint condition itself) before deciding
-      val violating = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+      val violating = e.df.groupBy(col("a")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") < k).limit(1).count()
       if (violating > 0L)
         throw new IllegalStateException(
@@ -130,7 +164,7 @@ object KCore {
             "the k-core, not the k-core — raise rounds (peel depth is " +
             "bounded by the longest chain the threshold unravels)")
     }
-    e.groupBy(col("a").as("node"))
+    e.df.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("core_degree"))
   }
 }

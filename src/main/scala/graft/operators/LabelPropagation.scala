@@ -52,7 +52,9 @@ object LabelPropagation {
     * small post-aggregate sides back down. */
   def communities(
       edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int, rowsPerTask: Long = 500000L): DataFrame = {
+      rounds: Int, rowsPerTask: Long = 500000L,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame = {
     require(rounds >= 1 && rounds <= 64,
       s"rounds must be in [1,64], got $rounds")
     require(rowsPerTask >= 1, s"rowsPerTask must be >= 1, got $rowsPerTask")
@@ -64,10 +66,17 @@ object LabelPropagation {
       .distinct()
     // One cheap counting pass sizes the width BEFORE the adjacency is
     // laid out (the dedup runs twice — a scan-shuffle-count, far
-    // cheaper than holding an extra pinned copy across every round)
+    // cheaper than holding an extra materialized copy across every
+    // round). The SAME measured count gates state placement (the
+    // StateTable pin class): at or above the gate the adjacency becomes
+    // an nbr-bucketed parquet table and per-round labels stream through
+    // parquet dirs — executor storage holds nothing corpus-sized.
+    val n2 = 2L * ed.count()
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
-      ((2L * ed.count() + rowsPerTask - 1) / rowsPerTask).toInt)
+      ((n2 + rowsPerTask - 1) / rowsPerTask).toInt)
+    if (n2 >= tableStateRows)
+      return communitiesTabled(spark, ed, rounds, width)
     // THE memory move: hash-partition the adjacency on the join key
     // and sort it within partitions ONCE, then pin. localCheckpoint
     // preserves both the partitioning and the ordering, so every
@@ -85,18 +94,65 @@ object LabelPropagation {
       .withColumn("label", col("node"))
       .transform(graft.core.Pin.apply)
     for (_ <- 1 to rounds) {
-      labels = graft.core.ScopedConf.withShufflePartitions(spark, width) {
-        val nbrCounts = adj
-          .join(labels.select(col("node").as("nbr"), col("label")),
-            Seq("nbr"))
-          .groupBy(col("node"), col("label"))
-          .agg(count(lit(1)).as("c"))
-        nbrCounts.groupBy(col("node"))
-          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-          .select(col("node"), (-col("m.nl")).as("label"))
-          .transform(graft.core.Pin.apply)
+      val next = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+        lpaRound(adj, labels).transform(graft.core.Pin.apply)
       }
+      // next is materialized with truncated lineage — release the
+      // superseded round's label pin NOW (the KCore round discipline)
+      // instead of accumulating one node-sized copy per round
+      graft.core.Pin.unpin(labels)
+      labels = next
     }
+    labels
+  }
+
+  /** One synchronous LPA round: per-node neighbour-label argmax,
+    * smallest label winning ties. */
+  private def lpaRound(adj: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrCounts = adj
+      .join(labels.select(col("node").as("nbr"), col("label")),
+        Seq("nbr"))
+      .groupBy(col("node"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    nbrCounts.groupBy(col("node"))
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("node"), (-col("m.nl")).as("label"))
+  }
+
+  /** The ≥`tableStateRows` regime of [[communities]]: the adjacency as
+    * an nbr-bucketed, bucket-sorted parquet table (every round's join
+    * reads an exchange-free, sort-free scan side — disk-backed parity
+    * with the sorted pin), each round's labels in their own parquet
+    * dir, the superseded round's dir deleted as soon as the new one
+    * lands. Output-identical to the pinned form (LabelPropagationSpec
+    * pins the regimes against each other); executor storage holds
+    * nothing. State lives under [[graft.core.TempWork]] (its
+    * local-mode-stand-in caveat applies on a real cluster). */
+  private def communitiesTabled(
+      spark: org.apache.spark.sql.SparkSession, ed: DataFrame,
+      rounds: Int, width: Int): DataFrame = {
+    val adj = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+      graft.core.StateTable.bucketedAtWidth(
+        ed.select(col("a").as("node"), col("b").as("nbr"))
+          .unionAll(ed.select(col("b").as("node"), col("a").as("nbr"))),
+        Seq("nbr"), width, "lpa_adj")
+    }
+    val work = graft.core.TempWork.dir("graft-lpa")
+    var labels = graft.core.StateTable.stageAt(
+      adj.df.select(col("node")).distinct()
+        .withColumn("label", col("node")),
+      s"$work/r0")
+    for (r <- 1 to rounds) {
+      val next = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+        graft.core.StateTable.stageAt(lpaRound(adj.df, labels), s"$work/r$r")
+      }
+      // round r has landed — the superseded round's dir has no reader
+      graft.core.TempWork.delete(s"$work/r${r - 1}")
+      labels = next
+    }
+    // the returned frame reads only the final round's dir — drop the
+    // adjacency table (catalog + corpus-sized files) NOW
+    adj.drop()
     labels
   }
 }

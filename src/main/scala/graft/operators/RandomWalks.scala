@@ -95,7 +95,12 @@ object RandomWalks {
     // other measured-width site: the adjacency pin and each per-step
     // join run AT this width, and a pinned scan's partitioning is not
     // AQE-coalescible, so an unbounded width would turn every hop into
-    // that many tasks on arbitrarily large inputs
+    // that many tasks on arbitrarily large inputs. The SAME pre-distinct
+    // count also picks pinned-vs-tabled placement below, where the
+    // conservatism cuts the other way: a heavily duplicated edge list
+    // can push a small deduplicated graph into the tabled regime early —
+    // slower (disk round-trips it didn't need), never wrong (the two
+    // regimes are spec-pinned output-identical).
     val n = edges.count()
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
@@ -141,20 +146,22 @@ object RandomWalks {
     * [[graft.similarity.ChunkedPairs]] bucket layout), the frontiers
     * as one parquet dir per step. Output-identical to the pinned form
     * (RandomWalksSpec pins the two regimes against each other);
-    * nothing corpus-sized ever enters executor storage memory. */
+    * nothing corpus-sized ever enters executor storage memory. The
+    * adjacency table is dropped (catalog + files) as soon as the step
+    * loop ends — the returned frame reads only the step dirs. State
+    * lives under [[graft.core.TempWork]], whose local-mode-stand-in
+    * caveat applies: this is the identical-output 100 TB shape ONLY
+    * over a real distributed workDir (on a cluster, TempWork's root is
+    * the orchestrator-owned temp layout, not a driver-local path). */
   private def walksTabled(
       edges: DataFrame, srcCol: String, dstCol: String,
       walksPerNode: Int, length: Int, width: Int): DataFrame = {
     val spark = edges.sparkSession
     val work = graft.core.TempWork.dir("graft-walks")
-    val tbl = s"graft_walk_adj_${tableSeq.getAndIncrement()}"
-    graft.core.ScopedConf.withShufflePartitions(spark, width) {
-      graft.core.Bucketing.writeBucketed(
-        neighborIndex(edges, srcCol, dstCol)
-          .repartition(width, col("node")),
-        s"$work/adj", tbl, width, Seq("node"))
-    }
-    val adj = graft.core.Bucketing.read(spark, tbl)
+    val tabled = graft.core.StateTable.bucketedAtWidth(
+      neighborIndex(edges, srcCol, dstCol),
+      Seq("node"), width, prefix = "walk_adj")
+    val adj = tabled.df
     // bucketed scan: a distinct grouped on the bucket key plans
     // exchange-free
     val starts = adj.select(col("node")).distinct()
@@ -185,12 +192,15 @@ object RandomWalks {
           .write.parquet(stepPath(t))
       }
     }
+    // every step has landed and the returned frame reads only the step
+    // dirs — drop the adjacency table (catalog entry + corpus-sized
+    // parquet tree) NOW instead of at JVM shutdown, halving the
+    // operator's peak disk footprint in a long session
+    tabled.drop()
     (0 to length).map(readStep).reduce(_ unionByName _)
       .select(col("walk_id"), col("step").cast("long").as("step"),
         col("node"))
   }
-
-  private val tableSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Skip-gram pairs within `window` steps (center ≠ context, both
     * directions): (center, context, n). Dangling walks (a node with no

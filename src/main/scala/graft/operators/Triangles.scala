@@ -54,11 +54,35 @@ object Triangles {
   /** Per-node triangle participation counts `(node, n_triangles)` —
     * every node of each triangle credited once; triangle-free nodes
     * absent. */
-  def perNode(edges: DataFrame, src: String, dst: String): DataFrame =
-    triangles(edges, src, dst)
+  def perNode(
+      edges: DataFrame, src: String, dst: String,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame =
+    triangles(edges, src, dst, tableStateRows = tableStateRows)
       // explode, not 3 unions: one pass over the triangle set
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+
+  /** Materialize the canonical edge set ONCE for one-or-more counting
+    * passes ([[trianglesOfCanonical]] consumes it in five plan
+    * positions; q217 runs the exact count AND the sampled estimate over
+    * the same frame). Placement is the size gate
+    * ([[graft.core.StateTable.pinOrStage]]): below `tableStateRows`
+    * the set block-pins at the measured width (the fastest re-scan);
+    * at or above, it stays a local-disk parquet stage — a corpus-sized
+    * block pin is a cluster-storage budget with an unrecoverable
+    * failure mode (the round-12 q191/q217 4 GiB-tier OOM class;
+    * SCALE.md round 12), and none of the consumers join or group on a
+    * layout the pin could preserve, so the disk form gives up no
+    * exchange. Exactly one execution of the (often pair-join-derived,
+    * expensive) upstream plan either way. */
+  def materializeCanonical(
+      edges: DataFrame, src: String, dst: String,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame =
+    graft.core.StateTable.pinOrStage(
+      canonical(edges, src, dst), Seq(col("a"), col("b")),
+      "tri_canon", gateRows = tableStateRows).df
 
   /** DOULION edge-sampled triangle estimate (Tsourakakis, Kang &
     * Faloutsos, KDD'09) — the 100 TB regime's answer when even the
@@ -81,7 +105,9 @@ object Triangles {
   def doulion(
       edges: DataFrame, src: String, dst: String,
       keepHex: Int = 8, salt: String = "doulion",
-      maxBloomEdges: Long = 4000000L): DataFrame = {
+      maxBloomEdges: Long = 4000000L,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame = {
     require(Set(1, 2, 4, 8, 16).contains(keepHex),
       s"keepHex must divide 16 for an integer-exact estimator, got $keepHex")
     val c = canonical(edges, src, dst)
@@ -90,9 +116,14 @@ object Triangles {
     val keep = "0123456789abcdef".take(keepHex).map(_.toString)
     val f = 16L / keepHex
     // the sampled set is already canonical — skip the redundant
-    // distinct exchange a re-canonicalization would pay
+    // distinct exchange a re-canonicalization would pay. Placement is
+    // the same size gate as [[materializeCanonical]] (the sampled set
+    // is keepHex/16 of the corpus — still corpus-proportional, still
+    // the q217 4 GiB-tier pin class).
     trianglesOfCanonical(
-        c.filter(coin.isin(keep: _*)).transform(graft.core.Pin.apply),
+        graft.core.StateTable.pinOrStage(
+          c.filter(coin.isin(keep: _*)), Seq(col("a"), col("b")),
+          "tri_doulion", gateRows = tableStateRows).df,
         maxBloomEdges)
       .agg(count(lit(1)).as("sampled_triangles"))
       .select(col("sampled_triangles"),
@@ -105,14 +136,16 @@ object Triangles {
     * step: semi-check the third edge against the oriented edge set. */
   def triangles(
       edges: DataFrame, src: String, dst: String,
-      maxBloomEdges: Long = 4000000L): DataFrame =
+      maxBloomEdges: Long = 4000000L,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame =
     // the edge set feeds FIVE plan positions (degrees twice, both wedge
-    // sides, the close); materialize canonical + oriented once instead
-    // of re-deriving the upstream pair join per consumer. Pin.atWidth:
-    // the pinned blocks must stay re-read-sized (q191 100× — scaladoc)
+    // sides, the close); materialize canonical once instead of
+    // re-deriving the upstream pair join per consumer — size-gated
+    // placement (pin below the gate, local-disk stage above; see
+    // materializeCanonical)
     trianglesOfCanonical(
-      graft.core.Pin.atWidth(
-        canonical(edges, src, dst), Seq(col("a"), col("b"))),
+      materializeCanonical(edges, src, dst, tableStateRows),
       maxBloomEdges)
 
   /** [[triangles]] over an ALREADY-canonical, already-pinned `(a, b)`

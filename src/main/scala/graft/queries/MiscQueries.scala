@@ -756,13 +756,13 @@ object MiscQueries {
       val raw = li.alias("x").join(li.alias("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
-      // pin the DISTINCT canonical edge set (orders of magnitude smaller
-      // than the raw pair multiset) — it feeds both the exact count and
-      // the sampled estimate; canonical() is idempotent downstream.
-      // atWidth: re-read-sized blocks (q191 100×, Pin scaladoc)
-      val e = graft.core.Pin.atWidth(
-        graft.operators.Triangles.canonical(raw, "src", "dst"),
-        Seq(col("a"), col("b")))
+      // materialize the DISTINCT canonical edge set (orders of magnitude
+      // smaller than the raw pair multiset) — it feeds both the exact
+      // count and the sampled estimate; canonical() is idempotent
+      // downstream. Size-gated placement: pinned below the gate,
+      // local-disk stage above (the round-12 4 GiB-tier OOM class)
+      val e = graft.operators.Triangles.materializeCanonical(
+        raw, "src", "dst")
       // e is already canonical and pinned: both passes share the ONE
       // materialized edge copy instead of re-pinning per consumer
       val exact = graft.operators.Triangles.trianglesOfCanonical(e)

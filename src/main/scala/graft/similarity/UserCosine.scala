@@ -25,11 +25,16 @@ object UserCosine {
 
   /** Measured-gate ceiling for broadcasting the per-user norms frame in
     * [[dimsumTopK]]: ~16 B/row payload ≈ 200 MB hashed at 4M rows —
-    * comfortably inside a 4 GiB executor's storage share, far under the
-    * driver heap. Above it the planner's shuffled join is the correct
-    * layout (the ADVICE-r11 cliff), below it the broadcast saves a
-    * corpus-sized exchange before the chunk bucketing (measured 1.4× at
-    * the 100× tier). */
+    * comfortably inside a 4 GiB executor's storage share. The ceiling
+    * is ALSO a driver budget: a broadcast hash join collects the rows
+    * AND builds the ~200 MB hashed relation on the DRIVER before
+    * shipping, so this constant assumes the driver heap clears
+    * ~2× that (any production submit with ≥ 2 GiB driver memory); on a
+    * smaller driver, size the ceiling against
+    * min(driver heap share, executor storage share) instead. Above it
+    * the planner's shuffled join is the correct layout (the ADVICE-r11
+    * cliff), below it the broadcast saves a corpus-sized exchange
+    * before the chunk bucketing (measured 1.4× at the 100× tier). */
   private val MaxBroadcastUsers = 4L * 1000 * 1000
 
   /** Pinned `(u, it, c)` play-count aggregate with the optional hot-item

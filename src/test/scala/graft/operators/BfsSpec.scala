@@ -78,4 +78,28 @@ class BfsSpec extends SparkSpec {
       Seq(1L, 2L).toDF("node"), 3).orderBy(col("node")).collect().toSeq
     assert(a === b)
   }
+
+  test("tabled regime (bucketed adjacency + per-hop dirs) is " +
+    "output-identical to the pinned regime") {
+    import spark.implicits._
+    def tabled(edges: Seq[(Long, Long)], seeds: Seq[Long],
+        maxHops: Int): Map[Long, Long] =
+      Bfs.distances(edges.toDF("s", "d").repartition(4), "s", "d",
+          seeds.toDF("node"), maxHops, tableStateRows = 1L)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(250)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val seeds = Seq(0L, 9L)
+    assert(tabled(edges, seeds, 4) === run(edges, seeds, 4))
+    // early stop + disconnected component: the tabled loop must stop at
+    // the reachability fixpoint with empty hop dirs staying readable
+    val small = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    assert(tabled(small, Seq(1L), 64) === run(small, Seq(1L), 64))
+    // radius 0: seeds only, straight from the hop-0 dir
+    assert(tabled(small, Seq(1L, 99L), 0) ===
+      Map(1L -> 0L, 99L -> 0L))
+  }
 }

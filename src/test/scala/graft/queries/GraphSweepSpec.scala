@@ -208,4 +208,29 @@ class GraphSweepSpec extends SparkSpec {
     // average — the knob trades cost for the accuracy measured here
     assert(errQuarter.sum < errSixteenth.sum)
   }
+
+  test("triangles/doulion tabled regime (staged canonical + sampled " +
+    "state) is output-identical to the pinned regime") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(400)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.toDF("s", "t")
+    // tableStateRows = 1 forces the staged path on the tiny graph
+    val pinned = Triangles.triangles(edges, "s", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val tabled = Triangles.triangles(edges, "s", "t",
+        tableStateRows = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(tabled === pinned)
+    assert(pinned.nonEmpty, "fixture must actually contain triangles")
+    val dp = Triangles.doulion(edges, "s", "t", keepHex = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dt = Triangles.doulion(edges, "s", "t", keepHex = 8,
+        tableStateRows = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dt === dp)
+  }
 }

@@ -80,4 +80,28 @@ class KCoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](KCore.core(e, "s", "t", 0, 1))
     intercept[IllegalArgumentException](KCore.core(e, "s", "t", 1, 0))
   }
+
+  test("tabled regime ≡ pinned, including a peel that MIGRATES from " +
+    "tabled to pinned as the edge set shrinks below the gate") {
+    // clique {1..4} + path tail 4-5-6-7: the 2-core is the clique plus
+    // node 4's tail edge peeling away — 18 directed edges initially,
+    // shrinking by 4 per peeled tail node
+    val g = ((for { a <- 1 to 4; b <- 1 to 4 if a < b }
+        yield (a.toLong, b.toLong)) ++
+      Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("s", "t")
+    val pinned = nodes(KCore.core(g, "s", "t", k = 2, rounds = 8))
+    assert(pinned === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // gate 1: every round tabled (bucketed round tables all the way)
+    assert(nodes(KCore.core(g, "s", "t", 2, 8,
+      tableStateRows = 1L)) === pinned)
+    // gate 15: initial state (18 directed) and round 1 are tabled, the
+    // shrunken rounds (14, then 12) re-place as pins — the migration
+    assert(nodes(KCore.core(g, "s", "t", 2, 8,
+      tableStateRows = 15L)) === pinned)
+    // boundedPeel under the gate behaves identically too
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("s", "t")
+    for (r <- 1 to 3)
+      assert(KCore.boundedPeel(path, "s", "t", 2, r,
+        tableStateRows = 1L).count() === 9 - 2 * r, s"rounds=$r")
+  }
 }

@@ -68,4 +68,20 @@ class LabelPropagationSpec extends SparkSpec {
     assert(bLabels.size === 1, s"clique B split: $got")
     assert(aLabels != bLabels, s"bridge merged the cliques: $got")
   }
+
+  test("tabled regime (bucketed adjacency + per-round dirs) is " +
+    "output-identical to the pinned regime and the reference model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(150)(
+      (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+    for (r <- 1 to 3) {
+      val tabled = LabelPropagation.communities(
+          edges.toDF("src", "dst"), "src", "dst", rounds = r,
+          tableStateRows = 1L)
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(tabled === reference(edges, r), s"rounds=$r")
+      assert(tabled === run(edges, r), s"rounds=$r vs pinned")
+    }
+  }
 }
