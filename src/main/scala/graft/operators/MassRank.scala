@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): per iteration ONE shuffle join (mass ⋈ edges on
   * src) and ONE map-side-combinable sum by dst — the q145 label-
-  * propagation shape; the edge list is materialized once
-  * (localCheckpoint here; reliable checkpoints on a cluster) and
-  * iterations are a fixed constant. Out-degrees are computed once.
+  * propagation shape; the edge list is materialized once with
+  * SIZE-GATED placement ([[graft.core.StateTable]]: block pin below the
+  * gate, local-disk parquet stage above — a corpus-sized pin is a
+  * cluster-storage budget) and iterations are a fixed constant.
+  * Out-degrees are computed once.
   */
 object MassRank {
 
@@ -29,14 +31,25 @@ object MassRank {
   def rank(
       edges: DataFrame, srcCol: String, dstCol: String,
       initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
     require(initMass > 0, s"initMass must be positive, got $initMass")
 
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .transform(graft.core.Pin.apply)
+    // The edge list is the corpus-sized state every iteration re-reads —
+    // size-gated placement (StateTable.pinOrStage: block pin below the
+    // gate, local-disk parquet stage above; a corpus-sized pin is the
+    // round-12 cluster-storage-budget failure class). The pin branch
+    // lays the blocks out on src, which the per-iteration share join
+    // also clusters on; out-degrees and per-round mass are node-sized
+    // (the frontier class) and keep their pins in both regimes.
+    val eP = graft.core.StateTable.pinOrStage(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      Seq(col("src")), "massrank_e", gateRows = tableStateRows)
+    val e = eP.df
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .transform(graft.core.Pin.apply)
     var mass = e.select(col("src").as("node"))
@@ -55,7 +68,7 @@ object MassRank {
           staged.select(col("src").as("__s"), col("share")),
           col("src") === col("__s"))
         .groupBy(col("dst")).agg(sum(col("share")).as("recv"))
-      mass = staged
+      val next = staged
         .join(received, col("node") === col("dst"), "left")
         .select(col("node"),
           (col("mass") - col("out_mass") +
@@ -63,6 +76,10 @@ object MassRank {
               .otherwise(pmod(col("out_mass"), col("od"))) +
             coalesce(col("recv"), lit(0L))).as("mass"))
         .transform(graft.core.Pin.apply)
+      // next is materialized with truncated lineage — release the
+      // superseded round's mass pin NOW (the KCore round discipline)
+      graft.core.Pin.unpin(mass)
+      mass = next
     }
     mass
   }

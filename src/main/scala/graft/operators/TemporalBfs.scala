@@ -49,7 +49,9 @@ object TemporalBfs {
   def earliestArrival(
       edges: DataFrame, srcCol: String, dstCol: String, ts: String,
       seeds: DataFrame, maxHops: Int,
-      rowsPerTask: Long = 500000L): DataFrame = {
+      rowsPerTask: Long = 500000L,
+      tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
+      : DataFrame = {
     require(maxHops >= 0 && maxHops <= 64,
       s"maxHops must be in [0,64], got $maxHops")
     require(rowsPerTask >= 1, s"rowsPerTask must be >= 1, got $rowsPerTask")
@@ -58,10 +60,20 @@ object TemporalBfs {
       col(ts).cast("long").as("ets"))
     // upper bound on the directed-edge count (2 × input rows; the
     // distinct can only shrink it) — one upstream pass, and an
-    // over-estimate only widens the exchange, which AQE coalesces
+    // over-estimate only widens the exchange, which AQE coalesces. The
+    // SAME count gates state placement (the StateTable pin class — a
+    // corpus-sized temporal edge pin is the same cluster-storage budget
+    // as the static families'); over-estimation tables early: slower,
+    // never wrong (the regimes are spec-pinned output-identical).
+    val n2 = 2L * e0.count()
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
-      ((2L * e0.count() + rowsPerTask - 1) / rowsPerTask).toInt)
+      ((n2 + rowsPerTask - 1) / rowsPerTask).toInt)
+    val seeds0 = seeds.toDF("node", "arrival")
+      .groupBy(col("node")).agg(min(col("arrival").cast("long"))
+        .as("arrival"))
+    if (n2 >= tableStateRows)
+      return earliestArrivalTabled(spark, e0, seeds0, maxHops, width)
     val e = graft.core.ScopedConf.withShufflePartitions(spark, width) {
       e0.unionByName(
           e0.select(col("b").as("a"), col("a").as("b"), col("ets")))
@@ -70,35 +82,91 @@ object TemporalBfs {
         .sortWithinPartitions(col("a"))
         .transform(graft.core.Pin.apply)
     }
-    var best = seeds.toDF("node", "arrival")
-      .groupBy(col("node")).agg(min(col("arrival").cast("long"))
-        .as("arrival"))
-      .transform(graft.core.Pin.apply)
+    var best = seeds0.transform(graft.core.Pin.apply)
+    var prevPin = best
     var frontier = best
     var hop = 0
     var done = frontier.isEmpty
     while (hop < maxHops && !done) {
       hop += 1
       val merged = graft.core.ScopedConf.withShufflePartitions(spark, width) {
-        val cand = frontier.join(e,
-            col("node") === col("a") && col("ets") >= col("arrival"))
-          .groupBy(col("b").as("cnode"))
-          .agg(min(col("ets")).as("cand"))
-        best
-          .join(cand, col("node") === col("cnode"), "full_outer")
-          .select(
-            coalesce(col("node"), col("cnode")).as("node"),
-            least(col("arrival"), col("cand")).as("arrival"),
-            (col("arrival").isNull ||
-              (col("cand").isNotNull && col("cand") < col("arrival")))
-              .as("improved"))
-          .transform(graft.core.Pin.apply)
+        round(e, frontier, best).transform(graft.core.Pin.apply)
       }
+      // merged is materialized with truncated lineage; frontier and
+      // best are projections of the PREVIOUS round's pin — release it
+      // NOW (the KCore round discipline) instead of accumulating one
+      // node-sized copy per hop
+      graft.core.Pin.unpin(prevPin)
+      prevPin = merged
       frontier = merged.filter(col("improved"))
         .select(col("node"), col("arrival"))
       best = merged.select(col("node"), col("arrival"))
       done = frontier.isEmpty
     }
     best
+  }
+
+  /** One label-correcting round: earliest candidate arrivals from the
+    * improved frontier, min-merged into the best-known frame; `improved`
+    * marks nodes whose arrival got earlier (the next frontier). */
+  private def round(
+      e: DataFrame, frontier: DataFrame, best: DataFrame): DataFrame = {
+    val cand = frontier.join(e,
+        col("node") === col("a") && col("ets") >= col("arrival"))
+      .groupBy(col("b").as("cnode"))
+      .agg(min(col("ets")).as("cand"))
+    best
+      .join(cand, col("node") === col("cnode"), "full_outer")
+      .select(
+        coalesce(col("node"), col("cnode")).as("node"),
+        least(col("arrival"), col("cand")).as("arrival"),
+        (col("arrival").isNull ||
+          (col("cand").isNotNull && col("cand") < col("arrival")))
+          .as("improved"))
+  }
+
+  /** The ≥`tableStateRows` regime of [[earliestArrival]]: the temporal
+    * adjacency as an `a`-bucketed, bucket-sorted parquet table
+    * (exchange-free, sort-free round-join scan side), each round's
+    * merged `(node, arrival, improved)` frame in its own parquet dir
+    * with the superseded round deleted as soon as the new one lands —
+    * the [[Bfs]]/[[LabelPropagation]] tabled layout; executor storage
+    * holds nothing. Output-identical to the pinned form (TemporalBfsSpec
+    * pins the regimes against each other); state lives under
+    * [[graft.core.TempWork]] (its local-mode-stand-in caveat applies on
+    * a real cluster). */
+  private def earliestArrivalTabled(
+      spark: org.apache.spark.sql.SparkSession, e0: DataFrame,
+      seeds0: DataFrame, maxHops: Int, width: Int): DataFrame = {
+    val adj = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+      graft.core.StateTable.bucketedAtWidth(
+        e0.unionByName(
+            e0.select(col("b").as("a"), col("a").as("b"), col("ets")))
+          .distinct(),
+        Seq("a"), width, "tbfs_adj")
+    }
+    val work = graft.core.TempWork.dir("graft-tbfs")
+    var merged = graft.core.StateTable.stageAt(
+      seeds0.withColumn("improved", lit(true)), s"$work/m0")
+    var hop = 0
+    var done = merged.filter(col("improved")).isEmpty
+    while (hop < maxHops && !done) {
+      hop += 1
+      val frontier = merged.filter(col("improved"))
+        .select(col("node"), col("arrival"))
+      val best = merged.select(col("node"), col("arrival"))
+      val next = graft.core.ScopedConf.withShufflePartitions(spark, width) {
+        graft.core.StateTable.stageAt(
+          round(adj.df, frontier, best), s"$work/m$hop")
+      }
+      // round `hop` has landed — the superseded round's dir has no reader
+      graft.core.TempWork.delete(s"$work/m${hop - 1}")
+      merged = next
+      done = merged.filter(col("improved")).isEmpty
+    }
+    // the returned frame reads only the final round's dir — drop the
+    // adjacency table (catalog + corpus-sized files) NOW
+    adj.drop()
+    merged.select(col("node"), col("arrival"))
   }
 }

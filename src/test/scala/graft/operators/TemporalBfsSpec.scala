@@ -91,4 +91,31 @@ class TemporalBfsSpec extends SparkSpec {
       .orderBy(col("node")).collect().toSeq
     assert(at(1) === at(7))
   }
+
+  test("tabled regime (bucketed temporal adjacency + per-round dirs) " +
+    "is output-identical to the pinned regime") {
+    import spark.implicits._
+    def tabled(
+        edges: Seq[(Long, Long, Long)], seeds: Seq[(Long, Long)],
+        maxHops: Int): Map[Long, Long] =
+      TemporalBfs.earliestArrival(
+        edges.toDF("s", "d", "t").repartition(4), "s", "d", "t",
+        seeds.toDF("node", "t0"), maxHops, tableStateRows = 1L)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("arrival"))
+        .toMap
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong,
+      rnd.nextInt(30).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq((0L, 5L), (3L, 0L))
+    assert(tabled(edges, seeds, 3) === run(edges, seeds, 3))
+    // early stop with the label-correcting re-open case staying intact
+    val reopen = Seq((1L, 2L, 10L), (2L, 3L, 11L), (4L, 2L, 1L),
+      (1L, 4L, 0L))
+    assert(tabled(reopen, Seq((1L, 0L)), 4) ===
+      run(reopen, Seq((1L, 0L)), 4))
+    // radius 0: seeds only
+    assert(tabled(reopen, Seq((7L, 9L)), 0) === Map(7L -> 9L))
+  }
 }

@@ -62,4 +62,19 @@ class MassRankSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       MassRank.rank(star, "src", "dst", initMass = 0))
   }
+
+  test("tabled regime (staged edge state) is output-identical to the " +
+    "pinned regime") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val e = Seq.fill(180)(
+        (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+      .toDF("src", "dst")
+    val pinned = masses(MassRank.rank(e, "src", "dst", iters = 3))
+    val tabled = masses(MassRank.rank(e, "src", "dst", iters = 3,
+      tableStateRows = 1L))
+    assert(tabled === pinned)
+    assert(pinned.values.sum === pinned.size * 1000000L,
+      "mass conserved in both regimes")
+  }
 }
