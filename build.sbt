@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // probes; JDK 21 removed the failure mode). Production clusters set
   // the same pair via spark.executor.extraJavaOptions.
   "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
-)
+) ++
+  // Probe hook: space-separated extra JVM flags for the forked run JVM
+  // (e.g. -Dspark.eventLog.enabled=true to get per-stage timings out of
+  // a ProbeOne run). Spark picks spark.* system properties up into
+  // SparkConf, so this needs no code path in the mains. Unset = no-op.
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -51,19 +51,30 @@ object Bench {
 
     def runOne(name: String): Double = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
-      val ts = Seq.fill(repeat)(runOnce(name))
-      // OUTSIDE the timed section: drop the blocks THIS query pinned
-      // (snapshot diff — core.Pin localCheckpoints have truncated
-      // lineage, so a pin shared across queries must never be yanked
-      // from under a later reader; today nothing is shared, but the
-      // diff makes that an invariant, not an assumption). Without the
-      // unpersist, one JVM accumulates 200+ queries' storage blocks and
-      // the later heavy queries time GC debt, not their plans — the
-      // r7→r8 "uniform 1.33× drift" the isolated ProbeOne pairs
-      // disproved (SCALE.md).
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => before(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      val ts = Seq.fill(repeat) {
+        val t = runOnce(name)
+        // OUTSIDE the timed section: drop the blocks THIS query pinned
+        // (snapshot diff — core.Pin localCheckpoints have truncated
+        // lineage, so a pin shared across queries must never be yanked
+        // from under a later reader; today nothing is shared, but the
+        // diff makes that an invariant, not an assumption). Without the
+        // unpersist, one JVM accumulates 200+ queries' storage blocks and
+        // the later heavy queries time GC debt, not their plans — the
+        // r7→r8 "uniform 1.33× drift" the isolated ProbeOne pairs
+        // disproved (SCALE.md).
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => before(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        // ALSO outside the timed section: drop this query's scratch
+        // trees (TempWork.sweepAll scaladoc) — the disk-side analogue of
+        // the unpersist above. Each query's own staging writes stay
+        // inside its timed run; what goes is the CROSS-query
+        // accumulation (round 13 measured the full-run tail inflating
+        // ~2-30× over the same queries isolated, on a box where dirty
+        // writeback is the scarce resource — OPTIMIZATION_r13.md).
+        graft.core.TempWork.sweepAll()
+        t
+      }
       if (ts.exists(_ < 0)) -1.0
       else ts.sorted.apply(ts.size / 2) // median (upper for even sizes)
     }

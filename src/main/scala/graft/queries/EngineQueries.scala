@@ -389,14 +389,24 @@ object EngineQueries {
         .select(col("ts"), col("event_type"))
       val work = graft.core.TempWork.dir("graft-q173")
       ev.repartition(4).write.parquet(s"$work/stage")
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
-      graft.streaming.StreamingStats
-        .windowedActivity(stream, "event_type", "ts", "1 day", "1 hour")
-        .writeStream.outputMode("complete").format("memory")
-        .queryName("q173_windows")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      // stateful width from the measured staged volume, scoped to the
+      // stream (StreamScale scaladoc): the windowed aggregate's state
+      // stores commit per partition per micro-batch
+      val nStaged = s.read.parquet(s"$work/stage").count()
+      graft.core.ScopedConf.withShufflePartitions(
+        s, graft.streaming.StreamScale.width(nStaged)) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+        graft.streaming.StreamingStats
+          .windowedActivity(stream, "event_type", "ts", "1 day", "1 hour")
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("q173_windows")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      // the memory sink holds the rows; the staged replay files have no
+      // remaining reader (eager-scratch-cleanup discipline, ADVICE r12)
+      graft.core.TempWork.delete(work)
       s.table("q173_windows")
         .select(col("bucket_start").as("window_start"), col("event_type"),
           col("listen_count"))
@@ -434,13 +444,21 @@ object EngineQueries {
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$work/$sub")
       }
-      graft.streaming.StreamJoins.intervalJoin(
-          stream("clicks"), stream("errors"), "user_id",
-          "click_ts", "err_ts", "30 MINUTE", "60 days")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("q189_pairs")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      // stateful width from the measured staged volume (both sides),
+      // scoped to the stream: the interval join keeps FOUR state stores
+      // per partition, each committing per micro-batch (StreamScale)
+      val nStaged = s.read.parquet(s"$work/clicks", s"$work/errors").count()
+      graft.core.ScopedConf.withShufflePartitions(
+        s, graft.streaming.StreamScale.width(nStaged)) {
+        graft.streaming.StreamJoins.intervalJoin(
+            stream("clicks"), stream("errors"), "user_id",
+            "click_ts", "err_ts", "30 MINUTE", "60 days")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("q189_pairs")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      graft.core.TempWork.delete(work) // memory sink holds the rows
       s.table("q189_pairs")
         .select(col("user_id"), col("click_id"), col("err_id"),
           col("click_ts"), col("err_ts"))
@@ -475,15 +493,23 @@ object EngineQueries {
         .select(col("event_type"), col("user_id"))
       val work = graft.core.TempWork.dir("graft-q228")
       ev.repartition(4).write.parquet(s"$work/stage")
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
-      stream.groupBy(col("event_type"))
-        .agg(graft.functions.GraftFunctions
-          .heavyHitters(col("user_id"), 1 << 17).as("hh"))
-        .writeStream.outputMode("complete").format("memory")
-        .queryName("q228_hh")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      // stateful width from the measured staged volume (StreamScale):
+      // the complete-mode aggregate commits one sketch-holding state
+      // store per partition per micro-batch
+      val nStaged = s.read.parquet(s"$work/stage").count()
+      graft.core.ScopedConf.withShufflePartitions(
+        s, graft.streaming.StreamScale.width(nStaged)) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+        stream.groupBy(col("event_type"))
+          .agg(graft.functions.GraftFunctions
+            .heavyHitters(col("user_id"), 1 << 17).as("hh"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("q228_hh")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      graft.core.TempWork.delete(work) // memory sink holds the rows
       s.table("q228_hh")
         .select(col("event_type"),
           posexplode(slice(col("hh"), 1, 10)).as(Seq("pos", "e")))
@@ -526,11 +552,20 @@ object EngineQueries {
         expr("cast(round(o_totalprice * 100) as bigint)").as("weight"))
       val work = graft.core.TempWork.dir("graft-q234")
       o.repartition(5).write.parquet(s"$work/stage")
-      val stream = s.readStream.schema(o.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
-        .as[graft.streaming.StreamingTopK.TopKEvent]
-      graft.streaming.StreamingTopK
-        .finalLeaderboard(s, stream, k = 7, queryName = "q234_topk")
+      // stateful width from the measured staged volume (StreamScale):
+      // transformWithState commits one RocksDB store per partition per
+      // micro-batch
+      val nStaged = s.read.parquet(s"$work/stage").count()
+      val leaderboard = graft.core.ScopedConf.withShufflePartitions(
+        s, graft.streaming.StreamScale.width(nStaged)) {
+        val stream = s.readStream.schema(o.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+          .as[graft.streaming.StreamingTopK.TopKEvent]
+        graft.streaming.StreamingTopK
+          .finalLeaderboard(s, stream, k = 7, queryName = "q234_topk")
+      }
+      graft.core.TempWork.delete(work) // memory sink holds the rows
+      leaderboard
         .select(col("grp").as("prio"), col("rnk"),
           col("item").as("okey"), col("weight").as("cents"))
         .orderBy(col("prio"), col("rnk"))
@@ -623,12 +658,22 @@ object EngineQueries {
       val streamed = o.filter(col("item") % 2L =!= 0L)
       val work = graft.core.TempWork.dir("graft-q261")
       streamed.repartition(5).write.parquet(s"$work/stage")
-      val stream = s.readStream.schema(streamed.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
-        .as[graft.streaming.StreamingTopK.TopKEvent]
-      graft.streaming.StreamingTopK
-        .finalLeaderboardWarm(s, stream, initial, k = 7,
-          queryName = "q261_warm")
+      // stateful width from the measured staged volume (StreamScale):
+      // transformWithState commits one RocksDB store per partition per
+      // micro-batch; the batch warm-start standing rides inside the
+      // scope (it seeds the same stores)
+      val nStaged = s.read.parquet(s"$work/stage").count()
+      val leaderboard = graft.core.ScopedConf.withShufflePartitions(
+        s, graft.streaming.StreamScale.width(nStaged)) {
+        val stream = s.readStream.schema(streamed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+          .as[graft.streaming.StreamingTopK.TopKEvent]
+        graft.streaming.StreamingTopK
+          .finalLeaderboardWarm(s, stream, initial, k = 7,
+            queryName = "q261_warm")
+      }
+      graft.core.TempWork.delete(work) // memory sink holds the rows
+      leaderboard
         .select(col("grp").as("prio"), col("rnk"),
           col("item").as("okey"), col("weight").as("cents"))
         .orderBy(col("prio"), col("rnk"))
@@ -670,22 +715,47 @@ object EngineQueries {
       val staged = e.unionByName(sentinel)
         .withColumn("chunk", (col("us") / spanUs).cast("long"))
       val work = graft.core.TempWork.dir("graft-q259")
-      // one file per 5-day span, written in time order: FileStreamSource
-      // replays by modification time, so arrival is chronological and
-      // delay-0 watermarking drops nothing
-      val chunks = staged.select(col("chunk")).distinct()
-        .orderBy(col("chunk")).as[Long].collect() // span-count-bounded
-      chunks.foreach { c =>
-        staged.filter(col("chunk") === c).drop("chunk")
-          .repartition(1).write.mode("append").parquet(s"$work/stage")
-        Thread.sleep(15) // distinct mtimes pin the replay order
+      // one file per 5-day span, replayed in time order: FileStreamSource
+      // takes files by modification time, so arrival is chronological and
+      // delay-0 watermarking drops nothing. ONE partitioned write lands
+      // every span (repartition on the span key puts each span wholly in
+      // one writer task → exactly one file per chunk= dir); the driver
+      // then moves the files into the replay dir with explicit ascending
+      // mtimes. The before-form ran one filtered write JOB per span plus
+      // a 15 ms sleep — ~70 extra executions of the staged plan at sf0.1
+      // (guide §5: no driver loops in query paths; measured in
+      // OPTIMIZATION_r13.md).
+      staged.repartition(col("chunk")).write.partitionBy("chunk")
+        .parquet(s"$work/part")
+      val stageDir = new java.io.File(s"$work/stage")
+      stageDir.mkdirs()
+      val chunkDirs = new java.io.File(s"$work/part").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+        .sortBy(_.getName.stripPrefix("chunk=").toLong)
+      val t0 = System.currentTimeMillis() - chunkDirs.length * 1000L
+      chunkDirs.zipWithIndex.foreach { case (cd, i) =>
+        val parts = cd.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"expected one staged file per span, got ${parts.length} in $cd")
+        val dst = new java.io.File(stageDir, f"span-$i%06d.parquet")
+        require(parts(0).renameTo(dst), s"rename ${parts(0)} -> $dst failed")
+        dst.setLastModified(t0 + i * 1000L) // strictly ascending replay
       }
-      val stream = s.readStream
-        .schema(staged.drop("chunk").schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
-        .as[graft.streaming.SessionTimers.SessEvent]
-      graft.streaming.SessionTimers
-        .closedSessions(s, stream, gapUs, "q259_sessions")
+      // stateful width from the measured event volume (StreamScale):
+      // transformWithState commits one RocksDB store per partition per
+      // micro-batch, and this replay runs one micro-batch PER SPAN
+      val sessions = graft.core.ScopedConf.withShufflePartitions(
+        s, graft.streaming.StreamScale.width(
+          s.read.parquet(s"$work/stage").count())) {
+        val stream = s.readStream
+          .schema(staged.drop("chunk").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+          .as[graft.streaming.SessionTimers.SessEvent]
+        graft.streaming.SessionTimers
+          .closedSessions(s, stream, gapUs, "q259_sessions")
+      }
+      graft.core.TempWork.delete(work) // memory sink holds the rows
+      sessions
         .filter(col("user") >= 0L)
         .select(col("user").as("uid"), col("start_us"), col("end_us"),
           col("n_events"), col("sum_cents"))

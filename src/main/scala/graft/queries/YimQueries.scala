@@ -862,7 +862,14 @@ object MusicQueries {
   val q230CooccurIncremental = Q(
     "q230_cooccur_incremental",
     (s, d) => {
-      val ev = listens(s, d)
+      // the listen join feeds FOUR plan positions (the max anchor, the
+      // base create, both batch applies) — materialize it once with
+      // size-gated placement instead of re-running lineitem ⋈ orders per
+      // leg (guide §1.2: don't recompute what you already have; pinned
+      // below the gate, local-disk stage at corpus scale)
+      val evP = graft.core.StateTable.pinOrStage(
+        listens(s, d), Seq.empty, "q230_listens")
+      val ev = evP.df
       // a user-id split would put whole users on one side; splitting on
       // recording id makes users straddle the cut, so batch rows
       // collide with existing presence (the hard incremental case)
@@ -886,6 +893,9 @@ object MusicQueries {
       st.compact()
       st.applyBatch(batch2, "user_id", "recording_mbid",
         compactFraction = 1e12)
+      // the second apply was the last consumer of the listen frame; the
+      // scoring below reads only the landed PairState parquet
+      evP.release()
       graft.similarity.Cooccurrence.scoreCounts(st.pairs(), st.presence(),
           minBoth = 5)
         .orderBy(col("item_a"), col("item_b"))

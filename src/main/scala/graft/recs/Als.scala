@@ -165,10 +165,17 @@ object Als {
     * recommendation batch flips a boolean and fails the driver gate. The
     * raw factor/score VALUES stay spec-gated (seeded-RMSE spec), as floats
     * from iterative training must be. */
-  def fitEnvelope(pc: DataFrame, rank: Int = 8, maxIter: Int = 5,
+  def fitEnvelope(pc0: DataFrame, rank: Int = 8, maxIter: Int = 5,
       subsetMax: Int = 500, k: Int = 5): DataFrame = {
-    val spark = pc.sparkSession
+    val spark = pc0.sparkSession
     import spark.implicits._
+    // the playcount frame feeds FOUR+ plan positions (training, both
+    // distinct counts, the recommend subset) and its plan is expensive —
+    // two dense-id sorts + zipWithIndex + two joins; materialize once
+    // with size-gated placement (guide §1.2: stop recomputing the same
+    // subtree; pinned at bench scale, local-disk stage at corpus scale)
+    val pcP = graft.core.StateTable.pinOrStage(pc0, Seq.empty, "als_pc")
+    val pc = pcP.df
     val model = train(pc, rank = rank, maxIter = maxIter)
     val nUsers = pc.select(col("als_user_id")).distinct().count()
     val nItems = pc.select(col("als_item_id")).distinct().count()
@@ -199,6 +206,7 @@ object Als {
         col("rmax") === kEff && col("rdist") === kEff).as("ranks_ok"),
       bool_and(col("mono")).as("scores_ok"),
       bool_and(col("items")).as("items_ok")).head()
+    pcP.release() // every consumer above is eager; nothing reads pc later
     Seq((nUsers, nItems,
       ufN == nUsers, ifN == nItems,
       ufMin == rank && ufMax == rank && ifMin == rank && ifMax == rank,
@@ -223,9 +231,16 @@ object Als {
     * The gate is `rmse <= zeroRmse * ratioBound`, scale-free by
     * construction — a fixed absolute bound would eventually pinch as the
     * measured trend approaches the baseline (round-9 ADVICE). */
-  def validationEnvelope(pc: DataFrame, ratioBound: Double): DataFrame = {
-    val spark = pc.sparkSession
+  def validationEnvelope(pc0: DataFrame, ratioBound: Double): DataFrame = {
+    val spark = pc0.sparkSession
     import spark.implicits._
+    // same materialize-once as fitEnvelope: the frame feeds the total
+    // count, both split counts, the zero-predictor aggregate, training,
+    // and the evaluation transform — six executions of the dense-id +
+    // join subtree without it. (randomSplit already depended on the
+    // incoming partitioning, so the oracle pins booleans, not the split.)
+    val pcP = graft.core.StateTable.pinOrStage(pc0, Seq.empty, "als_pc")
+    val pc = pcP.df
     val n = pc.count()
     val Array(trainDf, valDf) = pc.randomSplit(Array(5.0, 1.0), 45L)
     val nTrain = trainDf.count()
@@ -236,6 +251,7 @@ object Als {
     val rmse = new RegressionEvaluator().setMetricName("rmse")
       .setLabelCol("confidence").setPredictionCol("prediction")
       .evaluate(model.transform(valDf))
+    pcP.release() // every consumer above is eager
     Seq((n, nTrain + nVal == n,
       math.abs(nTrain.toDouble / n - 5.0 / 6.0) < 0.05,
       rmse > 0.0 && zeroRmse > 0.0 && rmse <= zeroRmse * ratioBound))

@@ -195,12 +195,23 @@ final class PairState private (
     repair() // finish any half-done prior swap before folding anew
     val segs = segDirs()
     if (segs.isEmpty) return
-    // round-robin atWidth: the segment read's scan partitions are
-    // 128 MB of FILE bytes, 3×+ that as pinned serialized rows — the
-    // giant-block hazard for a near-threshold segment log. Keys stay
-    // empty: hashing on pk alone would fold the pin into ≤buckets
-    // non-empty blocks.
-    val segDf = graft.core.Pin.atWidth(readSegs(segs), Seq.empty)
+    // ONE pin at a BYTES-measured width: Pin.atWidth's generous fixed
+    // first-width (≥512 tasks) exists for frames whose size is unknown
+    // before materialization, but a segment log IS parquet — its file
+    // bytes are free from the driver's listing — so the width can be
+    // exact up front: pinned serialized rows run 3-5× the columnar file
+    // bytes (Pin scaladoc), so bytes/8 MB targets ~32 MB blocks, the
+    // giant-block re-read hazard's safe zone. This drops atWidth's
+    // 512-task exchange, its count job, and its conditional re-pin
+    // (measured ~5-8 s of the q230 lifecycle on the round-13 box —
+    // OPTIMIZATION_r13.md). Round-robin: hashing on pk alone would fold
+    // the pin into ≤buckets non-empty blocks.
+    val segBytes = segs
+      .map(p => fs.getContentSummary(hp(p)).getLength).sum
+    val segWidth = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, segBytes / (8L * 1024 * 1024)).toInt)
+    val segDf = graft.core.Pin(readSegs(segs).repartition(segWidth))
     val touched = segDf.select(col("pk")).distinct()
       .collect().map(_.getAs[Number](0).longValue()).sorted
     val m = readMeta()
