@@ -52,6 +52,7 @@ object Bench {
     def runOne(name: String): Double = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val ts = Seq.fill(repeat) {
+        val scratchBefore = graft.core.TempWork.snapshot()
         val t = runOnce(name)
         // OUTSIDE the timed section: drop the blocks THIS query pinned
         // (snapshot diff — core.Pin localCheckpoints have truncated
@@ -66,13 +67,15 @@ object Bench {
           .filterNot { case (id, _) => before(id) }
           .values.foreach(_.unpersist(blocking = false))
         // ALSO outside the timed section: drop this query's scratch
-        // trees (TempWork.sweepAll scaladoc) — the disk-side analogue of
-        // the unpersist above. Each query's own staging writes stay
-        // inside its timed run; what goes is the CROSS-query
+        // trees — the disk-side analogue of the unpersist above, scoped
+        // by the SAME snapshot-diff discipline (only dirs created by
+        // this run are deleted; anything pre-existing is structurally
+        // out of reach — ADVICE r13). Each query's own staging writes
+        // stay inside its timed run; what goes is the CROSS-query
         // accumulation (round 13 measured the full-run tail inflating
         // ~2-30× over the same queries isolated, on a box where dirty
         // writeback is the scarce resource — OPTIMIZATION_r13.md).
-        graft.core.TempWork.sweepAll()
+        graft.core.TempWork.sweepCreatedSince(scratchBefore)
         t
       }
       if (ts.exists(_ < 0)) -1.0
@@ -122,6 +125,21 @@ object Bench {
       case e: Exception =>
         System.err.println(s"warn: could not write $out: $e")
     }
+    // LAST on stdout: a SHORT summary line that always fits a bounded
+    // tail capture. The full per-query line above is ~8.6 KB at 264
+    // queries; a consumer keeping only the last ~2 KB of the log sees
+    // that line'd HEAD cut off and parses nothing (both round-12 and
+    // round-13 driver comparisons came back empty for exactly this
+    // reason — VERDICT r13 item 1). The short line carries the totals
+    // plus the FILENAME of the artifact holding the complete per-query
+    // map, so any tail window ≥ 256 bytes yields a parseable record and
+    // a pointer to the rest. Deliberately NO "queries" key here: the
+    // one contracted per-query map is the full line above / the
+    // artifact file, and a second (empty) map could read as every query
+    // having been dropped.
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${results.size},"cpus":$cpus,""" +
+      s""""queries_artifact":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

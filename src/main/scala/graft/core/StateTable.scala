@@ -115,19 +115,26 @@ object StateTable {
   def stage(df: DataFrame, prefix: String): DataFrame =
     stageAt(df, s"${TempWork.dir(s"graft-$prefix")}/s")
 
-  /** A placed state frame and its release. `release()` only when every
-    * consumer is finished: it unpins the pinned form or deletes the
-    * staged tree — either way the blocks/files are gone, so a released
-    * frame must never be scanned again. */
-  final case class Placed(df: DataFrame, release: () => Unit)
+  /** A placed state frame, its release, and its MEASURED row count
+    * (exact — from the placement's own staging footers or pinned-block
+    * count; callers that need the cardinality for width formulas must
+    * read it from here instead of launching another count job; −1 when
+    * the constructor did not measure, e.g. an operator wrapping its own
+    * round state). `release()` only when every consumer is finished:
+    * it unpins the pinned form or deletes the staged tree — either way
+    * the blocks/files are gone, so a released frame must never be
+    * scanned again. */
+  final case class Placed(
+      df: DataFrame, release: () => Unit, rows: Long = -1L)
 
   /** The size-gated placement primitive, ONE plan execution total:
-    * land `df` to a parquet stage, read the row count from parquet
-    * metadata (free), then place — below `gateRows`, re-pin from the
-    * stage at the measured width on `keys` and delete the stage
-    * (executor storage, fastest re-reads — the [[Pin.atWidth]]
-    * contract without its second count); at or above, keep the staged
-    * scan (local disk; executor storage holds nothing).
+    * land `df` to a parquet stage, read the row count from the parquet
+    * FOOTERS (driver-side metadata, zero jobs — [[ParquetFooters]]),
+    * then place — below `gateRows`, re-pin from the stage at the
+    * measured width on `keys` and delete the stage (executor storage,
+    * fastest re-reads — the [[Pin.atWidth]] contract without its
+    * second count); at or above, keep the staged scan (local disk;
+    * executor storage holds nothing).
     *
     * Why stage-first instead of count-then-decide: the count would
     * execute `df`'s plan once EXTRA (for a pair-join-derived edge set,
@@ -136,19 +143,49 @@ object StateTable {
     * stage write runs under a generous fixed over-width (the
     * Pin.atWidth first-pin rationale: bounds per-task frames on
     * arbitrarily large inputs; AQE re-fuses small volumes back down,
-    * which is safe here because the stage is never pinned). */
+    * which is safe here because the stage is never pinned).
+    *
+    * `upperBoundRows` ≥ 0 short-circuits the stage round-trip when a
+    * caller can PROVE the frame small from metadata it already holds
+    * (an input scan's footer rows bounding a join's output, a
+    * pre-distinct parent count): below the gate by proof, the frame
+    * pins directly at the bound's measured width — one exchange, one
+    * pin, no disk round-trip (VERDICT r13: the stage write+read is the
+    * placement's whole cost on a sync-slow volume, and it buys nothing
+    * when the answer is known to be "pin"). The bound must be SOUND —
+    * an under-estimate would block-pin a corpus-sized frame, the exact
+    * 4 GiB-tier OOM class the gate exists for — so callers pass it
+    * only when it is a true upper bound. At or above the gate the
+    * bound is ignored and the staging path runs unchanged. */
   def pinOrStage(
       df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
       prefix: String, gateRows: Long = DefaultGateRows,
-      rowsPerTask: Long = 500000L): Placed = {
+      rowsPerTask: Long = 500000L, upperBoundRows: Long = -1L): Placed = {
     val spark = df.sparkSession
+    if (upperBoundRows >= 0 && upperBoundRows < gateRows) {
+      // width from the bound: true rows ≤ bound < gate, so per-task
+      // frames stay bounded; below the gate the measured width is the
+      // session width anyway (gate/rowsPerTask ≈ session cores), so a
+      // loose-but-sound bound cannot over- or under-width the pin
+      val width = measuredWidth(spark, upperBoundRows, rowsPerTask)
+      val p = Pin(
+        if (keys.isEmpty) df.repartition(width)
+        else df.repartition(width, keys: _*))
+      val n = p.count() // cached-block scan — the plan ran once, in Pin
+      return Placed(p, () => Pin.unpin(p), n)
+    }
     val dir = TempWork.dir(s"graft-$prefix")
     val first = math.max(
       spark.sessionState.conf.numShufflePartitions * 16, 256)
     val scan = ScopedConf.withShufflePartitions(spark, first) {
       stageAt(df, s"$dir/s")
     }
-    val n = scan.count()
+    // driver-side footer count only while the stage is few-file (AQE
+    // coalesces small volumes; a corpus-sized stage can be hundreds of
+    // files, where a distributed count is faster — ParquetFooters
+    // scaladoc)
+    val metaN = ParquetFooters.rowsIfFew(spark, Seq(s"$dir/s"), 64)
+    val n = if (metaN >= 0) metaN else scan.count()
     if (n < gateRows) {
       val width = measuredWidth(spark, n, rowsPerTask)
       val p = Pin(
@@ -156,8 +193,8 @@ object StateTable {
         else scan.repartition(width, keys: _*))
       // the pin is eager and lineage-truncated — the stage has no reader
       TempWork.delete(dir)
-      Placed(p, () => Pin.unpin(p))
-    } else Placed(scan, () => TempWork.delete(dir))
+      Placed(p, () => Pin.unpin(p), n)
+    } else Placed(scan, () => TempWork.delete(dir), n)
   }
 
   /** [[stage]] at a caller-managed path — for per-round/per-hop dirs

@@ -173,9 +173,11 @@ object MinHash {
       candidates(sigs, idCol, numPerms, bands),
       Seq(col("id_a"), col("id_b")), "mh_cands",
       gateRows = tableStateRows)
-    val nCands = cands.df.count()
+    // widths from the placements' own measured counts (Placed.rows) —
+    // the three width inputs used to be three more count jobs
+    val nCands = cands.rows
     val nDocs = math.max(1L, docs.count())
-    val avgSh = math.max(1L, sh.df.count() / nDocs)
+    val avgSh = math.max(1L, sh.rows / nDocs)
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
       math.min(4096L, nCands * avgSh / 2000000L).toInt)
@@ -255,9 +257,9 @@ object MinHash {
     // LabelPropagation/TemporalBfs: width = measured rows / rowsPerTask,
     // AQE coalesces the small post-aggregate sides back down.
     val spark = newDocs.sparkSession
-    val nCands = cands.count()
+    val nCands = cands0.rows // placement-measured — no re-count job
     val nTouched = math.max(1L, touched.count())
-    val avgSh = math.max(1L, candSh.count() / nTouched)
+    val avgSh = math.max(1L, candSh0.rows / nTouched)
     val width = math.max(
       spark.sessionState.conf.numShufflePartitions,
       math.min(4096L, nCands * avgSh / 2000000L).toInt)

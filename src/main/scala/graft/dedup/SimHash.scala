@@ -135,7 +135,15 @@ object SimHash {
           shiftright(col("simhash"), b * bits)
             .bitwiseAND((1L << bits) - 1).as("bv"))
       }
-      val keyedAll = fps.select(col(idCol), col("simhash"),
+      // materialize the fingerprints once (the uncapped path below has
+      // always pinned them): the keyed stream feeds the block-size
+      // aggregate AND both self-join sides, and without the pin the
+      // whole fingerprint subtree — for q132 an INTERPRETED polyHash62
+      // fold over the vocabulary — re-executes per consumer (guide
+      // §1.2; measured 9.7 s vs q47's 2.7 s for the same corpus)
+      val pinnedFps = fps.select(col(idCol), col("simhash"))
+        .transform(graft.core.Pin.apply)
+      val keyedAll = pinnedFps.select(col(idCol), col("simhash"),
           explode(array(chunks: _*)).as("c"))
         .select(col(idCol), col("simhash"),
           col("c.blk").as("blk"), col("c.bv").as("bv"))

@@ -104,11 +104,12 @@ object KCore {
     var e = graft.core.StateTable.pinOrStage(
       und.unionByName(und.select(col("b").as("a"), col("a").as("b"))),
       Seq(col("a")), "kcore", gateRows = tableStateRows)
+    // the initial count is the placement's own measurement; per-round
     // counts are over already-materialized frames — a cached scan below
     // the gate, a parquet metadata count above; edge count unchanged ⟺
     // the round's keep filter dropped nobody ⟺ fixpoint (0 edges is
     // trivially one too)
-    var prev = e.df.count()
+    var prev = e.rows
     var converged = prev == 0L
     var r = 0
     while (r < rounds && !converged) {

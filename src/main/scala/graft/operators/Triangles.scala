@@ -79,10 +79,10 @@ object Triangles {
   def materializeCanonical(
       edges: DataFrame, src: String, dst: String,
       tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
-      : DataFrame =
+      : graft.core.StateTable.Placed =
     graft.core.StateTable.pinOrStage(
       canonical(edges, src, dst), Seq(col("a"), col("b")),
-      "tri_canon", gateRows = tableStateRows).df
+      "tri_canon", gateRows = tableStateRows)
 
   /** DOULION edge-sampled triangle estimate (Tsourakakis, Kang &
     * Faloutsos, KDD'09) — the 100 TB regime's answer when even the
@@ -120,11 +120,11 @@ object Triangles {
     // the same size gate as [[materializeCanonical]] (the sampled set
     // is keepHex/16 of the corpus — still corpus-proportional, still
     // the q217 4 GiB-tier pin class).
-    trianglesOfCanonical(
-        graft.core.StateTable.pinOrStage(
-          c.filter(coin.isin(keep: _*)), Seq(col("a"), col("b")),
-          "tri_doulion", gateRows = tableStateRows).df,
-        maxBloomEdges)
+    val sampled = graft.core.StateTable.pinOrStage(
+      c.filter(coin.isin(keep: _*)), Seq(col("a"), col("b")),
+      "tri_doulion", gateRows = tableStateRows)
+    trianglesOfCanonical(sampled.df, maxBloomEdges,
+        knownRows = sampled.rows)
       .agg(count(lit(1)).as("sampled_triangles"))
       .select(col("sampled_triangles"),
         (col("sampled_triangles") * lit(f * f * f))
@@ -138,15 +138,15 @@ object Triangles {
       edges: DataFrame, src: String, dst: String,
       maxBloomEdges: Long = 4000000L,
       tableStateRows: Long = graft.core.StateTable.DefaultGateRows)
-      : DataFrame =
+      : DataFrame = {
     // the edge set feeds FIVE plan positions (degrees twice, both wedge
     // sides, the close); materialize canonical once instead of
     // re-deriving the upstream pair join per consumer — size-gated
     // placement (pin below the gate, local-disk stage above; see
     // materializeCanonical)
-    trianglesOfCanonical(
-      materializeCanonical(edges, src, dst, tableStateRows),
-      maxBloomEdges)
+    val cP = materializeCanonical(edges, src, dst, tableStateRows)
+    trianglesOfCanonical(cP.df, maxBloomEdges, knownRows = cP.rows)
+  }
 
   /** [[triangles]] over an ALREADY-canonical, already-pinned `(a, b)`
     * edge set — the entry point for callers that run several counting
@@ -165,15 +165,17 @@ object Triangles {
     * constructing it twice redoes and double-stores the full close. */
   def trianglesOfCanonical(
       c: DataFrame, maxBloomEdges: Long = 4000000L,
-      rowsPerTask: Long = 500000L): DataFrame = {
+      rowsPerTask: Long = 500000L, knownRows: Long = -1L): DataFrame = {
     val spark = c.sparkSession
     // measured widths (the Bfs/LabelPropagation discipline, applied here
     // after the round-10 100× probe OOM'd the fixed session width on the
     // wedge join): edge-scale exchanges size from the counted edge set;
     // the wedge join + close size from the measured wedge volume
     // Σ d_out·(d_out−1)/2 over the ORIENTED degrees — the same number
-    // ChunkedPairs budgets by, computed from one cheap aggregate
-    val m = c.count()
+    // ChunkedPairs budgets by, computed from one cheap aggregate.
+    // `knownRows` carries the placement's measured count in (the
+    // StateTable.Placed contract) so the edge set is never re-counted.
+    val m = if (knownRows >= 0) knownRows else c.count()
     val edgeWidth = math.max(
       spark.sessionState.conf.numShufflePartitions,
       math.min(4096L, (m + rowsPerTask - 1) / rowsPerTask).toInt)

@@ -401,6 +401,10 @@ object EngineQueries {
           .windowedActivity(stream, "event_type", "ts", "1 day", "1 hour")
           .writeStream.outputMode("complete").format("memory")
           .queryName("q173_windows")
+          // checkpoint on the query's own scratch tree, not the implicit
+          // temporary dir on java.io.tmpdir: the offset/commit/state logs
+          // sync once per micro-batch (TempWork.scratchBase rationale)
+          .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
       }
@@ -447,7 +451,11 @@ object EngineQueries {
       // stateful width from the measured staged volume (both sides),
       // scoped to the stream: the interval join keeps FOUR state stores
       // per partition, each committing per micro-batch (StreamScale)
-      val nStaged = s.read.parquet(s"$work/clicks", s"$work/errors").count()
+      // count the two dirs separately: one read over both only works
+      // because count() is column-independent across their differing
+      // schemas — a fragile accident, not a contract (ADVICE r13)
+      val nStaged = s.read.parquet(s"$work/clicks").count() +
+        s.read.parquet(s"$work/errors").count()
       graft.core.ScopedConf.withShufflePartitions(
         s, graft.streaming.StreamScale.width(nStaged)) {
         graft.streaming.StreamJoins.intervalJoin(
@@ -455,6 +463,8 @@ object EngineQueries {
             "click_ts", "err_ts", "30 MINUTE", "60 days")
           .writeStream.outputMode("append").format("memory")
           .queryName("q189_pairs")
+          // scratch-tree checkpoint — see q173
+          .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
       }
@@ -506,6 +516,8 @@ object EngineQueries {
             .heavyHitters(col("user_id"), 1 << 17).as("hh"))
           .writeStream.outputMode("complete").format("memory")
           .queryName("q228_hh")
+          // scratch-tree checkpoint — see q173
+          .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
       }
@@ -562,7 +574,8 @@ object EngineQueries {
           .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
           .as[graft.streaming.StreamingTopK.TopKEvent]
         graft.streaming.StreamingTopK
-          .finalLeaderboard(s, stream, k = 7, queryName = "q234_topk")
+          .finalLeaderboard(s, stream, k = 7, queryName = "q234_topk",
+            checkpointDir = Some(s"$work/ckpt"))
       }
       graft.core.TempWork.delete(work) // memory sink holds the rows
       leaderboard
@@ -670,7 +683,7 @@ object EngineQueries {
           .as[graft.streaming.StreamingTopK.TopKEvent]
         graft.streaming.StreamingTopK
           .finalLeaderboardWarm(s, stream, initial, k = 7,
-            queryName = "q261_warm")
+            queryName = "q261_warm", checkpointDir = Some(s"$work/ckpt"))
       }
       graft.core.TempWork.delete(work) // memory sink holds the rows
       leaderboard
@@ -736,10 +749,18 @@ object EngineQueries {
       chunkDirs.zipWithIndex.foreach { case (cd, i) =>
         val parts = cd.listFiles().filter(_.getName.endsWith(".parquet"))
         require(parts.length == 1,
-          s"expected one staged file per span, got ${parts.length} in $cd")
+          s"expected one staged file per span, got ${parts.length} in $cd " +
+            "(repartition(chunk) puts each span in ONE writer task; a " +
+            "spark.sql.files.maxRecordsPerFile setting or a rebalance " +
+            "hint on the staging write would split it)")
         val dst = new java.io.File(stageDir, f"span-$i%06d.parquet")
         require(parts(0).renameTo(dst), s"rename ${parts(0)} -> $dst failed")
-        dst.setLastModified(t0 + i * 1000L) // strictly ascending replay
+        // the replay ORDER (FileStreamSource takes files by mtime) is a
+        // correctness precondition of the delay-0 watermark — a silent
+        // false here would leave near-identical rename mtimes and drop
+        // sessions with no clue why (ADVICE r13)
+        require(dst.setLastModified(t0 + i * 1000L),
+          s"setLastModified failed for $dst")
       }
       // stateful width from the measured event volume (StreamScale):
       // transformWithState commits one RocksDB store per partition per
@@ -752,7 +773,8 @@ object EngineQueries {
           .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
           .as[graft.streaming.SessionTimers.SessEvent]
         graft.streaming.SessionTimers
-          .closedSessions(s, stream, gapUs, "q259_sessions")
+          .closedSessions(s, stream, gapUs, "q259_sessions",
+            checkpointDir = Some(s"$work/ckpt"))
       }
       graft.core.TempWork.delete(work) // memory sink holds the rows
       sessions

@@ -39,18 +39,29 @@ object IngestQueries {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .withColumn("chunk", MlhdImport.chunkOf(col("user_id")))
-      val chunks = ev.select(col("chunk")).distinct()
-        .collect().map(_.getString(0)).sorted
-      chunks.foreach { c =>
-        val stage = s"$work/stage_$c"
-        ev.filter(col("chunk") === c).drop("chunk")
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = fs.listStatus(new Path(stage)).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(sys.error(s"no part file in $stage"))
-        fs.rename(part, new Path(s"$work/chunk_$c.parquet"))
-        fs.delete(new Path(stage), true)
-      }
+      // ONE partitioned write lands every chunk, then the files are
+      // renamed into the downloader's flat chunk_<c>.parquet layout —
+      // the q259 one-pass staging recipe. The pre-round-14 form ran one
+      // filter+coalesce(1) write JOB per chunk plus a distinct+collect
+      // to enumerate them: 17 executions of the events scan for a
+      // 16-file fixture (guide §5: no driver loops in query paths).
+      // repartition on the chunk key puts each chunk wholly in one
+      // writer task → exactly one file per chunk= dir.
+      ev.repartition(col("chunk")).write.partitionBy("chunk")
+        .parquet(s"$work/part")
+      fs.listStatus(new Path(s"$work/part"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("chunk="))
+        .foreach { cd =>
+          val c = cd.getPath.getName.stripPrefix("chunk=")
+          val parts = fs.listStatus(cd.getPath).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+          require(parts.length == 1,
+            s"expected one staged file per chunk, got ${parts.length} " +
+              s"in $cd (repartition(chunk) puts each chunk in ONE " +
+              "writer task; a maxRecordsPerFile setting would split it)")
+          fs.rename(parts(0), new Path(s"$work/chunk_$c.parquet"))
+        }
+      fs.delete(new Path(s"$work/part"), true)
       FileIngest.globScan(s, work, "chunk_[13].parquet")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"))
@@ -81,17 +92,27 @@ object IngestQueries {
       fs.mkdirs(new Path(s"$work/in"))
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
+      // ONE partitioned write lands both parity halves (the q123/q259
+      // one-pass recipe): the pre-round-14 form ran one
+      // filter+coalesce(1) job per half — two serial single-task CSV
+      // serializations of the full table. repartition on the parity key
+      // puts each half wholly in one writer task (one file per g= dir),
+      // and the two tasks serialize in parallel inside one job.
+      val stage = s"$work/stage"
+      ev.withColumn("g", col("event_id") % 2)
+        .repartition(col("g")).write.partitionBy("g")
+        .option("sep", "\t").csv(stage)
       Seq(0, 1).foreach { g =>
-        val stage = s"$work/stage_$g"
-        ev.filter(col("event_id") % 2 === g)
-          .coalesce(1).write.mode("overwrite")
-          .option("sep", "\t").csv(stage)
-        val part = fs.listStatus(new Path(stage)).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(sys.error(s"no part file in $stage"))
-        fs.rename(part, new Path(s"$work/in/g$g.tsv"))
-        fs.delete(new Path(stage), true)
+        val gd = new Path(s"$stage/g=$g")
+        val parts = fs.listStatus(gd).map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"expected one staged file per parity half, got " +
+            s"${parts.length} in $gd (repartition(g) puts each half in " +
+            "ONE writer task; a maxRecordsPerFile setting would split it)")
+        fs.rename(parts(0), new Path(s"$work/in/g$g.tsv"))
       }
+      fs.delete(new Path(stage), true)
       val schema = StructType(Seq(
         StructField("event_id", LongType),
         StructField("user_id", LongType),

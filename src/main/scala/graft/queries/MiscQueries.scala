@@ -761,11 +761,14 @@ object MiscQueries {
       // count and the sampled estimate; canonical() is idempotent
       // downstream. Size-gated placement: pinned below the gate,
       // local-disk stage above (the round-12 4 GiB-tier OOM class)
-      val e = graft.operators.Triangles.materializeCanonical(
+      val eP = graft.operators.Triangles.materializeCanonical(
         raw, "src", "dst")
+      val e = eP.df
       // e is already canonical and pinned: both passes share the ONE
-      // materialized edge copy instead of re-pinning per consumer
-      val exact = graft.operators.Triangles.trianglesOfCanonical(e)
+      // materialized edge copy instead of re-pinning per consumer, and
+      // the placement's measured count rides along (no re-count job)
+      val exact = graft.operators.Triangles
+        .trianglesOfCanonical(e, knownRows = eP.rows)
         .agg(count(lit(1)).as("exact_triangles"))
       val est = graft.operators.Triangles.doulion(e, "a", "b",
         keepHex = 8)

@@ -580,12 +580,18 @@ object TextOps {
     "q174_bigram_familiarity",
     (s, d) => {
       val toks = filter(split(col("text"), " "), t => t =!= "")
-      val bi = Tables.documents(s, d)
+      val bi0 = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(when(size(toks) >= 2,
             transform(sequence(lit(0), size(toks) - 2),
               i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
             .otherwise(array().cast("array<string>"))).as("bigram"))
+      // the bigram occurrence stream feeds BOTH the corpus count
+      // aggregate and the join back — materialize it once instead of
+      // re-running the text scan + explode per consumer (guide §1.2;
+      // size-gated: the stream is corpus × tokens-sized at 100×)
+      val bi = graft.core.StateTable.pinOrStage(
+        bi0, Seq(col("bigram")), "q174_bi").df
       val counts = bi.groupBy(col("bigram"))
         .agg(count(lit(1)).as("bg_count"))
       bi.join(counts, Seq("bigram"))

@@ -241,7 +241,7 @@ object Als {
     // incoming partitioning, so the oracle pins booleans, not the split.)
     val pcP = graft.core.StateTable.pinOrStage(pc0, Seq.empty, "als_pc")
     val pc = pcP.df
-    val n = pc.count()
+    val n = pcP.rows // the placement's measured count — no re-count job
     val Array(trainDf, valDf) = pc.randomSplit(Array(5.0, 1.0), 45L)
     val nTrain = trainDf.count()
     val nVal = valDf.count()

@@ -166,7 +166,10 @@ final class PairState private (
     delta.write.option("parquet.block.size", RowGroupBytes)
       .partitionBy("pk").parquet(segPath)
     // explicit schema: a no-pair batch lands only a _SUCCESS marker,
-    // which schema inference rejects
+    // which schema inference rejects. A distributed count, NOT driver
+    // footers: the segment is a tasks×pk-dirs dynamic-partition tree
+    // (ParquetFooters scaladoc — driver footer opens measured ~4.5 ms
+    // each; the count job reads the same footers 32-way parallel)
     val nSeg = spark.read.schema(delta.schema).parquet(segPath).count()
     // a fully-replayed batch creates no pairs — drop the segment (an
     // empty partitioned write leaves a file-less dir that poisons
@@ -199,21 +202,33 @@ final class PairState private (
     // first-width (≥512 tasks) exists for frames whose size is unknown
     // before materialization, but a segment log IS parquet — its file
     // bytes are free from the driver's listing — so the width can be
-    // exact up front: pinned serialized rows run 3-5× the columnar file
-    // bytes (Pin scaladoc), so bytes/8 MB targets ~32 MB blocks, the
-    // giant-block re-read hazard's safe zone. This drops atWidth's
-    // 512-task exchange, its count job, and its conditional re-pin
-    // (measured ~5-8 s of the q230 lifecycle on the round-13 box —
-    // OPTIMIZATION_r13.md). Round-robin: hashing on pk alone would fold
-    // the pin into ≤buckets non-empty blocks.
+    // exact up front. bytes/2 MB is the CONSERVATIVE expansion factor
+    // (ADVICE r13): round 13 used bytes/8 MB assuming pinned serialized
+    // rows run 3-5× the columnar bytes, but a segment of sorted longs
+    // can dictionary/delta-encode well past 5×, putting pinned blocks
+    // back in the 100+ MB giant-block re-read territory; at /2 MB even
+    // a 16× expansion stays ≤ 32 MB per block, and the cost of
+    // over-width is a few extra small tasks. (Exact footer ROWS were
+    // tried first — ParquetFooters scaladoc: driver footer opens are
+    // ~4.5 ms/file, a +2.3 s driver stall per compact on a 512-file
+    // segment tree, strictly worse than the width imprecision.) This
+    // keeps atWidth's 512-task exchange, its count job, and its
+    // conditional re-pin all dropped (measured ~5-8 s of the q230
+    // lifecycle on the round-13 box — OPTIMIZATION_r13.md). Round-robin:
+    // hashing on pk alone would fold the pin into ≤buckets non-empty
+    // blocks.
     val segBytes = segs
       .map(p => fs.getContentSummary(hp(p)).getLength).sum
     val segWidth = math.max(
       spark.sessionState.conf.numShufflePartitions,
-      math.min(4096L, segBytes / (8L * 1024 * 1024)).toInt)
+      math.min(4096L, segBytes / (2L * 1024 * 1024)).toInt)
     val segDf = graft.core.Pin(readSegs(segs).repartition(segWidth))
     val touched = segDf.select(col("pk")).distinct()
       .collect().map(_.getAs[Number](0).longValue()).sorted
+    // the driver-side collect above is bounded by construction — pk is
+    // pmod(…, buckets) — make the bound machine-checked (VERDICT r13)
+    require(touched.length <= buckets,
+      s"compact: ${touched.length} touched pks exceed buckets=$buckets")
     val m = readMeta()
     // width from the measured volume the fold actually carries: the
     // touched share of the base plus the segment rows. It rides an
@@ -303,6 +318,8 @@ final class PairState private (
     // any segment NOT consumed by this fold (none under today's
     // all-segments compaction, but the marker format permits it) stays
     // counted in segRows
+    // distributed counts, not driver footers: base and segments are
+    // wide dynamic-partition trees (ParquetFooters scaladoc)
     val remaining = segDirs()
     val segRows = if (remaining.isEmpty) 0L
       else readSegs(remaining).count()

@@ -110,20 +110,25 @@ object SessionTimers {
       spark: SparkSession,
       source: Dataset[SessEvent],
       gapUs: Long,
-      queryName: String): DataFrame = {
+      queryName: String,
+      checkpointDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
     try {
-      source.withWatermark("ts", "0 seconds")
+      val ws = source.withWatermark("ts", "0 seconds")
         .groupByKey(_.user)
         .transformWithState(new SessionProcessor(gapUs),
           TimeMode.EventTime(), OutputMode.Append())
         .writeStream.outputMode("append").format("memory")
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
+      // explicit checkpoint under the caller's scratch dir — the
+      // implicit temporary checkpoint pays java.io.tmpdir's per-commit
+      // sync tax once per micro-batch (TempWork.scratchBase rationale)
+      checkpointDir.fold(ws)(d => ws.option("checkpointLocation", d))
         .start().awaitTermination()
     } finally {
       prev match {

@@ -92,7 +92,9 @@ object StreamingTopK {
       spark: SparkSession,
       source: Dataset[TopKEvent],
       k: Int,
-      queryName: String): org.apache.spark.sql.DataFrame = {
+      queryName: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -100,12 +102,18 @@ object StreamingTopK {
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
     try {
-      source.groupByKey(_.grp)
+      val ws = source.groupByKey(_.grp)
         .transformWithState(new TopKProcessor(k),
           TimeMode.None(), OutputMode.Update())
         .writeStream.outputMode("update").format("memory")
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
+      // explicit checkpoint under the caller's scratch dir: the implicit
+      // "temporary" checkpoint lands on java.io.tmpdir, whose per-commit
+      // sync tax the offset/commit/state logs pay once per micro-batch
+      // (TempWork.scratchBase rationale); callers pass their TempWork
+      // tree so the logs ride the fast scratch volume instead
+      checkpointDir.fold(ws)(d => ws.option("checkpointLocation", d))
         .start().awaitTermination()
     } finally {
       prev match {
@@ -172,7 +180,9 @@ object StreamingTopK {
       source: Dataset[TopKEvent],
       initial: Dataset[(String, TopKState)],
       k: Int,
-      queryName: String): org.apache.spark.sql.DataFrame = {
+      queryName: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -180,13 +190,15 @@ object StreamingTopK {
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
     try {
-      source.groupByKey(_.grp)
+      val ws = source.groupByKey(_.grp)
         .transformWithState(new WarmTopKProcessor(k),
           TimeMode.None(), OutputMode.Update(),
           initial.groupByKey(_._1).mapValues(_._2))
         .writeStream.outputMode("update").format("memory")
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
+      // same checkpoint placement rationale as [[finalLeaderboard]]
+      checkpointDir.fold(ws)(d => ws.option("checkpointLocation", d))
         .start().awaitTermination()
     } finally {
       prev match {
