@@ -37,32 +37,20 @@ object PhraseMerge {
   def phrases(
       docs: DataFrame, idCol: String, textCol: String,
       discount: Long, scoreNum: Long, scoreDen: Long): DataFrame = {
-    val t = tokens(docs, idCol, textCol)
-    val w = Window.partitionBy(col("__doc")).orderBy(col("pos"))
-    phrasesOfCand(t.withColumn("nxt", lead(col("w"), 1).over(w)),
-        discount, scoreNum, scoreDen)
-      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"))
-  }
-
-  /** Qualifying pairs from an ALREADY-adjacency-annotated token stream
-    * `(__doc, pos, w, nxt)` — the shared subtree of [[phrases]] and
-    * [[mergeOnce]]'s rewrite: one row per token, `nxt` the successor
-    * within the doc (null at doc end), so the unigram counts are a
-    * groupBy over the SAME rows the pair counts filter — the token
-    * stream is derived once, not three times. */
-  private def phrasesOfCand(
-      cand: DataFrame,
-      discount: Long, scoreNum: Long, scoreDen: Long): DataFrame = {
     require(discount >= 0, "discount must be >= 0")
     require(scoreNum >= 1 && scoreDen >= 1, "score must be positive")
-    val uni = cand.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    cand.filter(col("nxt").isNotNull)
-      .groupBy(col("w").as("w1"), col("nxt").as("w2"))
+    val t = tokens(docs, idCol, textCol)
+    val w = Window.partitionBy(col("__doc")).orderBy(col("pos"))
+    val adj = t.withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+    val uni = t.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    adj.groupBy(col("w").as("w1"), col("w2"))
       .agg(count(lit(1)).as("n_ab"))
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
       .filter((col("n_ab") - lit(discount)) * lit(scoreDen) >=
         lit(scoreNum) * col("n_a") * col("n_b"))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"))
   }
 
   /** One merge pass: rewrite every doc with qualifying pairs joined as
@@ -70,35 +58,13 @@ object PhraseMerge {
     * (idCol, n_before, n_merges, n_after, new_text). */
   def mergeOnce(
       docs: DataFrame, idCol: String, textCol: String,
-      discount: Long, scoreNum: Long, scoreDen: Long): DataFrame =
-    mergeOnceImpl(docs, idCol, textCol, discount, scoreNum, scoreDen)._1
-
-  /** [[mergeOnce]] exposing the release of its materialized token
-    * stream — for iterated callers that can prove the returned frame
-    * has no remaining consumer (e.g. [[iterate]], which pins each
-    * round's output eagerly). The returned frame lazily scans the
-    * materialized stream, so `release()` only after a terminal action
-    * (or a lineage-truncating pin) over it. */
-  private def mergeOnceImpl(
-      docs: DataFrame, idCol: String, textCol: String,
-      discount: Long, scoreNum: Long, scoreDen: Long)
-      : (DataFrame, () => Unit) = {
+      discount: Long, scoreNum: Long, scoreDen: Long): DataFrame = {
+    val ph = phrases(docs, idCol, textCol, discount, scoreNum, scoreDen)
+      .select(col("w1"), col("w2"))
     val t = tokens(docs, idCol, textCol)
     val w = Window.partitionBy(col("__doc")).orderBy(col("pos"))
-    // ONE tokenize + ONE doc-keyed window sort, materialized once —
-    // the stream feeds THREE consumers (pair counts, unigram counts,
-    // the rewrite join below); the pre-round-14 form re-derived the
-    // posexplode per consumer and paid the window sort twice (guide
-    // §1.2: stop recomputing the same subtree — measured 15.6 s → the
-    // q282 two-round trainer re-tokenized its corpus six times).
-    // Size-gated placement: the token stream is corpus × tokens-sized,
-    // the 4 GiB-tier pin hazard class at 100× (StateTable scaladoc).
-    val candP = graft.core.StateTable.pinOrStage(
-      t.withColumn("nxt", lead(col("w"), 1).over(w)),
-      Seq(col("__doc")), "phrase_cand")
-    val ph = phrasesOfCand(candP.df, discount, scoreNum, scoreDen)
-      .select(col("w1"), col("w2"))
-    val cand = candP.df
+    val cand = t
+      .withColumn("nxt", lead(col("w"), 1).over(w))
       .join(broadcast(ph), col("w") === col("w1") &&
         col("nxt") === col("w2"), "left")
       .withColumn("m", col("w1").isNotNull)
@@ -126,14 +92,13 @@ object PhraseMerge {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("out_w")))),
           x => x.getField("out_w")), " ").as("new_text"))
-    val out = docs.select(col(idCol), size(filter(split(col(textCol), " "),
+    docs.select(col(idCol), size(filter(split(col(textCol), " "),
         x => x =!= "")).cast("long").as("n_before"))
       .join(rebuilt.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
       .na.fill(0L, Seq("n_after", "n_merges"))
       .na.fill("", Seq("new_text"))
       .select(col(idCol), col("n_before"), col("n_merges"),
         col("n_after"), col("new_text"))
-    (out, candP.release)
   }
 
   /** One completed training round's driver-side stats. */
@@ -182,13 +147,8 @@ object PhraseMerge {
       (merges, vocab)
     }
     // acc: (idCol, n_before, n_merges-cumulative, n_after, new_text)
-    val (first, release0) = mergeOnceImpl(docs, idCol, textCol,
-      discount, scoreNum, scoreDen)
-    var acc = first.transform(graft.core.Pin.apply)
-    // the pin is eager and lineage-truncated — the round's materialized
-    // token stream has no remaining consumer (the KCore round
-    // discipline, applied to the mergeOnce scratch)
-    release0()
+    var acc = mergeOnce(docs, idCol, textCol, discount, scoreNum,
+      scoreDen).transform(graft.core.Pin.apply)
     var (cum, vocab) = anchors(acc)
     var roundMerges = cum
     val stats =
@@ -197,7 +157,7 @@ object PhraseMerge {
     while (r < maxRounds && roundMerges > 0 &&
         (vocabBudget <= 0 || vocab > vocabBudget)) {
       r += 1
-      val (next, releaseR) = mergeOnceImpl(
+      val next = mergeOnce(
         acc.select(col(idCol), col("new_text").as(textCol)),
         idCol, textCol, discount, scoreNum, scoreDen)
       val combined = acc
@@ -208,7 +168,6 @@ object PhraseMerge {
           (col("__m_prev") + col("n_merges")).as("n_merges"),
           col("n_after"), col("new_text"))
         .transform(graft.core.Pin.apply)
-      releaseR() // combined is pinned — the round scratch has no reader
       graft.core.Pin.unpin(acc)
       acc = combined
       val (cum2, vocab2) = anchors(acc)

@@ -179,19 +179,24 @@ object Triangles {
     val edgeWidth = math.max(
       spark.sessionState.conf.numShufflePartitions,
       math.min(4096L, (m + rowsPerTask - 1) / rowsPerTask).toInt)
-    // o stays LAZY — no pin: its only consumers are the wedge-terms
-    // aggregate and the wedge self-join, whose two aliases share ONE
-    // materialization through the reused repartition exchange inside
-    // trianglesWedgeClose. Pinning a second edge-sized copy (beside the
-    // caller's pinned canonical set) is what starved execution memory
-    // at 100× — tasks spilled every ~100 KB and the spill-merge blew
-    // the process file-descriptor budget before any OOM. Orient is two
-    // joins against the PINNED c; recomputing it once per job is the
-    // cheap side of that trade (measured at 100×: m = 119.6M edges,
-    // Σ wedge terms = 4.1B, max d_out = 97 — per-task close volume is
-    // ~1M rows at the measured width; memory pressure, not volume, was
-    // the failure).
-    val o = orient(c)
+    // The oriented set is materialized ONCE, size-gated: its two
+    // consumers (the wedge-terms aggregate and the wedge self-join)
+    // each re-ran orient's two joins + degree aggregate when it stayed
+    // lazy. Round 10's finding — pinning a second edge-sized copy
+    // beside the pinned canonical set starved execution memory at
+    // 100× (spill storm → FD exhaustion) — is exactly what the size
+    // gate answers: below the gate the pin is bounded and safe, at or
+    // above the set stays a local-disk stage (executor storage holds
+    // nothing — the StateTable contract), and both consumers stream
+    // the staged scan instead of recomputing the joins. The row bound
+    // is EXACT, not an estimate: orientation is a 1:1 map of the
+    // canonical set, so |oriented| = m — below the gate the placement
+    // pins directly with no stage round-trip (pinOrStage
+    // upperBoundRows contract).
+    val oP = graft.core.StateTable.pinOrStage(
+      orient(c), Seq(col("u")), "tri_oriented",
+      rowsPerTask = rowsPerTask, upperBoundRows = m)
+    val o = oP.df
     val wedgeTerms = {
       val r = o.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .agg(sum((col("d") * (col("d") - lit(1)) / lit(2)).cast("long")))
@@ -225,6 +230,10 @@ object Triangles {
       o.withColumn("ck", pmod(col("u"), lit(nChunks)))
         .write.option("parquet.block.size", 16L * 1024 * 1024)
         .partitionBy("ck").mode("overwrite").parquet(s"$dir/oriented")
+      // the ck-partitioned scratch is now the oriented set's only
+      // surviving form — release the placement (at this size a stage;
+      // deleting it halves the chunked regime's peak disk footprint)
+      oP.release()
       val oAll = spark.read.parquet(s"$dir/oriented")
       val chunkWidth = math.max(
         spark.sessionState.conf.numShufflePartitions,
