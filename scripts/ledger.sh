@@ -17,6 +17,11 @@ set -u
 cd "$(dirname "$0")/.."
 DIR=$1; LEDGER=$2; shift 2
 HEAP=${SPARK_DRIVER_MEM:-8g}
+# Scale probes write corpus-proportional scratch (staged state, chunk
+# partials) — keep it OFF the RAM-backed tmpfs default TempWork prefers
+# for bench-scale runs (round 14): a 100x probe's tens-of-GB scratch
+# belongs on disk. Override by exporting SPARK_GRAFT_WORK_DIR yourself.
+export SPARK_GRAFT_WORK_DIR=${SPARK_GRAFT_WORK_DIR:-/tmp}
 TIMEOUT=${SPARK_GRAFT_TIMEOUT:-2400}
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \

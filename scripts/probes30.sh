@@ -5,6 +5,9 @@ set -u
 cd "$(dirname "$0")/.."
 DIR=$1; shift
 HEAP=${SPARK_DRIVER_MEM:-8g}
+# scale-probe scratch stays on disk, not the bench-scale tmpfs default
+# (ledger.sh has the full rationale)
+export SPARK_GRAFT_WORK_DIR=${SPARK_GRAFT_WORK_DIR:-/tmp}
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
     java.nio java.util java.util.concurrent java.util.concurrent.atomic \
