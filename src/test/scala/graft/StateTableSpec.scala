@@ -55,6 +55,45 @@ class StateTableSpec extends SparkSpec {
     placed.release()
   }
 
+  test("pinOrStage reports the placement's measured row count in both " +
+    "regimes") {
+    val df = (1L to 80L).map(i => (i, i % 3)).toDF("k", "v")
+    val pinned = StateTable.pinOrStage(df, Seq(col("k")), "sts_rows_p",
+      gateRows = 1000L)
+    assert(pinned.rows === 80L)
+    pinned.release()
+    val staged = StateTable.pinOrStage(df, Seq(col("k")), "sts_rows_s",
+      gateRows = 10L)
+    assert(staged.rows === 80L)
+    staged.release()
+  }
+
+  test("pinOrStage with a sound below-gate upper bound pins directly — " +
+    "no stage round-trip, one upstream execution, exact rows") {
+    val counter = spark.sparkContext.longAccumulator("sts_bound")
+    val df = (1L to 60L).toDF("k").filter(udfTouch(counter)(col("k")))
+    val placed = StateTable.pinOrStage(df, Seq(col("k")), "sts_bound",
+      gateRows = 1000L, upperBoundRows = 100L)
+    // direct pin: lineage-truncated, no staged parquet scan behind it
+    assert(placed.df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    assert(placed.rows === 60L)
+    assert(placed.df.count() === 60L)
+    assert(counter.value === 60L,
+      s"upstream executed ${counter.value / 60} times, want exactly 1")
+    placed.release()
+  }
+
+  test("pinOrStage ignores an at/above-gate upper bound and stages") {
+    val df = (1L to 50L).map(i => (i, s"y$i")).toDF("k", "s")
+    val placed = StateTable.pinOrStage(df, Seq(col("k")), "sts_bound_big",
+      gateRows = 10L, upperBoundRows = 50L)
+    assert(!placed.df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    assert(placed.rows === 50L)
+    placed.release()
+  }
+
   test("bucketed tables get session-unique names, scan exchange-free " +
     "on the bucket key, and drop() removes catalog entry + files") {
     val df = (1L to 200L).map(i => (i % 20, i)).toDF("g", "v")
